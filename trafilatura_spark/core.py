@@ -1,0 +1,226 @@
+"""Per-document extraction lifecycle.
+
+Re-expression of /root/reference/lib/src/core.dart:108-336
+(bareExtraction + trafilaturaSequence): load → lang gate → metadata →
+clean → convert → comments → main cascade → fallback comparison →
+baseline rescue → size gates → span emission.
+
+Error semantics mirror core.dart:333-335: any per-document failure
+yields a null result (status='error'), never an exception — on Spark a
+task must not die because one document is pathological
+(SURVEY.md §4.3.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .dom import Node, get_body, parse_html
+from .functions.textutils import trim
+from .operators.baseline import baseline
+from .operators.cleaning import convert_tags, tree_cleaning
+from .operators.deduplication import content_fingerprint
+from .operators.fallbacks import compare_extraction
+from .operators.main_extractor import extract_comments, extract_content
+from .operators.metadata import extract_metadata
+from .operators.render import emit_spans, render_txt
+from .operators.selectors import select_comment_elements
+from .settings import Options
+
+_LANG_ATTR_RE = None
+
+
+@dataclass
+class ExtractionResult:
+    doc_id: str = ""
+    spans: list = field(default_factory=list)
+    meta: dict | None = None
+    text: str = ""
+    comments_text: str = ""
+    status: str = "ok"      # ok | empty | error | rejected
+    tier: str = "main"      # main | readability | justext | baseline | none
+    len_text: int = 0
+
+
+def load_html(content: str) -> Node | None:
+    """Parse + sanity-check (utils.dart:194-235 loadHtml).
+
+    Repairs the faulty-doctype / self-closing ``<html/>`` cases before
+    parsing and rejects non-HTML (no 'html' marker and <2 body children).
+    """
+    if not isinstance(content, str):
+        return None
+    beginning = content[:50].lower()
+    check_flag = "html" not in beginning
+    # repairFaultyHtml (utils.dart:170-192)
+    if "doctype" in beginning:
+        first_nl = content.find("\n")
+        head_line = content if first_nl == -1 else content[:first_nl]
+        import re as _re
+        head_line = _re.sub(r"^< ?! ?DOCTYPE[^>]*/[^<]*>", "", head_line, flags=_re.I)
+        content = head_line + (content[first_nl:] if first_nl != -1 else "")
+    lines = content.split("\n", 3)
+    for i, line in enumerate(lines[:3]):
+        if "<html" in line and line.rstrip().endswith("/>"):
+            import re as _re
+            content = _re.sub(r"(<html[^>]*?)\s*/>", r"\1>", content, count=1, flags=_re.I)
+            break
+    try:
+        tree = parse_html(content)
+    except Exception:
+        return None
+    if check_flag and len(get_body(tree).children) < 2:
+        return None
+    return tree
+
+
+def check_html_lang(tree: Node, target: str, strict: bool = False) -> bool:
+    """Meta/og-locale/html@lang language gate (utils.dart:417-449)."""
+    import re as _re
+    lang_re = _re.compile(r"([a-z]{2})")
+    for want_attr, want_val in (("http-equiv", "content-language"),
+                                ("property", "og:locale")):
+        elems = [e for e in tree.iterdesc("meta")
+                 if e.attrs.get(want_attr, "").lower() == want_val
+                 and e.attrs.get("content")]
+        if elems:
+            for elem in elems:
+                langs = lang_re.findall(elem.attrs["content"].lower())
+                if target in langs:
+                    return True
+            return False
+    if strict:
+        candidates = [tree] if tree.tag == "html" else []
+        candidates += [e for e in tree.iterdesc("html")]
+        with_lang = [e for e in candidates if e.attrs.get("lang")]
+        if with_lang:
+            for elem in with_lang:
+                langs = lang_re.findall(elem.attrs["lang"].lower())
+                if target in langs:
+                    return True
+            return False
+    return True
+
+
+def trafilatura_sequence(converted_tree: Node, cleaned_backup: Node,
+                         raw_body: Node, options: Options
+                         ) -> tuple[Node, str, int, str]:
+    """Main cascade with fallbacks (core.dart:108-142)."""
+    postbody, temp_text, len_text = extract_content(converted_tree, options)
+    tier = "main"
+    if not options.fast:
+        postbody, temp_text, len_text, tier = compare_extraction(
+            cleaned_backup.copy(), raw_body.copy(), postbody, temp_text,
+            len_text, options)
+    if len_text < options.min_extracted_size and options.focus != "precision":
+        postbody, temp_text, len_text = baseline(raw_body.copy())
+        tier = "baseline"
+    return postbody, temp_text, len_text, tier
+
+
+def bare_extraction(filecontent: str, options: Options | None = None,
+                    doc_id: str = "") -> ExtractionResult:
+    """Full per-document pipeline (core.dart:147-336)."""
+    options = options or Options()
+    result = ExtractionResult(doc_id=doc_id)
+    try:
+        if filecontent is None or \
+           not (options.min_file_size <= len(filecontent) <= options.max_file_size):
+            result.status = "rejected"
+            result.tier = "none"
+            return result
+        tree = load_html(filecontent)
+        if tree is None:
+            result.status = "rejected"
+            result.tier = "none"
+            return result
+
+        if options.lang and not check_html_lang(tree, options.lang):
+            result.status = "rejected"
+            result.tier = "none"
+            return result
+
+        meta = None
+        if options.with_metadata:
+            meta = extract_metadata(tree, default_url=options.url,
+                                    author_blacklist=options.author_blacklist)
+            if options.url_blacklist and meta.get("url") in options.url_blacklist:
+                result.status = "rejected"
+                result.tier = "none"
+                return result
+            if options.only_with_metadata and not (
+                meta.get("date") and meta.get("title") and meta.get("url")
+            ):
+                result.status = "rejected"
+                result.tier = "none"
+                return result
+
+        working_body = get_body(tree)
+        cleaned = tree_cleaning(working_body.copy(), options)
+        cleaned_backup = cleaned.copy()
+        converted = convert_tags(cleaned, options,
+                                 url=options.url or (meta or {}).get("url"))
+
+        if options.comments:
+            commentsbody, temp_comments, len_comments, converted = \
+                extract_comments(converted, options)
+        else:
+            commentsbody, temp_comments, len_comments = Node("body"), "", 0
+
+        if options.focus == "precision":
+            for elem in select_comment_elements(converted):
+                if elem.parent is not None:
+                    elem.drop_tree()
+
+        postbody, temp_text, len_text, tier = trafilatura_sequence(
+            converted, cleaned_backup, working_body, options)
+
+        # tree size guard (core.dart:285-296)
+        if options.max_tree_size is not None:
+            n_elems = sum(1 for _ in postbody.iterdesc())
+            if n_elems > options.max_tree_size:
+                from .dom import strip_tags
+                strip_tags(postbody, "hi")
+                if sum(1 for _ in postbody.iterdesc()) > options.max_tree_size:
+                    result.status = "rejected"
+                    result.tier = "none"
+                    return result
+
+        # size gates (core.dart:299-301)
+        if len_text < options.min_output_size and \
+                len_comments < options.min_output_comm_size:
+            result.status = "empty"
+            result.tier = tier
+            return result
+
+        result.tier = tier
+        result.spans = emit_spans(
+            postbody,
+            commentsbody if options.comments and commentsbody.children else None,
+            include_formatting=options.formatting,
+        )
+        result.text = render_txt(postbody, options.formatting)
+        result.comments_text = render_txt(commentsbody, options.formatting) \
+            if commentsbody.children else ""
+        result.len_text = len_text
+        if meta is not None:
+            meta["fingerprint"] = content_fingerprint(
+                f"{meta.get('title') or ''} {result.text}")
+        result.meta = meta
+        if not result.spans:
+            result.status = "empty"
+        return result
+    except Exception:
+        # core.dart:333-335 — swallow, count, never fail the task
+        result.status = "error"
+        result.tier = "none"
+        result.spans = []
+        return result
+
+
+def extract_txt(filecontent: str, options: Options | None = None) -> str | None:
+    """Convenience string API (core.dart:384-434 extract)."""
+    res = bare_extraction(filecontent, options)
+    if res.status in ("rejected", "error", "empty"):
+        return None
+    return res.text

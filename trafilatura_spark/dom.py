@@ -1,0 +1,363 @@
+"""Lightweight, lxml-free HTML DOM for the extraction UDF.
+
+The reference parses HTML with the Dart ``html`` package
+(/root/reference/lib/src/utils.dart:194-235).  Spark executors run pure
+Python, so we build a minimal tree on top of the stdlib
+:class:`html.parser.HTMLParser` with the html5-recovery behaviors the
+extraction cascade relies on: implicit paragraph/list-item closing,
+void elements, lowercase tag/attribute names, and synthesized
+``<html>``/``<body>`` roots.
+
+The node model follows lxml semantics (``text`` before the first child,
+``tail`` after the closing tag) because the reference's tree surgery
+(strip-tag, delete-keeping-tail, xml_utils.dart:65-110) is defined in
+those terms.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# Tags whose open implicitly closes an open <p> (html5 spec subset).
+_P_CLOSERS = frozenset(
+    "address article aside blockquote details dialog div dl dt dd fieldset figcaption "
+    "figure footer form h1 h2 h3 h4 h5 h6 header hr main menu nav ol p pre section "
+    "table ul".split()
+)
+
+# element -> set of open elements it implicitly closes
+_IMPLIED_END = {
+    "li": frozenset(["li"]),
+    "dt": frozenset(["dt", "dd"]),
+    "dd": frozenset(["dt", "dd"]),
+    "tr": frozenset(["tr", "td", "th"]),
+    "td": frozenset(["td", "th"]),
+    "th": frozenset(["td", "th"]),
+    "option": frozenset(["option"]),
+    "thead": frozenset(["tbody", "tfoot"]),
+    "tbody": frozenset(["thead", "tbody", "tfoot"]),
+    "tfoot": frozenset(["thead", "tbody"]),
+}
+
+# Raw-text elements: HTMLParser handles script/style natively (CDATA mode).
+
+
+class Node:
+    """One element. ``text`` = text before first child, ``tail`` = text after
+    this element's close tag (lxml model)."""
+
+    __slots__ = ("tag", "attrs", "children", "parent", "text", "tail")
+
+    def __init__(self, tag: str, attrs: dict | None = None, parent: "Node | None" = None):
+        self.tag = tag
+        self.attrs = attrs if attrs is not None else {}
+        self.children: list[Node] = []
+        self.parent = parent
+        self.text: str = ""
+        self.tail: str = ""
+
+    # -- attribute helpers -------------------------------------------------
+    def get(self, name: str, default: str | None = None) -> str | None:
+        return self.attrs.get(name, default)
+
+    def set(self, name: str, value: str) -> None:
+        self.attrs[name] = value
+
+    @property
+    def class_name(self) -> str:
+        return self.attrs.get("class", "")
+
+    # -- tree navigation ---------------------------------------------------
+    def iter(self, *tags: str):
+        """Pre-order iteration including self; optionally filter by tag."""
+        stack = [self]
+        want = set(tags) if tags else None
+        while stack:
+            node = stack.pop()
+            if want is None or node.tag in want:
+                yield node
+            stack.extend(reversed(node.children))
+
+    def iterdesc(self, *tags: str):
+        """Pre-order iteration of descendants (excluding self)."""
+        stack = list(reversed(self.children))
+        want = set(tags) if tags else None
+        while stack:
+            node = stack.pop()
+            if want is None or node.tag in want:
+                yield node
+            stack.extend(reversed(node.children))
+
+    def find_all(self, *tags: str) -> list["Node"]:
+        return list(self.iterdesc(*tags))
+
+    def find(self, *tags: str) -> "Node | None":
+        for node in self.iterdesc(*tags):
+            return node
+        return None
+
+    def next_sibling(self) -> "Node | None":
+        if self.parent is None:
+            return None
+        sibs = self.parent.children
+        try:
+            i = sibs.index(self)
+        except ValueError:
+            return None
+        return sibs[i + 1] if i + 1 < len(sibs) else None
+
+    # -- text --------------------------------------------------------------
+    def text_content(self) -> str:
+        """All text of self and descendants (lxml ``text_content`` semantics:
+        own tail NOT included, descendant tails included)."""
+        parts = [self.text]
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            parts.append(node.text)
+            stack.extend(reversed(node.children))
+            parts.append(node.tail)
+        return "".join(parts)
+
+    def itertext(self):
+        yield self.text
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            yield node.text
+            stack.extend(reversed(node.children))
+            yield node.tail
+
+    # -- surgery -----------------------------------------------------------
+    def append(self, child: "Node") -> None:
+        child.parent = self
+        self.children.append(child)
+
+    def remove_child(self, child: "Node") -> None:
+        self.children.remove(child)
+        child.parent = None
+
+    def drop_tree(self, keep_tail: bool = True) -> None:
+        """Remove self + descendants; optionally merge the tail into the
+        preceding text position (xml_utils.dart:65-110 deleteElement)."""
+        parent = self.parent
+        if parent is None:
+            return
+        idx = parent.children.index(self)
+        if keep_tail and self.tail:
+            if idx > 0:
+                prev = parent.children[idx - 1]
+                prev.tail += self.tail
+            else:
+                parent.text += self.tail
+        del parent.children[idx]
+        self.parent = None
+
+    def strip_self(self) -> None:
+        """Remove this tag but keep its content in place
+        (htmlprocessing.dart:101-114 _stripTag)."""
+        parent = self.parent
+        if parent is None:
+            return
+        idx = parent.children.index(self)
+        # own text goes to previous sibling tail / parent text
+        lead = self.text
+        if lead:
+            if idx > 0:
+                parent.children[idx - 1].tail += lead
+            else:
+                parent.text += lead
+        for child in self.children:
+            child.parent = parent
+        tail = self.tail
+        parent.children[idx:idx + 1] = self.children
+        # tail attaches after last moved child, or merges where text went
+        if tail:
+            end = idx + len(self.children)
+            if end > 0 and len(self.children) > 0:
+                parent.children[end - 1].tail += tail
+            elif idx > 0:
+                parent.children[idx - 1].tail += tail
+            else:
+                parent.text += tail
+        self.children = []
+        self.parent = None
+
+    def copy(self) -> "Node":
+        dup = Node(self.tag, dict(self.attrs))
+        dup.text = self.text
+        dup.tail = self.tail
+        for child in self.children:
+            c = child.copy()
+            c.parent = dup
+            dup.children.append(c)
+        return dup
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"<Node {self.tag} attrs={self.attrs} children={len(self.children)}>"
+
+
+def strip_tags(tree: Node, *tags: str) -> None:
+    """Strip all matching descendant tags, keeping content
+    (main_extractor.dart:40-56)."""
+    want = set(tags)
+    # repeat until fixpoint since stripping can splice nested matches upward
+    while True:
+        victims = [n for n in tree.iterdesc() if n.tag in want]
+        if not victims:
+            return
+        for node in victims:
+            if node.parent is not None:
+                node.strip_self()
+
+
+def strip_elements(tree: Node, *tags: str, keep_tail: bool = True) -> None:
+    """Delete matching descendants and their content (main_extractor.dart:59-63)."""
+    for node in [n for n in tree.iterdesc(*tags)]:
+        if node.parent is not None:
+            node.drop_tree(keep_tail=keep_tail)
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#root")
+        self.stack: list[Node] = [self.root]
+
+    # -- helpers -----------------------------------------------------------
+    def _open_tags(self):
+        return [n.tag for n in self.stack]
+
+    def _add_text(self, data: str) -> None:
+        cur = self.stack[-1]
+        if cur.children:
+            cur.children[-1].tail += data
+        else:
+            cur.text += data
+
+    def _implied_close(self, tag: str) -> None:
+        if tag in _P_CLOSERS:
+            for node in reversed(self.stack[1:]):
+                if node.tag == "p":
+                    self._close_to(node)
+                    break
+                if node.tag in ("div", "td", "th", "li", "body", "html", "#root",
+                                "article", "section", "main", "blockquote"):
+                    break
+        closers = _IMPLIED_END.get(tag)
+        if closers:
+            for node in reversed(self.stack[1:]):
+                if node.tag in closers:
+                    self._close_to(node)
+                    break
+                if node.tag in ("table", "ul", "ol", "dl", "body", "html", "#root",
+                                "select", "tr" if tag in ("td", "th") else "table"):
+                    break
+
+    def _close_to(self, node: Node) -> None:
+        while self.stack and self.stack[-1] is not node:
+            self.stack.pop()
+        if self.stack:
+            self.stack.pop()
+
+    # -- HTMLParser hooks ----------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._implied_close(tag)
+        amap = {}
+        for k, v in attrs:
+            if k not in amap:
+                amap[k] = v if v is not None else ""
+        node = Node(tag, amap, self.stack[-1])
+        self.stack[-1].children.append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self._implied_close(tag)
+        amap = {}
+        for k, v in attrs:
+            if k not in amap:
+                amap[k] = v if v is not None else ""
+        node = Node(tag, amap, self.stack[-1])
+        self.stack[-1].children.append(node)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_ELEMENTS:
+            return
+        for node in reversed(self.stack[1:]):
+            if node.tag == tag:
+                self._close_to(node)
+                return
+        # stray end tag: ignore (html5 recovery)
+
+    def handle_data(self, data: str) -> None:
+        self._add_text(data)
+
+    def error(self, message):  # pragma: no cover - py<3.10 compat
+        pass
+
+
+def parse_html(html: str) -> Node:
+    """Parse an HTML string into a tree rooted at ``<html>`` with a ``<body>``.
+
+    Mirrors the recovery contract of utils.dart:194-235 (loadHtml): always
+    yields an ``html`` root with ``head``/``body`` children; top-level
+    content lands in ``body``.
+    """
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        pass
+    root = builder.root
+
+    html_node = None
+    for child in root.children:
+        if child.tag == "html":
+            html_node = child
+            break
+    if html_node is None:
+        html_node = Node("html")
+        for child in root.children:
+            child.parent = html_node
+        html_node.children = root.children
+        html_node.text = root.text
+
+    head = None
+    body = None
+    for child in html_node.children:
+        if child.tag == "head" and head is None:
+            head = child
+        elif child.tag == "body" and body is None:
+            body = child
+    if body is None:
+        body = Node("body")
+        strays = [c for c in html_node.children if c is not head and c.tag != "body"]
+        for c in strays:
+            c.parent = body
+        body.children = strays
+        html_node.children = ([head] if head is not None else []) + [body]
+        body.parent = html_node
+        if head is None:
+            head = Node("head")
+            head.parent = html_node
+            html_node.children.insert(0, head)
+    elif head is None:
+        head = Node("head")
+        head.parent = html_node
+        html_node.children.insert(0, head)
+    return html_node
+
+
+def get_body(tree: Node) -> Node:
+    if tree.tag == "body":
+        return tree
+    for child in tree.children:
+        if child.tag == "body":
+            return child
+    return tree

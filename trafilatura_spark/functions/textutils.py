@@ -1,0 +1,101 @@
+"""Text normalization and gating predicates.
+
+Re-expresses utils.dart:241-491 in vectorization-friendly pure Python.
+Every function here runs inside the Arrow-batched UDF; the hot ones
+(`trim`) are regex-precompiled and memoization mirrors the reference's
+line-processing cache (utils.dart:269-307) via ``lru_cache`` — safe
+because the functions are pure.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+_WS_RE = re.compile(r"\s+")
+
+# utils.dart:51-56 — social-media boilerplate filter
+RE_FILTER = re.compile(
+    r"\W*(Drucken|E-?Mail|Facebook|Flipboard|Google|Instagram|"
+    r"Linkedin|Mail|PDF|Pinterest|Pocket|Print|QQ|Reddit|Twitter|"
+    r"WeChat|WeiBo|Whatsapp|Xing|Mehr zum Thema:?|More on this.{0,8}$)$",
+    re.IGNORECASE,
+)
+
+# utils.dart:30 — newline not preceded by punctuation/'>'
+_LINES_TRIMMING = re.compile(r"(?<![!-/:-@>])\n", re.MULTILINE)
+
+# utils.dart:36 — image file extension test
+IMAGE_EXTENSION = re.compile(r"[^\s]+\.(avif|bmp|gif|hei[cf]|jpe?g|png|webp)(\b|$)")
+
+_CONTROL_TABLE = {c: None for c in range(32) if chr(c) not in "\t\n\r"}
+_CONTROL_TABLE[127] = None
+
+
+def trim(string: str) -> str:
+    """Collapse all whitespace runs to single spaces (utils.dart:352-358)."""
+    if not string:
+        return ""
+    return _WS_RE.sub(" ", string).strip()
+
+
+def remove_control_characters(string: str) -> str:
+    """Strip non-printable characters, keep \\t\\n\\r and spaces
+    (utils.dart:241-259)."""
+    return string.translate(_CONTROL_TABLE)
+
+
+@lru_cache(maxsize=2**14)
+def line_processing(line: str, preserve_space: bool = False, trailing_space: bool = False) -> str | None:
+    """Entity fix + control-char strip + blank-line pruning
+    (utils.dart:273-307)."""
+    new_line = remove_control_characters(
+        line.replace("&#13;", "\r").replace("&#10;", "\n").replace("&nbsp;", " ")
+    )
+    if preserve_space:
+        return new_line
+    new_line = trim(_LINES_TRIMMING.sub(" ", new_line))
+    if not new_line.strip():
+        return None
+    if trailing_space:
+        space_before = " " if line and line[0].isspace() else ""
+        space_after = " " if line and line[-1].isspace() else ""
+        return f"{space_before}{new_line}{space_after}"
+    return new_line
+
+
+def sanitize(text: str, preserve_space: bool = False, trailing_space: bool = False) -> str | None:
+    """Line-level cleanup of a text blob (utils.dart:310-326)."""
+    if text is None:
+        return None
+    if trailing_space:
+        return line_processing(text, preserve_space, True)
+    lines = [line_processing(l, preserve_space) for l in text.split("\n")]
+    processed = "\n".join(l for l in lines if l is not None).replace("␤", "")
+    return processed or None
+
+
+def text_chars_test(string: str | None) -> bool:
+    """Non-blank test (utils.dart:489-491)."""
+    return bool(string) and not string.isspace()
+
+
+def textfilter(text_content: str) -> bool:
+    """True if the node text is blank or social-media boilerplate
+    (utils.dart:475-486)."""
+    if not text_content or not text_content.strip():
+        return True
+    return any(RE_FILTER.match(line) for line in text_content.split("\n"))
+
+
+def is_image_file(imagesrc: str | None) -> bool:
+    """Valid image extension test (utils.dart:381-386)."""
+    if imagesrc is None or len(imagesrc) > 8192:
+        return False
+    return IMAGE_EXTENSION.search(imagesrc) is not None
+
+
+def is_acceptable_length(length: int, options) -> bool:
+    """Document size gate (utils.dart:406-414).  Also expressed
+    relationally as F.length(html).between(min, max) before the UDF."""
+    return options.min_file_size <= length <= options.max_file_size

@@ -1,0 +1,90 @@
+"""Per-document fingerprints and token sampling.
+
+Re-expression of /root/reference/lib/src/deduplication.dart:51-221.
+``content_fingerprint`` is a per-row column; *corpus-level* exact and
+near-duplicate detection are relational stages (hash groupBy, LSH
+band join) defined in ``trafilatura_spark.plans.dedup`` — the
+reference's order-dependent LRU ``duplicateTest``
+(deduplication.dart:335-349) is deliberately NOT reproduced inside the
+UDF because it breaks parallel determinism (SURVEY.md §4.3.5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+_PUNCT_EDGE = re.compile(r"^\W+|\W+$", re.UNICODE)
+_PUNCT_ALL = re.compile(r"[^\w\s]", re.UNICODE)
+_WS = re.compile(r"\s+")
+
+
+def _is_alnumish(s: str) -> bool:
+    """deduplication.dart:70-77 — ASCII alphanumerics or extended chars."""
+    return bool(s) and all(
+        ("0" <= c <= "9") or ("A" <= c <= "Z") or ("a" <= c <= "z") or ord(c) > 127
+        for c in s
+    )
+
+
+def _sample_by_length(tokens: list[str], target: int) -> list[str]:
+    """deduplication.dart:51-59 — length-threshold backoff."""
+    for i in range(4, -1, -1):
+        sample = [t for t in tokens if len(t) > i]
+        if len(sample) >= target / 2:
+            return sample
+    return [t for t in tokens if t]
+
+
+def sample_tokens(inputstring: str, length: int = 64) -> list[str]:
+    """deduplication.dart:80-98."""
+    tokens = []
+    for token in _WS.split(inputstring):
+        token = _PUNCT_EDGE.sub("", token)
+        if _is_alnumish(token):
+            tokens.append(token)
+    sample = _sample_by_length(tokens, length)
+    if not sample:
+        clean = _PUNCT_ALL.sub(" ", inputstring)
+        tokens = [t for t in _WS.split(clean) if _is_alnumish(t)]
+        sample = _sample_by_length(tokens, length)
+    return sample
+
+
+def generate_bow_hash(inputstring: str, length: int = 24) -> bytes:
+    """deduplication.dart:101-107."""
+    teststring = " ".join(sample_tokens(inputstring)).strip()
+    return hashlib.sha256(teststring.encode("utf-8")).digest()[:length]
+
+
+def _hash_token(token: str) -> int:
+    """First 8 bytes of SHA-256 as big-endian int (deduplication.dart:124-133)."""
+    digest = hashlib.sha256(token.encode("utf-8")).digest()
+    return int.from_bytes(digest[:8], "big")
+
+
+def simhash(inputstring: str, length: int = 64) -> int:
+    """Charikar simhash over sampled tokens (deduplication.dart:142-159)."""
+    vector = [0] * length
+    for token in sample_tokens(inputstring, length=length):
+        h = _hash_token(token)
+        for i in range(length):
+            vector[i] += 1 if h & (1 << i) else -1
+    result = 0
+    for i in range(length):
+        if vector[i] >= 0:
+            result |= 1 << i
+    return result
+
+
+def hamming_distance(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def simhash_similarity(a: int, b: int, length: int = 64) -> float:
+    return (length - hamming_distance(a, b)) / length
+
+
+def content_fingerprint(content: str) -> str:
+    """Simhash hex of title+text (deduplication.dart:219-221)."""
+    return format(simhash(content), "x")

@@ -1,0 +1,322 @@
+"""Readability-style scoring fallback.
+
+Fresh implementation of the public arc90/readability-lxml algorithm
+(Apache-2.0 heritage), matching the behavior inventoried from
+/root/reference/lib/src/readability_lxml.dart:97-410: score candidate
+parents of text-bearing paragraphs, pick the best, assemble the article
+from qualifying siblings, then feature-count sanitization.
+
+The paragraph-score aggregation is conceptually a
+``groupBy(parent).agg(sum(score))`` + top-1 (SURVEY.md §2.7) but runs
+per-document inside the UDF.
+"""
+
+from __future__ import annotations
+
+import re
+from math import sqrt
+
+from ..dom import Node
+from ..functions.textutils import trim
+
+_DOT_SPACE = re.compile(r"\.( |$)")
+
+DIV_SCORES = {"div", "article"}
+BLOCK_SCORES = {"pre", "td", "blockquote"}
+BAD_ELEM_SCORES = {"address", "ol", "ul", "dl", "dd", "dt", "li", "form", "aside"}
+STRUCTURE_SCORES = {"h1", "h2", "h3", "h4", "h5", "h6", "th", "header", "footer", "nav"}
+TEXT_CLEAN_ELEMS = ("p", "img", "li", "a", "embed", "input")
+
+REGEXES = {
+    "unlikely": re.compile(
+        r"combx|comment|community|disqus|extra|foot|header|menu|remark|rss|shoutbox|"
+        r"sidebar|sponsor|ad-break|agegate|pagination|pager|popup|tweet|twitter",
+        re.I,
+    ),
+    "maybe": re.compile(r"and|article|body|column|main|shadow", re.I),
+    "positive": re.compile(
+        r"article|body|content|entry|hentry|main|page|pagination|post|text|blog|story",
+        re.I,
+    ),
+    "negative": re.compile(
+        r"button|combx|comment|com-|contact|figure|foot|footer|footnote|form|input|"
+        r"masthead|media|meta|outbrain|promo|related|scroll|shoutbox|sidebar|sponsor|"
+        r"shopping|tags|tool|widget",
+        re.I,
+    ),
+    "div_to_p": re.compile(r"<(?:a|blockquote|dl|div|img|ol|p|pre|table|ul)", re.I),
+    "video": re.compile(r"https?://(?:www\.)?(?:youtube|vimeo)\.com", re.I),
+}
+
+_FRAME_TAGS = {"body", "html"}
+_LIST_TAGS = {"ol", "ul"}
+
+
+def _text_length(elem: Node) -> int:
+    return len(trim(elem.text_content()))
+
+
+def _link_density(elem: Node) -> float:
+    total = _text_length(elem)
+    if total == 0:
+        return 0.0
+    link_len = sum(_text_length(a) for a in elem.iterdesc("a"))
+    return link_len / total
+
+
+def _has_block_child_markup(elem: Node) -> bool:
+    """Stand-in for the innerHTML regex probe (readability_lxml.dart:286-297)."""
+    return any(
+        c.tag in ("a", "blockquote", "dl", "div", "img", "ol", "p", "pre", "table", "ul")
+        for c in elem.iterdesc()
+    )
+
+
+class ReadabilityDocument:
+    """readability_lxml.dart:79-410."""
+
+    def __init__(self, doc: Node, min_text_length: int = 25, retry_length: int = 250):
+        self.doc = doc
+        self.min_text_length = min_text_length
+        self.retry_length = retry_length
+
+    def summary(self) -> Node | None:
+        for elem in list(self.doc.iterdesc("script", "style")):
+            if elem.parent is not None:
+                elem.drop_tree()
+        ruthless = True
+        saved = self.doc.copy()
+        while True:
+            if ruthless:
+                self._remove_unlikely_candidates()
+            self._transform_misused_divs()
+            candidates = self._score_paragraphs()
+            best = self._select_best_candidate(candidates)
+            if best is not None:
+                article = self._get_article(candidates, best)
+            else:
+                if ruthless:
+                    ruthless = False
+                    self.doc = saved.copy()
+                    continue
+                body = self.doc.find("body")
+                article = body if body is not None else self.doc
+            cleaned = self._sanitize(article, candidates)
+            article_length = len(cleaned.text_content()) if cleaned is not None else 0
+            if ruthless and article_length < self.retry_length:
+                ruthless = False
+                self.doc = saved.copy()
+                continue
+            return cleaned
+
+    def _get_article(self, candidates: dict, best) -> Node:
+        """readability_lxml.dart:139-169."""
+        threshold = max(10.0, best[0] * 0.2)
+        output = Node("div")
+        parent = best[1].parent
+        siblings = parent.children if parent is not None else [best[1]]
+        for sibling in siblings:
+            append = False
+            if sibling is best[1]:
+                append = True
+            elif id(sibling) in candidates and candidates[id(sibling)][0] >= threshold:
+                append = True
+            elif sibling.tag == "p":
+                ld = _link_density(sibling)
+                content = sibling.text_content()
+                n = len(content)
+                if (n > 80 and ld < 0.25) or (n <= 80 and ld == 0 and _DOT_SPACE.search(content)):
+                    append = True
+            if append:
+                output.append(sibling.copy())
+        return output
+
+    def _select_best_candidate(self, candidates: dict):
+        if not candidates:
+            return None
+        return max(candidates.values(), key=lambda c: c[0])
+
+    def _score_paragraphs(self) -> dict:
+        """readability_lxml.dart:194-229 — group scores onto parents."""
+        candidates: dict[int, list] = {}
+        for elem in self.doc.iterdesc("p", "pre", "td"):
+            parent = elem.parent
+            if parent is None:
+                continue
+            grandparent = parent.parent
+            text = trim(elem.text_content())
+            if len(text) < self.min_text_length:
+                continue
+            for node in (parent, grandparent):
+                if node is not None and id(node) not in candidates:
+                    candidates[id(node)] = self._score_node(node)
+            score = 1 + len(text.split(",")) + min(len(text) / 100, 3)
+            candidates[id(parent)][0] += score
+            if grandparent is not None and id(grandparent) in candidates:
+                candidates[id(grandparent)][0] += score / 2
+        for cand in candidates.values():
+            cand[0] *= 1 - _link_density(cand[1])
+        return candidates
+
+    def _class_weight(self, elem: Node) -> float:
+        weight = 0.0
+        for attribute in (elem.attrs.get("class"), elem.attrs.get("id")):
+            if not attribute:
+                continue
+            if REGEXES["negative"].search(attribute):
+                weight -= 25
+            if REGEXES["positive"].search(attribute):
+                weight += 25
+        return weight
+
+    def _score_node(self, elem: Node) -> list:
+        score = self._class_weight(elem)
+        name = elem.tag
+        if name in DIV_SCORES:
+            score += 5
+        elif name in BLOCK_SCORES:
+            score += 3
+        elif name in BAD_ELEM_SCORES:
+            score -= 3
+        elif name in STRUCTURE_SCORES:
+            score -= 5
+        return [score, elem]
+
+    def _remove_unlikely_candidates(self) -> None:
+        for elem in list(self.doc.iterdesc()):
+            if elem.parent is None:
+                continue
+            attrs = f"{elem.attrs.get('class', '')} {elem.attrs.get('id', '')}".strip()
+            if len(attrs) < 2:
+                continue
+            if elem.tag not in _FRAME_TAGS and REGEXES["unlikely"].search(attrs) \
+               and not REGEXES["maybe"].search(attrs):
+                elem.drop_tree()
+
+    def _transform_misused_divs(self) -> None:
+        for elem in list(self.doc.iterdesc("div")):
+            if not _has_block_child_markup(elem):
+                elem.tag = "p"
+        for elem in self.doc.iterdesc("div"):
+            for br in list(elem.iterdesc("br")):
+                if br.parent is not None:
+                    br.drop_tree()
+
+    def _sanitize(self, node: Node, candidates: dict) -> Node | None:
+        """readability_lxml.dart:317-410 feature-count cleaning."""
+        for header in list(node.iterdesc("h1", "h2", "h3", "h4", "h5", "h6")):
+            if header.parent is not None and (
+                self._class_weight(header) < 0 or _link_density(header) > 0.33
+            ):
+                header.drop_tree()
+        for elem in list(node.iterdesc("form", "textarea")):
+            if elem.parent is not None:
+                elem.drop_tree()
+        for elem in list(node.iterdesc("iframe")):
+            if elem.parent is None:
+                continue
+            if REGEXES["video"].search(elem.attrs.get("src", "")):
+                elem.text = "VIDEO"
+            else:
+                elem.drop_tree()
+
+        allowed: set[int] = set()
+        targets = list(node.iterdesc("table", "ul", "div", "aside", "header",
+                                     "footer", "section"))
+        for elem in reversed(targets):
+            if id(elem) in allowed or elem.parent is None:
+                continue
+            weight = self._class_weight(elem)
+            score = candidates[id(elem)][0] if id(elem) in candidates else 0
+            if weight + score < 0:
+                elem.drop_tree()
+                continue
+            if len(elem.text_content().split(",")) >= 10:
+                continue
+            counts = {kind: len(elem.find_all(kind)) for kind in TEXT_CLEAN_ELEMS}
+            counts["li"] -= 100
+            counts["input"] -= sum(
+                1 for i in elem.iterdesc("input") if i.attrs.get("type") == "hidden"
+            )
+            content_length = _text_length(elem)
+            link_density = _link_density(elem)
+            to_remove = True
+            if counts["p"] > 0 and counts["img"] > 1 + counts["p"] * 1.3:
+                pass
+            elif counts["li"] > counts["p"] and elem.tag not in _LIST_TAGS:
+                pass
+            elif counts["input"] > counts["p"] / 3:
+                pass
+            elif content_length < self.min_text_length and counts["img"] == 0:
+                pass
+            elif content_length < self.min_text_length and counts["img"] > 2:
+                pass
+            elif weight < 25 and link_density > 0.2:
+                pass
+            elif weight >= 25 and link_density > 0.5:
+                pass
+            elif (counts["embed"] == 1 and content_length < 75) or counts["embed"] > 1:
+                pass
+            elif content_length == 0:
+                sibling = elem.next_sibling()
+                sib_len = 0
+                while sibling is not None and sib_len == 0:
+                    sib_len = _text_length(sibling)
+                    sibling = sibling.next_sibling()
+                if sib_len > 1000:
+                    to_remove = False
+                    for child in elem.iterdesc("table", "ul", "div", "section"):
+                        allowed.add(id(child))
+            else:
+                to_remove = False
+            if to_remove:
+                elem.drop_tree()
+        return node
+
+
+def try_readability(htmlinput: Node) -> Node:
+    """external.dart:25-33."""
+    try:
+        doc = ReadabilityDocument(htmlinput, min_text_length=25, retry_length=250)
+        return doc.summary() or Node("div")
+    except Exception:
+        return Node("div")
+
+
+def is_probably_readerable(html: Node, min_content_length: int = 140,
+                           min_score: int = 20) -> bool:
+    """Cheap pre-filter (readability_lxml.dart:442-487)."""
+    nodes = list(html.iterdesc("p", "pre", "article"))
+    for br in html.iterdesc("br"):
+        if br.parent is not None and br.parent.tag == "div":
+            nodes.append(br.parent)
+    seen: set[int] = set()
+    score = 0.0
+    unlikely = re.compile(
+        r"-ad-|ai2html|banner|breadcrumbs|combx|comment|community|cover-wrap|disqus|"
+        r"extra|footer|gdpr|header|legends|menu|related|remark|replies|rss|shoutbox|"
+        r"sidebar|skyscraper|social|sponsor|supplemental|ad-break|agegate|pagination|"
+        r"pager|popup|yom-remote", re.I)
+    maybe = re.compile(r"and|article|body|column|content|main|shadow", re.I)
+    for node in nodes:
+        if id(node) in seen:
+            continue
+        seen.add(id(node))
+        style = node.attrs.get("style", "")
+        if re.search(r"display:\s*none", style, re.I) or "hidden" in node.attrs:
+            continue
+        if node.attrs.get("aria-hidden") == "true" and \
+           "fallback-image" not in node.class_name:
+            continue
+        class_and_id = f"{node.class_name} {node.attrs.get('id', '')}"
+        if unlikely.search(class_and_id) and not maybe.search(class_and_id):
+            continue
+        if node.tag == "p" and node.parent is not None and node.parent.tag == "li":
+            continue
+        n = len(node.text_content().strip())
+        if n < min_content_length:
+            continue
+        score += sqrt(n - min_content_length)
+        if score > min_score:
+            return True
+    return False
