@@ -1,0 +1,155 @@
+"""Batch extraction job: read → salt → extract → write, resumable.
+
+The north rule's job shell (SURVEY.md §3.4): reads the interleaved
+documents table, runs the extraction operator, writes the extracted span
+table plus a per-partition progress table carrying lineage + metrics so
+an interrupted run resumes from the last committed bucket.
+
+Checkpoint model: documents are assigned a stable ``bucket =
+pmod(xxhash64(doc_id), n_buckets)``.  Buckets are processed in waves;
+after each wave the output is written (partitioned by bucket) and one
+progress row per bucket is appended ``(run_id, bucket, docs,
+fallback_docs, empty_docs, error_docs, fallback_rate, empty_rate,
+committed_at)``.  A restarted run anti-joins committed buckets and only
+processes the remainder.  On Iceberg the output+progress appends are
+snapshot-atomic; on plain parquet (this sandbox) the progress append is
+the commit point and a torn wave is simply re-run (extraction is
+deterministic and idempotent per doc_id).
+
+Run via::
+
+    spark-submit --py-files trafilatura_spark.zip -m trafilatura_spark.job \
+        --input /data/documents --output /out/extracted \
+        --progress /out/progress --run-id run1
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.pipeline import extract_documents, extraction_metrics  # noqa: F401
+from .operators.pipeline import make_extract_batches, EXTRACTED_SCHEMA
+from .settings import Options
+
+
+def make_session(app_name: str = "trafilatura-spark", master: str | None = None,
+                 shuffle_partitions: int = 32,
+                 arrow_batch: int = 256) -> SparkSession:
+    """Session with the engine's scale defaults: AQE on (runtime skew
+    re-splits), small Arrow batches (multi-MB HTML payloads, SURVEY.md
+    §4.3.2), speculative execution (straggler defense §4.3.4)."""
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    return (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.speculation", "true")
+        .getOrCreate()
+    )
+
+
+def _committed_buckets(spark: SparkSession, progress_path: str) -> set[int]:
+    try:
+        pdf = spark.read.parquet(progress_path).select("bucket").distinct()
+        return {r["bucket"] for r in pdf.collect()}
+    except Exception:
+        return set()
+
+
+def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
+                   progress_path: str, run_id: str = "run0",
+                   options: Options | None = None, n_buckets: int = 16,
+                   wave_size: int = 8, tasks_per_wave: int | None = None) -> dict:
+    """Resumable batch extraction.  Returns run summary metrics.
+
+    ``n_buckets`` is the checkpoint granularity (at 100 TB: hundreds —
+    each bucket is one recoverable unit of work); ``wave_size`` buckets
+    are processed per commit; ``tasks_per_wave`` controls the salted
+    repartition width (default: cluster default parallelism).
+    """
+    options = options or Options()
+    bucket_col = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
+    docs = documents.withColumn("bucket", bucket_col)
+
+    done = _committed_buckets(spark, progress_path)
+    pending = [b for b in range(n_buckets) if b not in done]
+    summary = {"run_id": run_id, "resumed_buckets": len(done),
+               "processed_buckets": 0, "docs": 0, "waves": 0}
+
+    if tasks_per_wave is None:
+        tasks_per_wave = spark.sparkContext.defaultParallelism
+
+    extract_fn = make_extract_batches(options)
+    for i in range(0, len(pending), wave_size):
+        wave = pending[i:i + wave_size]
+        wave_df = (
+            docs.filter(F.col("bucket").isin(wave))
+            # salted round-robin inside the wave: i.i.d. cost mix per task
+            .repartition(tasks_per_wave, F.xxhash64("doc_id"))
+        )
+        extracted = (
+            wave_df.mapInPandas(extract_fn, EXTRACTED_SCHEMA)
+            .withColumn("bucket", bucket_col)
+        )
+        extracted.write.mode("append").partitionBy("bucket").parquet(output_path)
+
+        out = spark.read.parquet(output_path).filter(F.col("bucket").isin(wave))
+        wave_metrics = (
+            out.groupBy("bucket")
+            .agg(F.count("*").alias("docs"),
+                 F.sum(F.when(F.col("tier").isin("baseline", "readability",
+                                                 "justext"), 1).otherwise(0)
+                       ).alias("fallback_docs"),
+                 F.sum(F.when(F.col("status") == "empty", 1).otherwise(0)
+                       ).alias("empty_docs"),
+                 F.sum(F.when(F.col("status") == "error", 1).otherwise(0)
+                       ).alias("error_docs"))
+            .withColumn("fallback_rate", F.col("fallback_docs") / F.col("docs"))
+            .withColumn("empty_rate", F.col("empty_docs") / F.col("docs"))
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("committed_at", F.current_timestamp())
+        )
+        wave_metrics.write.mode("append").parquet(progress_path)
+        counts = wave_metrics.agg(F.sum("docs")).collect()[0][0] or 0
+        summary["processed_buckets"] += len(wave)
+        summary["docs"] += counts
+        summary["waves"] += 1
+    return summary
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="trafilatura-spark batch extraction")
+    p.add_argument("--input", required=True,
+                   help="parquet/iceberg path of documents(doc_id, spans)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--progress", required=True)
+    p.add_argument("--run-id", default=f"run-{int(time.time())}")
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--wave-size", type=int, default=16)
+    p.add_argument("--fast", action="store_true")
+    p.add_argument("--focus", default="balanced",
+                   choices=["balanced", "precision", "recall"])
+    p.add_argument("--target-lang", default=None)
+    args = p.parse_args(argv)
+
+    spark = make_session()
+    docs = spark.read.parquet(args.input)
+    options = Options(fast=args.fast, focus=args.focus, lang=args.target_lang)
+    summary = run_extraction(spark, docs, args.output, args.progress,
+                             run_id=args.run_id, options=options,
+                             n_buckets=args.buckets, wave_size=args.wave_size)
+    print(summary)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,140 @@
+"""The Spark extraction operator: interleaved spans in → extracted spans out.
+
+This is the engine's core physical operator (SURVEY.md §3.4): the whole
+per-document cascade (§2.2-2.11) runs as ONE Arrow-vectorized
+``mapInPandas`` stage — no per-row Python UDFs, no shuffle.  Catalyst
+sees a narrow map over ``(doc_id, spans)``; everything relational around
+it (salting, metrics, checkpoint anti-joins) stays JVM-side.
+
+Scale design (SURVEY.md §4.3):
+- **skew**: extraction cost ∝ document size; `salted_repartition`
+  spreads docs round-robin by ``xxhash64(doc_id)`` so every task gets an
+  i.i.d. cost mix regardless of input file layout;
+- **memory**: callers should set
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` low (64-256) because
+  HTML payloads are multi-MB;
+- **failure isolation**: a pathological document yields a
+  ``status='error'`` row, never a task failure
+  (/root/reference/lib/src/core.dart:333-335).
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..core import bare_extraction
+from ..settings import Options
+from ..sources.corpus import assemble_html
+
+SPAN_TYPE = T.StructType([
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("text", T.StringType(), False),
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("offset", T.IntegerType(), False),
+])
+
+META_TYPE = T.StructType([
+    T.StructField(name, T.ArrayType(T.StringType()) if name in ("categories", "tags")
+                  else T.StringType(), True)
+    for name in ("title", "author", "url", "hostname", "description", "sitename",
+                 "date", "categories", "tags", "fingerprint", "id", "license",
+                 "language", "image", "pagetype", "filedate")
+])
+
+EXTRACTED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("spans", T.ArrayType(SPAN_TYPE), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("meta", META_TYPE, True),
+    T.StructField("status", T.StringType(), False),
+    T.StructField("tier", T.StringType(), False),
+    T.StructField("len_text", T.IntegerType(), False),
+])
+
+_META_FIELDS = [f.name for f in META_TYPE.fields]
+
+
+def _result_row(doc_id: str, res) -> tuple:
+    meta_row = None
+    if res.meta is not None:
+        meta_row = tuple(res.meta.get(k) for k in _META_FIELDS)
+    return (
+        doc_id,
+        [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in res.spans],
+        res.text or None,
+        meta_row,
+        res.status,
+        res.tier,
+        res.len_text,
+    )
+
+
+def make_extract_batches(options: Options):
+    """Build the mapInPandas generator.  ``options`` is closure-captured:
+    it ships once per task with the serialized function (the Spark analog
+    of the reference's Extractor record, settings.dart:65-217)."""
+    opt_dict = asdict(options)
+
+    def extract_batches(batches):
+        import pandas as pd
+
+        opts = Options(**opt_dict)
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                span_dicts = [
+                    {"kind": s["kind"], "text": s["text"],
+                     "media_ref": s["media_ref"], "offset": s["offset"]}
+                    if isinstance(s, dict) else
+                    {"kind": s[0], "text": s[1], "media_ref": s[2], "offset": s[3]}
+                    for s in spans
+                ]
+                html = assemble_html(span_dicts)
+                res = bare_extraction(html, opts, doc_id=doc_id)
+                rows.append(_result_row(doc_id, res))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "spans", "text", "meta", "status",
+                               "tier", "len_text"])
+
+    return extract_batches
+
+
+def salted_repartition(df: DataFrame, num_partitions: int,
+                       key: str = "doc_id") -> DataFrame:
+    """Explicit skew defense (SURVEY.md §4.3.1): round-robin by key hash so
+    hot domains / giant documents don't cluster into one task."""
+    return df.repartition(num_partitions, F.xxhash64(F.col(key)))
+
+
+def extract_documents(df: DataFrame, options: Options | None = None,
+                      num_partitions: int | None = None) -> DataFrame:
+    """documents(doc_id, spans) → extracted(doc_id, spans, text, meta, status,
+    tier, len_text).  One narrow Arrow stage; optional pre-salting."""
+    options = options or Options()
+    if num_partitions:
+        df = salted_repartition(df, num_partitions)
+    return df.mapInPandas(make_extract_batches(options), EXTRACTED_SCHEMA)
+
+
+def extraction_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition run metrics (north rule: docs processed, fallback rate,
+    empty-extraction rate) — plain JVM-side aggregation."""
+    return (
+        extracted
+        .groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.when(F.col("tier").isin("baseline", "readability",
+                                            "justext"), 1).otherwise(0)
+                  ).alias("fallback_docs"),
+            F.sum(F.when(F.col("status") == "empty", 1).otherwise(0)
+                  ).alias("empty_docs"),
+            F.sum(F.when(F.col("status") == "error", 1).otherwise(0)
+                  ).alias("error_docs"),
+            F.sum("len_text").alias("total_chars"),
+        )
+        .withColumn("fallback_rate", F.col("fallback_docs") / F.col("docs"))
+        .withColumn("empty_rate", F.col("empty_docs") / F.col("docs"))
+    )

@@ -1,0 +1,229 @@
+"""Deterministic interleaved text+media corpus synthesizer.
+
+The north rule's input is an Iceberg table
+``documents(doc_id string, spans array<struct<kind,text,media_ref,offset>>)``
+(BASELINE.json ``input_hint``).  No such corpus exists in the sandbox, so
+this module derives one *deterministically* from the driver-generated
+``documents.parquet`` (doc_id, text, lang, source, n_chars): each row's
+``text`` becomes the known-by-construction article content wrapped in a
+site template with nav/sidebar/footer boilerplate and ``doc_id % 3``
+interleaved media spans.  Because the construction is a pure function of
+(doc_id, text, lang, source), the *expected* extraction output is
+expressible in ANSI SQL over the original table — which is exactly what
+the driver's DuckDB oracle needs (FIXTURES.md §4).
+
+Templates rotate through the reference's candidate-selection tiers
+(/root/reference/lib/src/xpaths.dart:87-187): class ``post-content``
+(tier 1), bare ``<article>`` (tier 2), ``<main>`` (tier 5), class
+``entry-content`` (tier 1), so every synthesized corpus exercises the
+whole cascade.
+
+Ground-truth contract (mirrored by the SQL in ``__spark_entry__.py``):
+
+    words = split(text, ' ');  n = len(words)
+    head  = words[0:3]                      -> span 0: kind='head'
+    rest  = words[3:];  h = (len(rest)+1)//2
+    para1 = rest[0:h]                       -> span 1: kind='p'
+    m     = doc_id % 3 images               -> spans 2..m+1: kind='graphic',
+                                               text='figure {i}', media_ref='m-{doc_id}-{i}'
+    para2 = rest[h:]                        -> span m+2: kind='p'
+
+and ``' '.join(non-graphic span texts) == text`` (round-trip identity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Input span schema (BASELINE.json input_hint).
+INPUT_SPAN_TYPE = T.StructType([
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("text", T.StringType(), False),
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("offset", T.IntegerType(), False),
+])
+
+DOCUMENTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("spans", T.ArrayType(INPUT_SPAN_TYPE), False),
+])
+
+# Rotating site templates, keyed by doc_id % 4 (selector tiers, see module doc).
+_CONTAINERS = [
+    ('<div class="post-content">', "</div>"),
+    ("<article>", "</article>"),
+    ("<main>", "</main>"),
+    ('<div class="entry-content">', "</div>"),
+]
+
+_NAV = (
+    '<nav class="nav-menu"><ul>'
+    '<li><a href="/">home</a></li><li><a href="/news">news</a></li>'
+    '<li><a href="/archive">archive</a></li><li><a href="/about">about</a></li>'
+    "</ul></nav>"
+)
+
+_SIDEBAR = (
+    '<div class="sidebar"><h3>related</h3>'
+    '<a href="/r/1">one</a> <a href="/r/2">two</a> <a href="/r/3">three</a> '
+    '<a href="/r/4">four</a> <a href="/r/5">five</a></div>'
+)
+
+_FOOTER = (
+    "<footer><p>copyright example news network all rights reserved "
+    "imprint privacy terms contact</p></footer>"
+)
+
+
+def doc_parts(doc_id: int, text: str) -> tuple[str, str, str, int]:
+    """(head, para1, para2, n_media) — THE ground-truth contract."""
+    words = text.split(" ")
+    head = " ".join(words[:3])
+    rest = words[3:]
+    h = (len(rest) + 1) // 2
+    para1 = " ".join(rest[:h])
+    para2 = " ".join(rest[h:])
+    return head, para1, para2, doc_id % 3
+
+
+def _head_section(doc_id: int, lang: str, source: str) -> str:
+    return (
+        f'<head><title>{source} | doc {doc_id}</title>'
+        f'<meta name="author" content="author {doc_id % 7}"/>'
+        f'<meta property="og:title" content="doc {doc_id} title"/>'
+        f'<meta property="og:site_name" content="{source}"/>'
+        f'<meta property="og:description" content="synthetic article {doc_id}"/>'
+        f'<link rel="canonical" href="https://{source}.example.com/posts/{doc_id}"/>'
+        "</head>"
+    )
+
+
+def comment_items(doc_id: int, text: str) -> list[str]:
+    """doc_id % 2 + 1 deterministic comment texts built from the tail words."""
+    words = text.split(" ")
+    n = doc_id % 2 + 1
+    out = []
+    for i in range(n):
+        tail = " ".join(words[-4:])
+        out.append(f"comment {i} of doc {doc_id} says {tail}")
+    return out
+
+
+def _comments_section(doc_id: int, text: str) -> str:
+    items = "".join(
+        f"<li><p>{t}</p></li>" for t in comment_items(doc_id, text)
+    )
+    return f'<div class="comments"><ol class="commentlist">{items}</ol></div>'
+
+
+def build_input_spans(doc_id: int, text: str, lang: str, source: str,
+                      with_comments: bool = False,
+                      template: str = "article") -> list[dict]:
+    """One document's interleaved input spans.
+
+    ``template='article'`` — full site page (selector-tier container).
+    ``template='bare'``    — paragraphs in an anonymous div: exercises the
+    wild-text / baseline recovery paths (main_extractor.dart:399-437,
+    baseline.dart:90-109).
+    """
+    head, para1, para2, n_media = doc_parts(doc_id, text)
+    spans: list[dict] = []
+
+    def html(chunk: str) -> None:
+        spans.append({"kind": "html", "text": chunk, "media_ref": "",
+                      "offset": len(spans)})
+
+    def media(ref: str, markup: str) -> None:
+        spans.append({"kind": "media", "text": "", "media_ref": ref,
+                      "offset": len(spans)})
+        html(markup)
+
+    if template == "bare":
+        html(
+            f'<!DOCTYPE html><html lang="{lang}">{_head_section(doc_id, lang, source)}'
+            f'<body>{_NAV}<div id="wrap"><p>{para1}</p><p>{para2}</p></div>'
+            f"{_FOOTER}</body></html>"
+        )
+        return spans
+
+    op, cl = _CONTAINERS[doc_id % 4]
+    html(
+        f'<!DOCTYPE html><html lang="{lang}">{_head_section(doc_id, lang, source)}'
+        f"<body>{_NAV}{_SIDEBAR}{op}<h1>{head}</h1><p>{para1}</p>"
+    )
+    for i in range(n_media):
+        ref = f"m-{doc_id}-{i}"
+        media(ref, f'<img src="{ref}" alt="figure {i}"/>')
+    tail = f"<p>{para2}</p>{cl}"
+    if with_comments:
+        tail += _comments_section(doc_id, text)
+    tail += f"{_FOOTER}</body></html>"
+    html(tail)
+    return spans
+
+
+def assemble_html(spans: list[dict]) -> str:
+    """Reassemble the document HTML from its input spans (FIXTURES.md §1):
+    concatenate in offset order; media spans are markers (empty text)."""
+    return "".join(
+        s["text"] for s in sorted(spans, key=lambda s: s["offset"])
+    )
+
+
+def expected_output_spans(doc_id: int, text: str,
+                          with_comments: bool = False) -> list[dict]:
+    """Ground-truth extraction output for an 'article'-template doc."""
+    head, para1, para2, n_media = doc_parts(doc_id, text)
+    out = [{"kind": "head", "text": head, "media_ref": ""},
+           {"kind": "p", "text": para1, "media_ref": ""}]
+    for i in range(n_media):
+        out.append({"kind": "graphic", "text": f"figure {i}",
+                    "media_ref": f"m-{doc_id}-{i}"})
+    out.append({"kind": "p", "text": para2, "media_ref": ""})
+    if with_comments:
+        for t in comment_items(doc_id, text):
+            out.append({"kind": "comment", "text": t, "media_ref": ""})
+    for i, s in enumerate(out):
+        s["offset"] = i
+    return out
+
+
+# -- Spark-side synthesis -----------------------------------------------------
+
+def synthesize_documents_df(spark, sf_dir: str, with_comments: bool = False,
+                            template: str = "article", replicate: int = 1):
+    """Interleaved-spans DataFrame derived from {sf_dir}/documents.parquet.
+
+    ``replicate`` > 1 scales the corpus for benchmarks: copy r gets
+    doc_id + r*10_000_000 (deterministic, no external data).  Built with
+    ``mapInPandas`` so synthesis itself is Arrow-vectorized and runs
+    distributed — at 100 TB the same code path would read the real
+    Iceberg table instead.
+    """
+    import pandas as pd
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text", "lang", "source")
+
+    if replicate > 1:
+        from pyspark.sql import functions as F
+        copies = spark.range(replicate).select(
+            (F.col("id") * 10_000_000).alias("doc_base"))
+        base = base.crossJoin(copies).select(
+            (F.col("doc_id") + F.col("doc_base")).alias("doc_id"),
+            "text", "lang", "source")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text, lang, source in zip(
+                    pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]):
+                spans = build_input_spans(
+                    int(doc_id), text, lang, source,
+                    with_comments=with_comments, template=template)
+                rows.append((str(int(doc_id)),
+                             [(s["kind"], s["text"], s["media_ref"],
+                               s["offset"]) for s in spans]))
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return base.mapInPandas(gen, DOCUMENTS_SCHEMA)
