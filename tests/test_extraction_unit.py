@@ -1,0 +1,199 @@
+"""unit_html fixture family (FIXTURES.md §3): handwritten docs with pinned
+golden span sequences, mirroring the reference's unit tests
+(/root/reference/test/unit_test.dart:11-118, htmlprocessing_test.dart)."""
+
+from trafilatura_spark.core import bare_extraction, extract_txt, load_html
+from trafilatura_spark.settings import Options
+
+LONG_P1 = ("This is the first paragraph of the article body and it has been "
+           "padded with enough text to pass the default minimum extraction "
+           "thresholds that the engine applies, mirroring the reference "
+           "defaults of two hundred and fifty characters overall.")
+LONG_P2 = ("A second paragraph follows the first one and also carries plenty "
+           "of content so that the document comfortably clears the minimum "
+           "output size gate applied at the end of the cascade.")
+
+
+def _page(body: str, head: str = "") -> str:
+    return f"<html><head><title>t</title>{head}</head><body>{body}</body></html>"
+
+
+def _spans(res):
+    return [(s["kind"], s["text"], s["media_ref"]) for s in res.spans]
+
+
+def test_simple_article_golden_spans():
+    html = _page(f"<article><h1>The headline</h1><p>{LONG_P1}</p><p>{LONG_P2}</p></article>")
+    res = bare_extraction(html, Options(with_metadata=False))
+    assert res.status == "ok"
+    assert _spans(res) == [
+        ("head", "The headline", ""),
+        ("p", LONG_P1, ""),
+        ("p", LONG_P2, ""),
+    ]
+    assert [s["offset"] for s in res.spans] == [0, 1, 2]
+
+
+def test_boilerplate_removed():
+    html = _page(
+        '<nav><a href="/">home</a><a href="/x">x</a></nav>'
+        '<div class="sidebar"><a href="/1">a</a><a href="/2">b</a></div>'
+        f"<article><p>{LONG_P1}</p><p>{LONG_P2}</p></article>"
+        "<footer><p>copyright legal imprint</p></footer>"
+    )
+    txt = extract_txt(html, Options(with_metadata=False))
+    assert LONG_P1 in txt
+    assert "copyright" not in txt
+    assert "home" not in txt
+
+
+def test_formatting_spans():
+    html = _page(f"<article><p>{LONG_P1} with <b>bold</b> and <i>italic</i>.</p>"
+                 f"<p>{LONG_P2}</p></article>")
+    res = bare_extraction(html, Options(with_metadata=False, formatting=False))
+    # formatting off: inline hi flattened into the paragraph text
+    assert res.spans[0]["text"] == f"{LONG_P1} with bold and italic."
+    res_fmt = bare_extraction(html, Options(with_metadata=False, formatting=True))
+    assert "**bold**" in res_fmt.spans[0]["text"]
+    assert "*italic*" in res_fmt.spans[0]["text"]
+
+
+def test_links_off_by_default_on_when_asked():
+    html = _page(f'<article><p>{LONG_P1} See <a href="https://ex.com/a">the docs</a>.</p>'
+                 f"<p>{LONG_P2}</p></article>")
+    res = bare_extraction(html, Options(with_metadata=False))
+    assert "the docs" in res.spans[0]["text"]
+    assert "](" not in res.spans[0]["text"]
+    res_links = bare_extraction(html, Options(with_metadata=False, links=True))
+    assert "[the docs](https://ex.com/a)" in res_links.spans[0]["text"]
+
+
+def test_images_emit_graphic_spans():
+    html = _page(f'<article><p>{LONG_P1}</p>'
+                 f'<img src="m-1" alt="fig one"/><p>{LONG_P2}</p></article>')
+    res = bare_extraction(html, Options(with_metadata=False, images=True))
+    kinds = [s[0] for s in _spans(res)]
+    assert kinds == ["p", "graphic", "p"]
+    g = res.spans[1]
+    assert g["media_ref"] == "m-1"
+    assert g["text"] == "fig one"
+    res_no = bare_extraction(html, Options(with_metadata=False, images=False))
+    assert [s[0] for s in _spans(res_no)] == ["p", "p"]
+
+
+def test_list_spans():
+    html = _page(f"<article><p>{LONG_P1}</p><ul><li>alpha</li><li>beta</li></ul>"
+                 f"<p>{LONG_P2}</p></article>")
+    res = bare_extraction(html, Options(with_metadata=False))
+    assert _spans(res) == [
+        ("p", LONG_P1, ""),
+        ("list", "", ""),
+        ("item", "alpha", ""),
+        ("item", "beta", ""),
+        ("p", LONG_P2, ""),
+    ]
+
+
+def test_table_spans():
+    html = _page(f"<article><p>{LONG_P1}</p>"
+                 "<table><tr><th>h1</th><th>h2</th></tr>"
+                 "<tr><td>a</td><td>b</td></tr></table>"
+                 f"<p>{LONG_P2}</p></article>")
+    res = bare_extraction(html, Options(with_metadata=False, tables=True))
+    kinds = [s[0] for s in _spans(res)]
+    assert kinds == ["p", "table", "row", "cell", "cell", "row", "cell", "cell", "p"]
+    assert res.spans[3]["text"] == "h1"
+    res_no = bare_extraction(html, Options(with_metadata=False, tables=False))
+    assert "table" not in [s[0] for s in _spans(res_no)]
+
+
+def test_code_block():
+    html = _page(f"<article><p>{LONG_P1}</p>"
+                 '<pre><code class="language-py">x = {1: 2}\nprint(x)</code></pre>'
+                 f"<p>{LONG_P2}</p></article>")
+    res = bare_extraction(html, Options(with_metadata=False))
+    kinds = [s[0] for s in _spans(res)]
+    assert "code" in kinds
+
+
+def test_quote_span():
+    html = _page(f"<article><p>{LONG_P1}</p><blockquote>A short quoted passage.</blockquote>"
+                 f"<p>{LONG_P2}</p></article>")
+    res = bare_extraction(html, Options(with_metadata=False))
+    assert ("quote", "A short quoted passage.", "") in _spans(res)
+
+
+def test_comments_extracted_and_separated():
+    html = _page(
+        f"<article><p>{LONG_P1}</p><p>{LONG_P2}</p></article>"
+        '<div class="comments"><ol class="commentlist">'
+        "<li><p>first comment text here</p></li>"
+        "<li><p>second comment text here</p></li></ol></div>"
+    )
+    res = bare_extraction(html, Options(with_metadata=False, fast=True,
+                                        min_output_comm_size=1,
+                                        min_extracted_comm_size=1))
+    comment_spans = [s for s in res.spans if s["kind"] == "comment"]
+    assert [s["text"] for s in comment_spans] == [
+        "first comment text here", "second comment text here"]
+    # comments come after the main body and are not duplicated inside it
+    main_texts = " ".join(s["text"] for s in res.spans if s["kind"] != "comment")
+    assert "first comment" not in main_texts
+
+
+def test_short_doc_rejected_by_default_sizes():
+    html = _page("<article><p>too short</p></article>")
+    assert extract_txt(html, Options(with_metadata=False)) is None
+
+
+def test_min_file_size_gate():
+    assert bare_extraction("<p>x</p>", Options()).status == "rejected"
+
+
+def test_non_html_rejected():
+    assert load_html("just a plain sentence, no markup at all") is None
+    assert load_html('{"json": "blob"}') is None
+
+
+def test_language_gate():
+    html = ('<html><head><meta http-equiv="content-language" content="de"/></head>'
+            f"<body><article><p>{LONG_P1}</p><p>{LONG_P2}</p></article></body></html>")
+    assert bare_extraction(html, Options(with_metadata=False, lang="en")).status == "rejected"
+    assert bare_extraction(html, Options(with_metadata=False, lang="de")).status == "ok"
+
+
+def test_baseline_article_rescue():
+    # no selectable container, short paragraphs → wild text / baseline path
+    html = _page(f"<div id='wrap'><p>{LONG_P1}</p><p>{LONG_P2}</p></div>")
+    res = bare_extraction(html, Options(with_metadata=False))
+    assert res.status == "ok"
+    texts = [s["text"] for s in res.spans]
+    assert LONG_P1 in texts and LONG_P2 in texts
+
+
+def test_json_ld_baseline_tier():
+    body_text = ("Article body carried only in structured data, long enough to "
+                 "clear the hundred character gate used by the baseline tier.")
+    html = _page("<div>nothing here</div>",
+                 head='<script type="application/ld+json">'
+                      f'{{"articleBody": "{body_text}"}}</script>')
+    from trafilatura_spark.dom import parse_html
+    from trafilatura_spark.operators.baseline import baseline
+    post, text, ln = baseline(parse_html(html))
+    assert text == body_text
+
+
+def test_error_swallowed_to_status():
+    res = bare_extraction(None, Options())
+    assert res.status in ("rejected", "error")
+    assert res.spans == []
+
+
+def test_precision_mode_tighter():
+    html = _page(
+        f"<article><p>{LONG_P1}</p><p>{LONG_P2}</p>"
+        '<div class="related-links"><a href="/a">more</a><a href="/b">stories</a></div>'
+        "</article>")
+    res = bare_extraction(html, Options(with_metadata=False, focus="precision"))
+    assert res.status == "ok"
+    assert all("more" not in s["text"] for s in res.spans)

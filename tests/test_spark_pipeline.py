@@ -1,0 +1,122 @@
+"""Spark-level pipeline tests: extraction operator, metrics, job
+checkpoint/resume (SURVEY.md §3.4, §4.3)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from trafilatura_spark.job import run_extraction
+from trafilatura_spark.operators.pipeline import (
+    extract_documents,
+    extraction_metrics,
+)
+from trafilatura_spark.settings import Options
+from trafilatura_spark.sources.corpus import synthesize_documents_df
+
+RELAXED = Options(fast=True, comments=False, with_metadata=True,
+                  min_extracted_size=5, min_output_size=1)
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, sf_dir):
+    docs = synthesize_documents_df(spark, sf_dir)
+    df = extract_documents(docs, RELAXED, num_partitions=8)
+    df.cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_all_docs_ok(extracted, doc_rows):
+    assert extracted.count() == len(doc_rows)
+    assert extracted.filter(F.col("status") != "ok").count() == 0
+
+
+def test_roundtrip_identity_distributed(spark, extracted, sf_dir):
+    orig = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    rt = extracted.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] != "graphic"),
+                lambda s: s["text"]),
+            " ").alias("rtext"))
+    bad = rt.join(orig, "doc_id").filter(F.col("rtext") != F.col("text"))
+    assert bad.count() == 0
+
+
+def test_span_offsets_dense_and_ordered(extracted):
+    bad = extracted.select(
+        F.size("spans").alias("n"),
+        F.expr("transform(spans, s -> s.offset)").alias("offs"),
+    ).filter(F.expr("offs != sequence(0, n - 1)"))
+    assert bad.count() == 0
+
+
+def test_metadata_struct(extracted):
+    row = extracted.filter(F.col("doc_id") == "2").select("meta").first()
+    assert row["meta"]["title"] == "doc 2 title"
+    assert row["meta"]["author"] == "Author 2"
+    assert row["meta"]["fingerprint"]
+
+
+def test_metrics(extracted):
+    m = extraction_metrics(extracted)
+    total = m.agg(F.sum("docs")).collect()[0][0]
+    assert total == extracted.count()
+    cols = set(m.columns)
+    assert {"fallback_rate", "empty_rate", "error_docs"} <= cols
+
+
+def test_extraction_plan_is_narrow(spark, sf_dir):
+    """The extraction stage must not shuffle: scan → project → mapInPandas."""
+    docs = synthesize_documents_df(spark, sf_dir)
+    plan = extract_documents(docs, RELAXED)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_job_resume(spark, sf_dir, tmp_path):
+    out, prog = str(tmp_path / "out"), str(tmp_path / "prog")
+    docs = synthesize_documents_df(spark, sf_dir)
+    s1 = run_extraction(spark, docs, out, prog, "r1", RELAXED,
+                        n_buckets=8, wave_size=3)
+    assert s1["processed_buckets"] == 8
+    assert s1["waves"] == 3
+    n = spark.read.parquet(out).count()
+    assert n == s1["docs"]
+    # resume: nothing left to do
+    s2 = run_extraction(spark, docs, out, prog, "r2", RELAXED,
+                        n_buckets=8, wave_size=3)
+    assert s2["processed_buckets"] == 0
+    assert spark.read.parquet(out).count() == n
+    # partial resume: wipe progress rows for 2 buckets
+    kept_rows = spark.read.parquet(prog).filter(
+        ~F.col("bucket").isin([0, 1])).collect()
+    schema = spark.read.parquet(prog).schema
+    shutil.rmtree(prog)
+    spark.createDataFrame(kept_rows, schema).write.parquet(prog)
+    s3 = run_extraction(spark, docs, out, prog, "r3", RELAXED,
+                        n_buckets=8, wave_size=3)
+    assert s3["processed_buckets"] == 2
+    assert s3["resumed_buckets"] == 6
+
+
+def test_errors_do_not_fail_tasks(spark):
+    """A pathological document yields status='error'/'rejected', not a task
+    failure (core.dart:333-335 parity)."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": ["a", "b"],
+        "spans": [
+            [("html", "<html><body>" + "<div>" * 200 + "x" + "</div>" * 200
+              + "</body></html>", "", 0)],
+            [("html", "not html at all", "", 0)],
+        ],
+    })
+    from trafilatura_spark.sources.corpus import DOCUMENTS_SCHEMA
+    df = spark.createDataFrame(pdf, DOCUMENTS_SCHEMA)
+    res = extract_documents(df, Options()).collect()
+    assert {r["doc_id"] for r in res} == {"a", "b"}
+    assert all(r["status"] in ("ok", "empty", "rejected", "error") for r in res)

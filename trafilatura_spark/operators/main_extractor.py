@@ -43,6 +43,26 @@ def _new(tag: str, text: str = "", attrs: dict | None = None) -> Node:
     return node
 
 
+def _norm_keep_bounds(s: str) -> str:
+    """Whitespace-collapse preserving word-boundary spaces at the edges —
+    inline-content analog of ``trim`` (utils.dart:352-358)."""
+    if not s:
+        return ""
+    core = trim(s)
+    lead = " " if s[0].isspace() else ""
+    trail = " " if s[-1].isspace() else ""
+    if not core:
+        return " " if (lead or trail) else ""
+    return f"{lead}{core}{trail}"
+
+
+def _join_ws(a: str, b: str) -> str:
+    """Concatenate inline pieces without doubling boundary spaces."""
+    if a.endswith(" ") and b.startswith(" "):
+        return a + b.lstrip()
+    return a + b
+
+
 # -- per-tag handlers (main_extractor.dart:76-343) ---------------------------
 
 def handle_titles(element: Node) -> Node | None:
@@ -120,34 +140,39 @@ def handle_paragraphs(element: Node, potential_tags: set, options: Options) -> N
         return None
     if not text_chars_test(text):
         return None
+    keep = {t for t in ("ref", "hi", "del", "code") if t in potential_tags}
+    if not options.links:
+        keep.discard("ref")
     out = _new("p")
-    if "ref" in potential_tags and options.links:
-        refs = element.find_all("ref")
-        if refs:
-            # mixed content, document order (deviation: Dart drops the
-            # non-link text, main_extractor.dart:230-249)
-            out.text = trim(element.text)
-            last = None
-            for child in element.children:
-                if child.tag == "ref":
-                    ref_text = trim(child.text_content())
-                    if text_chars_test(ref_text):
-                        ref = _new("ref", ref_text)
-                        if child.attrs.get("target"):
-                            ref.attrs["target"] = child.attrs["target"]
-                        ref.tail = trim(child.tail)
-                        out.append(ref)
-                        last = ref
-                        continue
-                if last is not None:
-                    last.tail = trim(f"{last.tail} {child.text_content()} {child.tail}")
-                else:
-                    out.text = trim(f"{out.text} {child.text_content()} {child.tail}")
-            if not out.children and not text_chars_test(out.text):
-                out.text = text
+    if not keep or not any(c.tag in keep for c in element.iterdesc()):
+        out.text = text
+        return out
+    # mixed inline content preserved in document order (deviation: the Dart
+    # port drops non-link text when links are on, main_extractor.dart:230-249)
+    out.text = _norm_keep_bounds(element.text).lstrip()
+    last = None
+
+    def _append_flat(piece: str) -> None:
+        nonlocal last
+        if last is not None:
+            last.tail = _join_ws(last.tail, piece)
         else:
-            out.text = text
+            out.text = _join_ws(out.text, piece)
+
+    for child in element.children:
+        if child.tag in keep:
+            kept = _new(child.tag, trim(child.text_content()), dict(child.attrs))
+            kept.tail = _norm_keep_bounds(child.tail)
+            out.append(kept)
+            last = kept
+        else:
+            _append_flat(_norm_keep_bounds(child.text_content()))
+            _append_flat(_norm_keep_bounds(child.tail))
+    if last is not None:
+        last.tail = last.tail.rstrip()
     else:
+        out.text = out.text.rstrip()
+    if not out.children and not text_chars_test(out.text):
         out.text = text
     return out
 
@@ -301,6 +326,8 @@ def _extract(tree: Node, options: Options) -> tuple[Node, str, set]:
         potential_tags.add("graphic")
     if options.links:
         potential_tags.add("ref")
+    if options.formatting:
+        potential_tags.update({"hi", "del"})
 
     result_body = _new("body")
     for subtree in select_body_elements(tree):
