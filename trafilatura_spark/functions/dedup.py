@@ -1,0 +1,190 @@
+"""Corpus-level deduplication operators (DataFrame-native).
+
+The reference's dedup is a per-process LRU over segment texts plus a
+64-bit Simhash fingerprint (/root/reference/lib/src/deduplication.dart).
+Order-dependent mutable caches don't parallelize (SURVEY.md §4.3.5), so
+the Spark engine re-expresses every variant relationally:
+
+- exact dedup            → hash + groupBy (map-side partial agg, one shuffle)
+- segment repetition     → groupBy over exploded segments (duplicateTest analog)
+- MinHash + LSH banding  → explode shingles → min-agg per seed → band join
+- Simhash                → explode tokens × bit positions → sign-of-sum agg
+
+Everything is built-in `pyspark.sql.functions` (whole-stage codegen, no
+Python in the hot path).  Hashes are md5-derived so the DuckDB oracle
+can reproduce values bit-for-bit.
+
+Scale notes: the LSH band join is a self-join on (band_idx, band_hash);
+salting is unnecessary because band buckets are uniformly md5-distributed;
+AQE handles residual skew.  At 10^12 docs the candidate-pair verify stage
+is the expensive part — it only touches docs sharing a band, which is the
+point of LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def inject_duplicates(df: DataFrame, id_col: str = "doc_id", every: int = 10,
+                      id_offset: int = 1_000_000) -> DataFrame:
+    """Deterministic duplicated corpus for dedup demos/tests: every
+    ``every``-th doc is appended again under ``id + id_offset``."""
+    dups = df.filter(F.col(id_col) % every == 0) \
+             .withColumn(id_col, F.col(id_col) + id_offset)
+    return df.unionByName(dups)
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one shuffle on md5(text); canonical = min id."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(F.count("*").alias("dup_count"),
+             F.min(id_col).alias("canonical_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def segment_repetitions(df: DataFrame, segments_col: Column,
+                        id_col: str = "doc_id", min_len: int = 0,
+                        max_repetitions: int = 2) -> DataFrame:
+    """Relational duplicateTest (deduplication.dart:335-349): segments seen
+    more than ``max_repetitions`` times corpus-wide, with min-length gate
+    (reference ``minDuplcheckSize``)."""
+    return (
+        df.select(F.explode(segments_col).alias("segment"))
+        .filter(F.length("segment") > min_len)
+        .groupBy(F.md5("segment").alias("segment_md5"))
+        .agg(F.count("*").alias("occurrences"))
+        .filter(F.col("occurrences") > max_repetitions)
+    )
+
+
+def word_shingles(text_col: str, k: int = 3) -> Column:
+    """k-word shingles as an array column — pure JVM expression."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    return F.when(n < k, F.array(F.col(text_col))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        )
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_hashes: int = 8,
+                       k: int = 3) -> DataFrame:
+    """(id, sig array<string>): per seed s, min over shingles of
+    md5(shingle || '#' || s).  Lexicographic min over hex strings ==
+    numeric min over the 128-bit hash — identical in any SQL engine."""
+    shingled = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, k))
+                                 ).alias("shingle"))
+    seeded = shingled.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+        "shingle",
+    ).select(
+        id_col, "seed",
+        F.md5(F.concat_ws("#", "shingle", "seed")).alias("h"),
+    )
+    per_seed = seeded.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
+    return (
+        per_seed.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("sm"))
+        .select(id_col, F.transform("sm", lambda s: s["mh"]).alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
+                        band_size: int = 2) -> DataFrame:
+    """Band the signature, hash each band, self-join on (band, hash).
+    Returns distinct (id_a < id_b) candidate pairs."""
+    n = None  # bands derived from signature length at plan time via posexplode
+    bands = sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0),
+                           F.floor(F.size("sig") / band_size).cast("int") - 1),
+                lambda b: F.md5(F.concat_ws(
+                    "|", F.slice("sig", b * band_size + 1, band_size))),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    right = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3,
+                  threshold: float = 0.0) -> DataFrame:
+    """Exact k-shingle Jaccard for candidate pairs (verification stage).
+    ``round(.., 6)`` keeps float hashing stable across engines."""
+    sets = df.select(F.col(id_col),
+                     F.array_distinct(word_shingles(text_col, k)).alias("sh"))
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b",
+                F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def near_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n_hashes: int = 8,
+                         band_size: int = 2, k: int = 3,
+                         threshold: float = 0.5) -> DataFrame:
+    """MinHash→LSH→exact-Jaccard pipeline: the scale path for near-dup
+    detection (candidates only from shared bands, then verified)."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    pairs = lsh_candidate_pairs(sigs, id_col, band_size)
+    return jaccard_pairs(df, pairs, id_col, text_col, k, threshold)
+
+
+def simhash32(text_col: str) -> Column:
+    """32-bit Simhash as a pure JVM expression (relational re-expression of
+    deduplication.dart:110-216): token hash = first 8 md5 hex digits; for
+    each bit position sum ±1 over tokens; bit = 1 iff sum > 0.
+
+    Implemented as a per-row expression (aggregate over the token array),
+    so it needs NO shuffle at all — fingerprinting 10^12 docs is a map."""
+    tokens = F.split(F.col(text_col), " ")
+    hashes = F.transform(tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 8),
+                                                  16, 10).cast("long"))
+
+    def bit(h, pos):
+        # (h >> pos) & 1 via exact double arithmetic: shiftright/shiftleft
+        # only take literal shift amounts, pos here is a lambda variable
+        return F.floor(h / F.pow(F.lit(2.0), pos.cast("double"))
+                       ).cast("long") % 2
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(31)),
+        F.lit(0).cast("long"),
+        lambda acc, pos: acc + F.when(
+            F.aggregate(
+                hashes, F.lit(0).cast("long"),
+                lambda s, h: s + F.when(bit(h, pos) == 1, 1).otherwise(-1),
+            ) > 0,
+            F.pow(F.lit(2.0), pos.cast("double")).cast("long"),
+        ).otherwise(0),
+    )
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhash32 values (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

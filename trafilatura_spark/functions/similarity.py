@@ -1,0 +1,126 @@
+"""Embedding similarity search (brute-force + LSH-bucketed ANN).
+
+Not present in the reference (its similarity ops are text-level,
+deduplication.dart); these are the training-data-pipeline extensions over
+``embeddings(vec_id, embedding array<float>, label)``.
+
+Design for 100 TB: the brute-force path broadcasts the (small) query set
+against the full corpus — one narrow pass, no shuffle on the corpus side
+except the final per-query top-k aggregation.  The LSH path buckets both
+sides by random-hyperplane sign bits so each query only scans its bucket;
+hyperplane coefficients are md5-derived (deterministic, reproducible in
+SQL — no RNG state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize once so cosine becomes a dot product."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn("_unit", F.transform(v, lambda x: x / _norm(v)))
+
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                exclude_self: bool = True) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set, rank per query.
+
+    Output: (query_id, rank, neighbor_id, cosine) — cosine rounded to 6dp
+    for cross-engine float-hash stability."""
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"),
+                        F.transform(vec_col, lambda x: x.cast("double")
+                                    ).alias("v")).alias("c")
+    qs = queries.select(F.col(id_col).alias("query_id"),
+                        F.transform(vec_col, lambda x: x.cast("double")
+                                    ).alias("q")).alias("qs")
+    joined = corpus.join(F.broadcast(qs))
+    if exclude_self:
+        joined = joined.filter(F.col("c.neighbor_id") != F.col("qs.query_id"))
+    sim = (_dot(F.col("qs.q"), F.col("c.v"))
+           / (_norm(F.col("qs.q")) * _norm(F.col("c.v"))))
+    scored = joined.select(F.col("qs.query_id").alias("query_id"),
+                           F.col("c.neighbor_id").alias("neighbor_id"),
+                           F.round(sim, 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def plane_coef(table: int, j: int, d: int) -> float:
+    """Deterministic ±1 hyperplane coefficient: +1 iff the first md5 hex
+    digit of '{table}-{j}-{d}' is 0-7.  The SQL oracle reproduces this with
+    its own md5() — no RNG state anywhere."""
+    import hashlib
+    h = hashlib.md5(f"{table}-{j}-{d}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) < 8 else -1.0
+
+
+def lsh_buckets(vec_col: str, n_tables: int = 8, n_bits: int = 4,
+                dim: int = 64) -> Column:
+    """Multi-table random-hyperplane LSH: array of '{t}:{bits}' bucket
+    keys, bit j of table t = sign(v · h_{t,j}).  A pair is a candidate if
+    it collides in ANY table — n_tables is the recall knob, n_bits the
+    selectivity knob.  The hyperplanes ship as one literal matrix so the
+    expression stays compact (no per-bit codegen blowup)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    buckets = []
+    for t in range(n_tables):
+        bits = []
+        for j in range(n_bits):
+            plane = F.array(*[F.lit(plane_coef(t, j, d)) for d in range(dim)])
+            dot = F.aggregate(F.zip_with(v, plane, lambda x, c: x * c),
+                              F.lit(0.0), lambda acc, x: acc + x)
+            bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+        buckets.append(F.concat(F.lit(f"{t}:"), *bits))
+    return F.array(*buckets)
+
+
+def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_tables: int = 16, n_bits: int = 4,
+                 dim: int = 64) -> DataFrame:
+    """Approximate top-k: candidates collide with the query in at least one
+    LSH table, then exact cosine rerank over the candidate set.  The bucket
+    join replaces the full cross product — at 10^12 vectors each query
+    touches ~n_tables · N/2^n_bits candidates."""
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+        F.explode(lsh_buckets(vec_col, n_tables, n_bits, dim)).alias("bucket"),
+    ).alias("c")
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("q"),
+        F.explode(lsh_buckets(vec_col, n_tables, n_bits, dim)).alias("qbucket"),
+    ).alias("qs")
+    joined = corpus.join(F.broadcast(qs),
+                         F.col("c.bucket") == F.col("qs.qbucket")) \
+                   .filter(F.col("c.neighbor_id") != F.col("qs.query_id"))
+    sim = (_dot(F.col("qs.q"), F.col("c.v"))
+           / (_norm(F.col("qs.q")) * _norm(F.col("c.v"))))
+    scored = joined.select(F.col("qs.query_id").alias("query_id"),
+                           F.col("c.neighbor_id").alias("neighbor_id"),
+                           F.round(sim, 6).alias("cosine")).distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
