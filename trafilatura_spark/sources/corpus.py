@@ -92,6 +92,7 @@ def _head_section(doc_id: int, lang: str, source: str) -> str:
         f'<meta name="author" content="author {doc_id % 7}"/>'
         f'<meta property="og:title" content="doc {doc_id} title"/>'
         f'<meta property="og:site_name" content="{source}"/>'
+        f'<meta property="og:locale" content="{lang}"/>'
         f'<meta property="og:description" content="synthetic article {doc_id}"/>'
         f'<link rel="canonical" href="https://{source}.example.com/posts/{doc_id}"/>'
         "</head>"
