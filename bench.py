@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Benchmark: extraction throughput + query suite + scaling efficiency.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <suite sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "extraction": {"docs": N, "sec": s, "docs_per_sec": r},
+   "scaling": {"cpus_lo": 8, "cpus_hi": 32, "docs_per_sec_lo": ...,
+               "docs_per_sec_hi": ..., "efficiency": ...,
+               "hw_control_efficiency": ..., "normalized_efficiency": ...}}
+
+Scaling protocol (the north rule's two-cluster-size criterion, evidenced
+on one box — see BENCH.md): the same extraction job runs at local[N] and
+local[4N] over the same synthesized corpus; per level we warm up, then
+take the best steady-state rate of 3 timed repetitions.  A pure-Python
+multiprocessing control (no Spark) measures the box's own N→4N scaling
+ceiling for this workload; `normalized_efficiency` is the job's
+efficiency relative to that hardware ceiling (a real cluster adds
+hardware linearly with executors, the sandbox box does not).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_REPLICATE (default 8),
+     SPARK_GRAFT_BENCH_SKIP_SCALING=1 to skip the scaling block.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "8"))
+BOILER = 8          # page-weight multiplier (≈4-5 KB pages)
+ARROW_BATCH = 1024
+
+
+def _make_session(cpus: int):
+    from trafilatura_spark.job import make_session
+    return make_session(app_name=f"bench-{cpus}", master=f"local[{cpus}]",
+                        shuffle_partitions=cpus, arrow_batch=ARROW_BATCH)
+
+
+def _extraction_run(spark, cpus: int, replicate: int, reps: int = 3) -> dict:
+    """Steady-state extraction rate over a pre-salted cached corpus."""
+    from pyspark.sql import functions as F
+
+    from trafilatura_spark.operators.pipeline import extract_documents
+    from trafilatura_spark.settings import Options
+    from trafilatura_spark.sources.corpus import synthesize_documents_df
+
+    docs = synthesize_documents_df(spark, SF_DIR, replicate=replicate,
+                                   partitions=cpus * 2,
+                                   boiler_repeat=BOILER).persist()
+    n = docs.count()
+    opts = Options(fast=True, comments=False, with_metadata=True,
+                   min_extracted_size=5, min_output_size=1)
+    # warm-up: 1/5 sample touches every partition → all workers spin up
+    extract_documents(docs.filter(F.xxhash64("doc_id") % 5 == 0), opts).count()
+    rates, last_sec = [], 0.0
+    for _ in range(reps):
+        t0 = time.time()
+        extract_documents(docs, opts).filter(F.col("status") == "ok").count()
+        last_sec = time.time() - t0
+        rates.append(n / last_sec)
+    docs.unpersist()
+    best = max(rates)
+    return {"docs": n, "sec": round(n / best, 3),
+            "docs_per_sec": round(best, 1),
+            "rates": [round(r, 1) for r in rates]}
+
+
+def _mp_control(n_lo: int, n_hi: int) -> float | None:
+    """Pure-Python multiprocessing N→4N throughput ratio on this box
+    (no Spark): the hardware scaling ceiling for the extraction workload."""
+    import multiprocessing as mp
+
+    import duckdb
+
+    from trafilatura_spark.sources.corpus import assemble_html, build_input_spans
+    rows = duckdb.sql(
+        f"select doc_id, text, lang, source from "
+        f"read_parquet('{SF_DIR}/documents.parquet')").fetchall()
+    htmls = [(d, assemble_html(build_input_spans(d, t, l, s,
+                                                 boiler_repeat=BOILER)))
+             for d, t, l, s in rows]
+    global _CONTROL_HTMLS
+    _CONTROL_HTMLS = htmls * 3
+
+    def rate(nproc: int) -> float:
+        with mp.Pool(nproc) as pool:
+            pool.map(_control_work, [(0, 50)] * nproc)      # warm
+            chunks = nproc * 8
+            step = len(_CONTROL_HTMLS) // chunks
+            t0 = time.time()
+            pool.map(_control_work,
+                     [(i * step, (i + 1) * step) for i in range(chunks)])
+            return chunks * step / (time.time() - t0)
+    try:
+        r_lo, r_hi = rate(n_lo), rate(n_hi)
+        return round((r_hi / r_lo) / (n_hi / n_lo), 3)
+    except Exception:
+        return None
+
+
+_CONTROL_HTMLS: list = []
+
+
+def _control_work(args):
+    from trafilatura_spark.core import bare_extraction
+    from trafilatura_spark.settings import Options
+    opts = Options(fast=True, comments=False, with_metadata=True,
+                   min_extracted_size=5, min_output_size=1)
+    lo, hi = args
+    for d, h in _CONTROL_HTMLS[lo:hi]:
+        bare_extraction(h, opts, doc_id=str(d))
+    return hi - lo
+
+
+def scaling_probe(cpus: int) -> None:
+    spark = _make_session(cpus)
+    res = _extraction_run(spark, cpus, REPLICATE)
+    spark.stop()
+    print("SCALING_RESULT " + json.dumps(res))
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale":
+        scaling_probe(int(sys.argv[2]))
+        return
+
+    spark = _make_session(CPUS)
+    import __spark_entry__ as entrymod
+
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    query_times: dict[str, float] = {}
+    total = 0.0
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        query_times[name] = round(dt, 3)
+        total += dt
+
+    extraction = _extraction_run(spark, CPUS, REPLICATE, reps=2)
+    spark.stop()
+
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING") != "1":
+        lo, hi = max(CPUS // 4, 1), CPUS
+        rates = {}
+        for c in (lo, hi):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scale", str(c)],
+                capture_output=True, text=True, timeout=1800,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for line in out.stdout.splitlines():
+                if line.startswith("SCALING_RESULT "):
+                    rates[c] = json.loads(line[len("SCALING_RESULT "):])
+        if lo in rates and hi in rates:
+            r_lo = rates[lo]["docs_per_sec"]
+            r_hi = rates[hi]["docs_per_sec"]
+            eff = round((r_hi / r_lo) / (hi / lo), 3)
+            hw = _mp_control(lo, hi)
+            scaling = {"cpus_lo": lo, "cpus_hi": hi,
+                       "docs_per_sec_lo": r_lo, "docs_per_sec_hi": r_hi,
+                       "efficiency": eff,
+                       "hw_control_efficiency": hw,
+                       "normalized_efficiency":
+                           round(min(eff / hw, 1.0), 3) if hw else None}
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "extraction suite wall time (15 oracle queries + "
+                  "throughput run)",
+        "value": round(total + extraction["sec"], 3),
+        "unit": "sec",
+        "queries": query_times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extraction": extraction,
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

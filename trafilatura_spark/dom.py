@@ -297,6 +297,11 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data: str) -> None:
         self._add_text(data)
 
+    def updatepos(self, i: int, j: int) -> int:
+        # line/column tracking is only used for error positions, which we
+        # never surface — skipping it shaves measurable parse time
+        return j
+
     def error(self, message):  # pragma: no cover - py<3.10 compat
         pass
 

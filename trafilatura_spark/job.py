@@ -26,6 +26,7 @@ Run via::
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -46,7 +47,9 @@ def make_session(app_name: str = "trafilatura-spark", master: str | None = None,
     if master:
         b = b.master(master)
     return (
-        b.config("spark.sql.adaptive.enabled", "true")
+        b.config("spark.driver.memory",
+                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

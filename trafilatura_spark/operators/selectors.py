@@ -80,12 +80,33 @@ def _class_id(elem: Node) -> tuple[str, str]:
     return elem.attrs.get("class", "").lower(), elem.attrs.get("id", "").lower()
 
 
+def _by_tag(tree: Node, tags: tuple) -> dict:
+    """ONE pre-order walk bucketing descendants by tag (document order
+    preserved within each bucket).  Selector functions below iterate their
+    tag lists in the same per-tag order as before, so results are
+    identical — this just replaces N full-tree walks with one."""
+    want = {t: [] for t in tags}
+    get = want.get
+    stack = list(reversed(tree.children))
+    pop = stack.pop
+    extend = stack.extend
+    while stack:
+        node = pop()
+        bucket = get(node.tag)
+        if bucket is not None:
+            bucket.append(node)
+        if node.children:
+            extend(reversed(node.children))
+    return want
+
+
 def select_body_elements(tree: Node) -> list[Node]:
     """5-tier first-match-wins candidate cascade (xpaths.dart:87-187)."""
+    buckets = _by_tag(tree, ("article", "div", "main", "section"))
     results: list[Node] = []
     # tier 1: strong class/id/itemprop signals
     for tag in _CANDIDATE_TAGS:
-        for elem in tree.iterdesc(tag):
+        for elem in buckets[tag]:
             cls, eid = _class_id(elem)
             if any(p in cls for p in BODY_CLASS_PATTERNS) or \
                any(p in eid for p in BODY_ID_PATTERNS) or \
@@ -94,12 +115,11 @@ def select_body_elements(tree: Node) -> list[Node]:
     if results:
         return [results[0]]
     # tier 2: first <article>
-    article = tree.find("article")
-    if article is not None:
-        return [article]
+    if buckets["article"]:
+        return [buckets["article"][0]]
     # tier 3: secondary patterns / role=article
     for tag in _CANDIDATE_TAGS:
-        for elem in tree.iterdesc(tag):
+        for elem in buckets[tag]:
             cls, eid = _class_id(elem)
             if any(p in cls or p in eid for p in SECONDARY_BODY_PATTERNS) or \
                elem.attrs.get("role") == "article":
@@ -108,7 +128,7 @@ def select_body_elements(tree: Node) -> list[Node]:
         return [results[0]]
     # tier 4: content patterns / exact content
     for tag in _CANDIDATE_TAGS:
-        for elem in tree.iterdesc(tag):
+        for elem in buckets[tag]:
             cls, eid = _class_id(elem)
             if any(p in cls or p in eid for p in CONTENT_CLASS_PATTERNS) or \
                eid == "content" or cls == "content":
@@ -117,12 +137,12 @@ def select_body_elements(tree: Node) -> list[Node]:
         return [results[0]]
     # tier 5: main*
     for tag in ("article", "div", "section", "main"):
-        for elem in tree.iterdesc(tag):
+        for elem in buckets[tag]:
             cls, eid = _class_id(elem)
             role = elem.attrs.get("role", "")
             if cls.startswith("main") or eid.startswith("main") or role.startswith("main"):
                 results.append(elem)
-    results.extend(tree.iterdesc("main"))
+    results.extend(buckets["main"])
     if results:
         return [results[0]]
     return []
@@ -131,8 +151,9 @@ def select_body_elements(tree: Node) -> list[Node]:
 def select_comment_elements(tree: Node) -> list[Node]:
     """Comment container selection (xpaths.dart:205-223)."""
     results = []
+    buckets = _by_tag(tree, ("div", "section", "ul", "ol"))
     for tag in ("div", "section", "ul", "ol"):
-        for elem in tree.iterdesc(tag):
+        for elem in buckets[tag]:
             cls, eid = _class_id(elem)
             if any(p in cls or p in eid for p in COMMENTS_CLASS_PATTERNS):
                 results.append(elem)
@@ -142,8 +163,9 @@ def select_comment_elements(tree: Node) -> list[Node]:
 def select_elements_to_discard(tree: Node) -> list[Node]:
     """Boilerplate discard scan (xpaths.dart:342-380)."""
     results = []
+    buckets = _by_tag(tree, _DISCARD_TAGS)
     for tag in _DISCARD_TAGS:
-        for elem in tree.iterdesc(tag):
+        for elem in buckets[tag]:
             cls, eid = _class_id(elem)
             role = elem.attrs.get("role", "").lower()
             style = elem.attrs.get("style", "").lower()
@@ -159,8 +181,9 @@ def select_elements_to_discard(tree: Node) -> list[Node]:
 def select_teasers_to_discard(tree: Node) -> list[Node]:
     """xpaths.dart:383-398."""
     results = []
+    buckets = _by_tag(tree, _DISCARD_TAGS)
     for tag in _DISCARD_TAGS:
-        for elem in tree.iterdesc(tag):
+        for elem in buckets[tag]:
             cls, eid = _class_id(elem)
             if "teaser" in cls or "teaser" in eid:
                 results.append(elem)
@@ -169,9 +192,10 @@ def select_teasers_to_discard(tree: Node) -> list[Node]:
 
 def select_precision_discard_elements(tree: Node) -> list[Node]:
     """xpaths.dart:401-425."""
-    results = list(tree.iterdesc("header"))
+    buckets = _by_tag(tree, ("header",) + _DISCARD_TAGS)
+    results = list(buckets["header"])
     for tag in _DISCARD_TAGS:
-        for elem in tree.iterdesc(tag):
+        for elem in buckets[tag]:
             cls, eid = _class_id(elem)
             style = elem.attrs.get("style", "")
             if "bottom" in cls or "bottom" in eid or "link" in cls or "link" in eid \
@@ -195,14 +219,15 @@ def select_overall_discard_elements(tree: Node) -> list[Node]:
 
 def select_basic_clean_elements(tree: Node) -> list[Node]:
     """Baseline-path cleaning targets (xpaths.dart:743-766)."""
-    results = list(tree.iterdesc("aside"))
-    for elem in tree.iterdesc("div"):
+    buckets = _by_tag(tree, ("aside", "div", "footer", "script", "style"))
+    results = list(buckets["aside"])
+    for elem in buckets["div"]:
         cls, eid = _class_id(elem)
         if "footer" in cls or "footer" in eid:
             results.append(elem)
-    results.extend(tree.iterdesc("footer"))
-    results.extend(tree.iterdesc("script"))
-    results.extend(tree.iterdesc("style"))
+    results.extend(buckets["footer"])
+    results.extend(buckets["script"])
+    results.extend(buckets["style"])
     return results
 
 
@@ -242,8 +267,10 @@ TITLE_CLASS_PATTERNS = [
 def select_author_elements(tree: Node) -> list[Node]:
     """xpaths.dart:524-560."""
     results = []
+    buckets = _by_tag(tree, ("a", "address", "div", "link", "p", "span",
+                             "strong", "author"))
     for tag in ("a", "address", "div", "link", "p", "span", "strong"):
-        for elem in tree.iterdesc(tag):
+        for elem in buckets[tag]:
             cls, eid = _class_id(elem)
             rel = elem.attrs.get("rel", "")
             itemprop = elem.attrs.get("itemprop", "")
@@ -254,34 +281,36 @@ def select_author_elements(tree: Node) -> list[Node]:
                 continue
             if any(p in cls or p in eid for p in AUTHOR_PATTERNS):
                 results.append(elem)
-    results.extend(tree.iterdesc("author"))
+    results.extend(buckets["author"])
     return results
 
 
 def select_author_discard_elements(tree: Node) -> list[Node]:
     """xpaths.dart:585-612."""
     results = []
+    buckets = _by_tag(tree, ("a", "div", "section", "span", "time", "figure"))
     for tag in ("a", "div", "section", "span"):
-        for elem in tree.iterdesc(tag):
+        for elem in buckets[tag]:
             cls, eid = _class_id(elem)
             data_component = elem.attrs.get("data-component", "").lower()
             if any(p in cls or p in eid or p in data_component
                    for p in AUTHOR_DISCARD_PATTERNS):
                 results.append(elem)
-    results.extend(tree.iterdesc("time"))
-    results.extend(tree.iterdesc("figure"))
+    results.extend(buckets["time"])
+    results.extend(buckets["figure"])
     return results
 
 
 def select_category_links(tree: Node) -> list[Node]:
     """xpaths.dart:635-665 — returns inner a[href] nodes."""
     results = []
+    buckets = _by_tag(tree, ("div", "p", "footer", "li", "span", "header"))
     for tag in ("div", "p", "footer", "li", "span", "header"):
-        for elem in tree.iterdesc(tag):
+        for elem in buckets[tag]:
             cls, eid = _class_id(elem)
             if any(p in cls or eid.startswith(p) for p in CATEGORY_CLASS_PATTERNS):
                 results.extend(a for a in elem.iterdesc("a") if "href" in a.attrs)
-    for elem in tree.iterdesc("div"):
+    for elem in buckets["div"]:
         if elem.class_name in ("row", "tags"):
             results.extend(a for a in elem.iterdesc("a") if "href" in a.attrs)
     return results
@@ -290,8 +319,9 @@ def select_category_links(tree: Node) -> list[Node]:
 def select_tag_links(tree: Node) -> list[Node]:
     """xpaths.dart:682-701."""
     results = []
+    buckets = _by_tag(tree, ("div", "p"))
     for tag in ("div", "p"):
-        for elem in tree.iterdesc(tag):
+        for elem in buckets[tag]:
             cls = elem.attrs.get("class", "").lower()
             if any(p in cls for p in TAG_CLASS_PATTERNS):
                 results.extend(a for a in elem.iterdesc("a") if "href" in a.attrs)
@@ -301,14 +331,19 @@ def select_tag_links(tree: Node) -> list[Node]:
 def select_title_elements(tree: Node) -> list[Node]:
     """xpaths.dart:714-740."""
     results = []
+    h_buckets = {"h1": [], "h2": [], "h3": []}
+    classed = []
+    for elem in tree.iterdesc():
+        b = h_buckets.get(elem.tag)
+        if b is not None:
+            b.append(elem)
+        if elem.attrs.get("class", "") in ("entry-title", "post-title"):
+            classed.append(elem)
     for tag in ("h1", "h2", "h3"):
-        for elem in tree.iterdesc(tag):
+        for elem in h_buckets[tag]:
             cls, eid = _class_id(elem)
             itemprop = elem.attrs.get("itemprop", "")
             if any(p in cls or p in eid or p in itemprop for p in TITLE_CLASS_PATTERNS):
                 results.append(elem)
-    for elem in tree.iterdesc():
-        cls = elem.attrs.get("class", "")
-        if cls in ("entry-title", "post-title"):
-            results.append(elem)
+    results.extend(classed)
     return results

@@ -119,13 +119,17 @@ def _comments_section(doc_id: int, text: str) -> str:
 
 def build_input_spans(doc_id: int, text: str, lang: str, source: str,
                       with_comments: bool = False,
-                      template: str = "article") -> list[dict]:
+                      template: str = "article",
+                      boiler_repeat: int = 1) -> list[dict]:
     """One document's interleaved input spans.
 
     ``template='article'`` — full site page (selector-tier container).
     ``template='bare'``    — paragraphs in an anonymous div: exercises the
     wild-text / baseline recovery paths (main_extractor.dart:399-437,
     baseline.dart:90-109).
+    ``boiler_repeat`` — repeats the nav/sidebar boilerplate blocks to
+    scale page weight toward realistic sizes (benchmarks); the expected
+    extraction output is unchanged (boilerplate is pruned).
     """
     head, para1, para2, n_media = doc_parts(doc_id, text)
     spans: list[dict] = []
@@ -148,9 +152,10 @@ def build_input_spans(doc_id: int, text: str, lang: str, source: str,
         return spans
 
     op, cl = _CONTAINERS[doc_id % 4]
+    boiler = (_NAV + _SIDEBAR) * boiler_repeat
     html(
         f'<!DOCTYPE html><html lang="{lang}">{_head_section(doc_id, lang, source)}'
-        f"<body>{_NAV}{_SIDEBAR}{op}<h1>{head}</h1><p>{para1}</p>"
+        f"<body>{boiler}{op}<h1>{head}</h1><p>{para1}</p>"
     )
     for i in range(n_media):
         ref = f"m-{doc_id}-{i}"
@@ -158,7 +163,7 @@ def build_input_spans(doc_id: int, text: str, lang: str, source: str,
     tail = f"<p>{para2}</p>{cl}"
     if with_comments:
         tail += _comments_section(doc_id, text)
-    tail += f"{_FOOTER}</body></html>"
+    tail += f"{_FOOTER * boiler_repeat}</body></html>"
     html(tail)
     return spans
 
@@ -192,7 +197,9 @@ def expected_output_spans(doc_id: int, text: str,
 # -- Spark-side synthesis -----------------------------------------------------
 
 def synthesize_documents_df(spark, sf_dir: str, with_comments: bool = False,
-                            template: str = "article", replicate: int = 1):
+                            template: str = "article", replicate: int = 1,
+                            partitions: int | None = None,
+                            boiler_repeat: int = 1):
     """Interleaved-spans DataFrame derived from {sf_dir}/documents.parquet.
 
     ``replicate`` > 1 scales the corpus for benchmarks: copy r gets
@@ -214,6 +221,12 @@ def synthesize_documents_df(spark, sf_dir: str, with_comments: bool = False,
             (F.col("doc_id") + F.col("doc_base")).alias("doc_id"),
             "text", "lang", "source")
 
+    if partitions:
+        # spread synthesis (testdata parquet is a single file = 1 partition);
+        # doubles as the salted layout so downstream extraction stays narrow
+        from pyspark.sql import functions as F
+        base = base.repartition(partitions, F.xxhash64("doc_id"))
+
     def gen(batches):
         for pdf in batches:
             rows = []
@@ -221,7 +234,8 @@ def synthesize_documents_df(spark, sf_dir: str, with_comments: bool = False,
                     pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]):
                 spans = build_input_spans(
                     int(doc_id), text, lang, source,
-                    with_comments=with_comments, template=template)
+                    with_comments=with_comments, template=template,
+                    boiler_repeat=boiler_repeat)
                 rows.append((str(int(doc_id)),
                              [(s["kind"], s["text"], s["media_ref"],
                                s["offset"]) for s in spans]))
