@@ -192,6 +192,51 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_token_len", "quality")
 
 
+def q_render_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """txt/markdown serialization of the extracted tree (xml_utils.dart
+    xmltotxt re-expression — the engine's string-output sink)."""
+    ex = _extract(spark, sf_dir)
+    return ex.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.col("text").alias("rendered"))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: media spans → payloads → Arrow-batched decode
+    (deterministic fake codec) → per-image features."""
+    from trafilatura_spark.functions.multimodal import (
+        image_features, media_table, with_fake_payloads)
+    docs = synthesize_documents_df(spark, sf_dir)
+    feats = image_features(with_fake_payloads(media_table(docs)))
+    return feats.select("media_ref",
+                        F.col("width").cast("long").alias("width"),
+                        F.col("height").cast("long").alias("height"),
+                        F.col("channels").cast("long").alias("channels"),
+                        "phash")
+
+
+def q_discovery_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap URL discovery (sitemaps.dart analog): per-source sitemap
+    XML → regexp_extract_all <loc> entries, document order."""
+    from trafilatura_spark.sources.discovery import extract_sitemap_urls
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sitemaps = (
+        docs.select("source", F.struct("doc_id").alias("k"),
+                    F.concat(F.lit("<url><loc>https://"), "source",
+                             F.lit(".example.com/posts/"), "doc_id",
+                             F.lit("</loc></url>")).alias("entry"))
+        .groupBy("source")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "entry"))),
+                lambda s: s["entry"]), "").alias("body"))
+        .select("source",
+                F.concat(F.lit("<urlset>"), "body",
+                         F.lit("</urlset>")).alias("xml"))
+    )
+    return extract_sitemap_urls(sitemaps).select(
+        "source", F.col("pos").cast("long").alias("pos"), "url")
+
+
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trafilatura_spark.functions.similarity import cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -450,6 +495,40 @@ SELECT doc_id, n::BIGINT AS n_tokens,
 FROM t
 """
 
+_ORACLE_RENDER = f"""
+WITH {_PARTS}
+SELECT doc_id,
+       head || chr(10) || para1 || chr(10) ||
+       CASE m
+         WHEN 0 THEN ''
+         WHEN 1 THEN '![figure 0](m-' || doc_id || '-0) '
+         ELSE '![figure 0](m-' || doc_id || '-0) ![figure 1](m-' || doc_id || '-1) '
+       END || para2 || chr(10) AS rendered
+FROM derived
+"""
+
+_ORACLE_MEDIA = """
+WITH refs AS (
+    SELECT 'm-' || doc_id || '-' || g.i AS media_ref
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(0, doc_id % 3 - 1)) AS i) g
+    WHERE doc_id % 3 > 0
+)
+SELECT media_ref,
+       64 + ('0x' || substr(md5(media_ref), 1, 2))::BIGINT * 4 AS width,
+       64 + ('0x' || substr(md5(media_ref), 3, 2))::BIGINT * 4 AS height,
+       3::BIGINT AS channels,
+       substr(md5(media_ref), 1, 16) AS phash
+FROM refs
+"""
+
+_ORACLE_SITEMAP = """
+SELECT source,
+       (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::BIGINT AS pos,
+       'https://' || source || '.example.com/posts/' || doc_id AS url
+FROM documents
+"""
+
 _ORACLE_KNN = """
 WITH q AS (
     SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -553,6 +632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "embedding_knn": q_embedding_knn,
         "embedding_ann": q_embedding_ann,
+        "render_markdown": q_render_markdown,
+        "media_features": q_media_features,
+        "discovery_sitemap": q_discovery_sitemap,
     }
 
 
@@ -573,4 +655,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _ORACLE_QUALITY,
         "embedding_knn": _ORACLE_KNN,
         "embedding_ann": _ann_sql(),
+        "render_markdown": _ORACLE_RENDER,
+        "media_features": _ORACLE_MEDIA,
+        "discovery_sitemap": _ORACLE_SITEMAP,
     }

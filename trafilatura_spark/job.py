@@ -142,11 +142,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--focus", default="balanced",
                    choices=["balanced", "precision", "recall"])
     p.add_argument("--target-lang", default=None)
+    p.add_argument("--formatting", action="store_true",
+                   help="keep inline hi/del formatting as markdown markers")
+    p.add_argument("--links", action="store_true",
+                   help="keep hyperlinks as [text](target) refs")
+    p.add_argument("--no-images", action="store_true",
+                   help="drop graphic spans (reference default)")
+    p.add_argument("--no-comments", action="store_true")
+    p.add_argument("--no-metadata", action="store_true")
     args = p.parse_args(argv)
 
     spark = make_session()
     docs = spark.read.parquet(args.input)
-    options = Options(fast=args.fast, focus=args.focus, lang=args.target_lang)
+    options = Options(fast=args.fast, focus=args.focus, lang=args.target_lang,
+                      formatting=args.formatting, links=args.links,
+                      images=not args.no_images,
+                      comments=not args.no_comments,
+                      with_metadata=not args.no_metadata)
     summary = run_extraction(spark, docs, args.output, args.progress,
                              run_id=args.run_id, options=options,
                              n_buckets=args.buckets, wave_size=args.wave_size)

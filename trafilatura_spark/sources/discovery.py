@@ -1,0 +1,56 @@
+"""Feed / sitemap discovery as DataFrame operators.
+
+Re-expression of the reference's crawling-adjacent parsers
+(/root/reference/lib/src/feeds.dart:228-350, sitemaps.dart:15-21,
+53-188) for batch corpora: given a column of fetched XML documents,
+extract candidate URLs with JVM-side regex ops (`regexp_extract_all`) —
+no Python in the loop, so discovery over billions of fetched sitemaps is
+a scan-bound map.
+
+The reference's HTTP fetching itself is out of scope for the batch north
+rule (downloads.dart); streaming ingestion composes via
+``trafilatura_spark.streaming``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# sitemaps.dart:15-21: <loc>…</loc> entries
+_SITEMAP_LOC = r"<loc>(.*?)</loc>"
+# feeds.dart:39-63: RSS <link>…</link> and Atom <link … href="…">
+_RSS_LINK = r"<link>(.*?)</link>"
+_ATOM_HREF = r'<link[^>]*?href="([^"]+)"'
+
+
+def extract_sitemap_urls(df: DataFrame, xml_col: str = "xml",
+                         id_col: str = "source") -> DataFrame:
+    """One row per <loc> URL, document order preserved via posexplode."""
+    return (
+        df.select(F.col(id_col),
+                  F.posexplode(F.regexp_extract_all(F.col(xml_col),
+                                                    F.lit(_SITEMAP_LOC), 1))
+                  .alias("pos", "url"))
+    )
+
+
+def extract_feed_urls(df: DataFrame, xml_col: str = "xml",
+                      id_col: str = "source") -> DataFrame:
+    """RSS + Atom link extraction, de-duplicated per feed."""
+    links = F.array_union(
+        F.regexp_extract_all(F.col(xml_col), F.lit(_RSS_LINK), 1),
+        F.regexp_extract_all(F.col(xml_col), F.lit(_ATOM_HREF), 1),
+    )
+    return df.select(F.col(id_col), F.explode(links).alias("url")).distinct()
+
+
+def same_domain(url_a: Column, url_b: Column) -> Column:
+    """Same-host gate used by feed validation (feeds.dart:103-135)."""
+    return F.parse_url(url_a, F.lit("HOST")) == F.parse_url(url_b, F.lit("HOST"))
+
+
+def filter_known(urls: DataFrame, known: DataFrame,
+                 url_col: str = "url") -> DataFrame:
+    """Crawl-frontier dedup (UrlStore analog): anti-join against the
+    known-URL table — broadcast when small, shuffle-hash otherwise."""
+    return urls.join(known.select(url_col).distinct(), url_col, "left_anti")
