@@ -1,0 +1,121 @@
+"""Output serializers (xml/json/csv/html) and binary loading."""
+
+import gzip
+import json
+import zlib
+
+from trafilatura_spark.core import bare_extraction
+from trafilatura_spark.operators.serialize import (
+    render_csv,
+    render_html,
+    render_json,
+    render_xml,
+)
+from trafilatura_spark.settings import Options
+from trafilatura_spark.sources.loading import (
+    decode_file,
+    detect_encoding,
+    handle_compressed_file,
+    is_utf8,
+)
+
+LONG_P = ("A paragraph long enough to pass the default extraction size "
+          "thresholds used throughout the engine, with filler words added "
+          "until the two hundred and fifty character minimum is reached "
+          "for the whole document as required.")
+
+
+def _result():
+    html = (f"<html><head><title>t</title></head><body><article>"
+            f"<h1>Heading here</h1><p>{LONG_P}</p>"
+            f'<p>Second <b>bold</b> paragraph long enough to clear gates, '
+            f"with plenty of additional words to make certain the output "
+            f"size thresholds are very comfortably met.</p>"
+            f"</article></body></html>")
+    from trafilatura_spark.core import load_html
+    from trafilatura_spark.dom import get_body
+    from trafilatura_spark.operators.cleaning import convert_tags, tree_cleaning
+    from trafilatura_spark.operators.main_extractor import extract_content
+    opts = Options(with_metadata=False, formatting=True)
+    tree = load_html(html)
+    conv = convert_tags(tree_cleaning(get_body(tree).copy(), opts), opts)
+    body, text, _ = extract_content(conv, opts)
+    return body, text
+
+
+def test_render_xml():
+    body, _ = _result()
+    xml = render_xml(body, {"title": "T&T", "author": "A"})
+    assert xml.startswith('<doc title="T&amp;T" author="A"><main>')
+    assert "<head" in xml and "Heading here" in xml
+    assert xml.endswith("<comments/></doc>") or xml.endswith(
+        "<comments></comments></doc>")
+    assert "<hi rend=\"#b\">bold</hi>" in xml
+
+
+def test_render_json_roundtrip():
+    _, text = _result()
+    s = render_json({"title": "T", "categories": ["a", "b"]}, "body text",
+                    comments="c")
+    d = json.loads(s)
+    assert d["title"] == "T"
+    assert d["categories"] == ["a", "b"]
+    assert d["text"] == "body text"
+    assert d["comments"] == "c"
+
+
+def test_render_csv_escapes_tabs():
+    s = render_csv({"url": "http://x", "title": "a\tb"}, "line1\nline2")
+    fields = s.split("\t")
+    assert len(fields) == 11
+    assert "line1 line2" in s
+
+
+def test_render_html():
+    body, _ = _result()
+    html = render_html(body, title="T")
+    assert html.startswith("<html><head><title>T</title></head><body>")
+    assert "<h1>Heading here</h1>" in html
+    assert "<b>bold</b>" in html
+
+
+def test_compression_sniff():
+    raw = b"<html><body>hello</body></html>"
+    assert handle_compressed_file(gzip.compress(raw)) == raw
+    assert handle_compressed_file(zlib.compress(raw)) == raw
+    assert handle_compressed_file(raw) == raw
+    assert handle_compressed_file(b"\x1f\x8bgarbage") == b"\x1f\x8bgarbage"
+
+
+def test_encoding_cascade():
+    assert is_utf8("héllo".encode("utf-8"))
+    assert not is_utf8("héllo".encode("latin-1"))
+    assert detect_encoding("héllo".encode("latin-1")) == ["latin-1"]
+    assert decode_file("héllo".encode("latin-1")) == "héllo"
+    assert decode_file(gzip.compress("héllo".encode("utf-8"))) == "héllo"
+
+
+def test_decode_binary_documents_spark(spark):
+    from trafilatura_spark.sources.loading import decode_binary_documents
+    rows = [("a", gzip.compress("héllo".encode("utf-8"))),
+            ("b", "plain".encode("latin-1")), ("c", None)]
+    df = spark.createDataFrame(rows, ["doc_id", "content"])
+    got = {r["doc_id"]: r["html"]
+           for r in decode_binary_documents(df).collect()}
+    assert got == {"a": "héllo", "b": "plain", "c": None}
+
+
+def test_is_similar_domain():
+    from trafilatura_spark.operators.deduplication import is_similar_domain
+    assert is_similar_domain("example.com", "example.org")
+    assert is_similar_domain("example.com", "example2.net")
+    assert not is_similar_domain("example.com", "different.org")
+
+
+def test_end_to_end_serializers_from_extraction():
+    html = (f"<html><head><title>Site | Page</title></head><body><article>"
+            f"<h1>Heading</h1><p>{LONG_P}</p><p>{LONG_P} again.</p>"
+            f"</article></body></html>")
+    res = bare_extraction(html, Options(with_metadata=True))
+    s = render_json(res.meta, res.text, res.comments_text)
+    assert json.loads(s)["text"] == res.text

