@@ -192,6 +192,19 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_token_len", "quality")
 
 
+def q_extract_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision focus over comment-bearing pages: comment sections are
+    removed before the cascade (core.dart:270-274), so output equals the
+    pure article span sequence."""
+    opts = dict(focus="precision")
+    docs = synthesize_documents_df(spark, sf_dir, with_comments=True)
+    from trafilatura_spark.operators.pipeline import extract_documents
+    ex = extract_documents(docs, Options(fast=True, comments=False,
+                                         with_metadata=False, **RELAXED,
+                                         **opts))
+    return _spans_flat(ex)
+
+
 def q_render_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """txt/markdown serialization of the extracted tree (xml_utils.dart
     xmltotxt re-expression — the engine's string-output sink)."""
@@ -635,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_markdown": q_render_markdown,
         "media_features": q_media_features,
         "discovery_sitemap": q_discovery_sitemap,
+        "extract_precision": q_extract_precision,
     }
 
 
@@ -658,4 +672,5 @@ def oracle_sql() -> dict[str, str]:
         "render_markdown": _ORACLE_RENDER,
         "media_features": _ORACLE_MEDIA,
         "discovery_sitemap": _ORACLE_SITEMAP,
+        "extract_precision": _ORACLE_EXTRACT_SPANS,
     }

@@ -71,24 +71,39 @@ def plane_coef(table: int, j: int, d: int) -> float:
     return 1.0 if int(h[0], 16) < 8 else -1.0
 
 
-def lsh_buckets(vec_col: str, n_tables: int = 8, n_bits: int = 4,
-                dim: int = 64) -> Column:
-    """Multi-table random-hyperplane LSH: array of '{t}:{bits}' bucket
-    keys, bit j of table t = sign(v · h_{t,j}).  A pair is a candidate if
-    it collides in ANY table — n_tables is the recall knob, n_bits the
-    selectivity knob.  The hyperplanes ship as one literal matrix so the
-    expression stays compact (no per-bit codegen blowup)."""
+def lsh_bucket_table(df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding", n_tables: int = 8,
+                     n_bits: int = 4, dim: int = 64) -> DataFrame:
+    """(id, bucket) pairs via multi-table random-hyperplane LSH, computed
+    RELATIONALLY: broadcast-join the vectors against a tiny
+    (table, bit, plane) frame, one dot product per joined row, then
+    string-agg the sign bits per (id, table).  Keeps codegen small (one
+    zip_with/aggregate) instead of unrolling n_tables·n_bits expressions.
+
+    Bit j of table t = sign(v · h_{t,j}); h coefficients are md5-derived
+    (see plane_coef) so any SQL engine reproduces the buckets."""
+    spark = df.sparkSession
+    planes = [(t, j, [plane_coef(t, j, d) for d in range(dim)])
+              for t in range(n_tables) for j in range(n_bits)]
+    planes_df = spark.createDataFrame(planes, ["t", "j", "coefs"])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    buckets = []
-    for t in range(n_tables):
-        bits = []
-        for j in range(n_bits):
-            plane = F.array(*[F.lit(plane_coef(t, j, d)) for d in range(dim)])
-            dot = F.aggregate(F.zip_with(v, plane, lambda x, c: x * c),
-                              F.lit(0.0), lambda acc, x: acc + x)
-            bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
-        buckets.append(F.concat(F.lit(f"{t}:"), *bits))
-    return F.array(*buckets)
+    dots = (
+        df.select(F.col(id_col).alias("id"), v.alias("v"))
+        .join(F.broadcast(planes_df))
+        .select("id", "t", "j",
+                F.aggregate(F.zip_with("v", "coefs", lambda x, c: x * c),
+                            F.lit(0.0), lambda acc, x: acc + x).alias("dot"))
+    )
+    return (
+        dots.groupBy("id", "t")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    "j", F.when(F.col("dot") > 0, "1").otherwise("0")
+                    .alias("bit")))),
+                lambda s: s["bit"]), "").alias("bits"))
+        .select("id", F.concat_ws(":", "t", "bits").alias("bucket"))
+    )
 
 
 def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
@@ -99,24 +114,27 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     LSH table, then exact cosine rerank over the candidate set.  The bucket
     join replaces the full cross product — at 10^12 vectors each query
     touches ~n_tables · N/2^n_bits candidates."""
+    cbuckets = lsh_bucket_table(emb, id_col, vec_col, n_tables, n_bits, dim) \
+        .select(F.col("id").alias("neighbor_id"), "bucket")
+    qbuckets = lsh_bucket_table(queries, id_col, vec_col, n_tables, n_bits,
+                                dim) \
+        .select(F.col("id").alias("query_id"), F.col("bucket").alias("qb"))
+    cand = (
+        cbuckets.join(F.broadcast(qbuckets), F.col("bucket") == F.col("qb"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id").distinct()
+    )
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
-        F.explode(lsh_buckets(vec_col, n_tables, n_bits, dim)).alias("bucket"),
-    ).alias("c")
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
     qs = queries.select(
         F.col(id_col).alias("query_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("q"),
-        F.explode(lsh_buckets(vec_col, n_tables, n_bits, dim)).alias("qbucket"),
-    ).alias("qs")
-    joined = corpus.join(F.broadcast(qs),
-                         F.col("c.bucket") == F.col("qs.qbucket")) \
-                   .filter(F.col("c.neighbor_id") != F.col("qs.query_id"))
-    sim = (_dot(F.col("qs.q"), F.col("c.v"))
-           / (_norm(F.col("qs.q")) * _norm(F.col("c.v"))))
-    scored = joined.select(F.col("qs.query_id").alias("query_id"),
-                           F.col("c.neighbor_id").alias("neighbor_id"),
-                           F.round(sim, 6).alias("cosine")).distinct()
+        F.transform(vec_col, lambda x: x.cast("double")).alias("q"))
+    joined = cand.join(corpus, "neighbor_id").join(F.broadcast(qs), "query_id")
+    sim = (_dot(F.col("q"), F.col("v"))
+           / (_norm(F.col("q")) * _norm(F.col("v"))))
+    scored = joined.select("query_id", "neighbor_id",
+                           F.round(sim, 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     return (
