@@ -106,6 +106,14 @@ def q_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.description").alias("description"))
 
 
+def q_extract_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publication-date normalization (metadata.dart:765-847 findDate):
+    article:published_time → ISO yyyy-MM-dd."""
+    ex = _extract(spark, sf_dir)
+    return ex.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.col("meta.date").alias("date"))
+
+
 def q_extract_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language gate: target 'en' rejects non-en docs (og:locale header)."""
     ex = _extract(spark, sf_dir, lang="en")
@@ -635,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_comments": q_extract_comments,
         "extract_wildtext": q_extract_wildtext,
         "extract_metadata": q_extract_metadata,
+        "extract_dates": q_extract_dates,
         "extract_lang_filter": q_extract_lang_filter,
         "extraction_metrics": q_extraction_metrics,
         "dedup_exact": q_dedup_exact,
@@ -659,6 +668,10 @@ def oracle_sql() -> dict[str, str]:
         "extract_comments": _ORACLE_COMMENTS,
         "extract_wildtext": _ORACLE_WILDTEXT,
         "extract_metadata": _ORACLE_METADATA,
+        "extract_dates": (
+            "SELECT doc_id, '2024-' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0')"
+            " || '-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') AS date "
+            "FROM documents"),
         "extract_lang_filter": _ORACLE_LANG_FILTER,
         "extraction_metrics": _ORACLE_METRICS,
         "dedup_exact": _ORACLE_DEDUP_EXACT,

@@ -197,3 +197,33 @@ def test_precision_mode_tighter():
     res = bare_extraction(html, Options(with_metadata=False, focus="precision"))
     assert res.status == "ok"
     assert all("more" not in s["text"] for s in res.spans)
+
+
+def test_prune_patterns_option():
+    html = _page(
+        f'<article><p>{LONG_P1}</p>'
+        f'<div class="promo-box"><p>Buy our product now with this special '
+        f'limited offer, available only today for readers of this very '
+        f'article and nobody else at all.</p></div>'
+        f"<p>{LONG_P2}</p></article>")
+    res = bare_extraction(html, Options(with_metadata=False))
+    assert any("Buy our product" in s["text"] for s in res.spans)
+    res2 = bare_extraction(html, Options(with_metadata=False,
+                                         prune_patterns=("promo",)))
+    assert res2.status == "ok"
+    assert not any("Buy our product" in s["text"] for s in res2.spans)
+
+
+def test_recall_mode_keeps_more():
+    # an unclassed div paragraph short of the div threshold: dropped in
+    # balanced, recovered in recall (wild-text div handling,
+    # main_extractor.dart:399-437)
+    html = _page(
+        f"<article><p>{LONG_P1}</p><p>{LONG_P2}</p></article>"
+        "<div><p>a stray paragraph of moderate length living outside "
+        "the article container entirely.</p></div>")
+    balanced = bare_extraction(html, Options(with_metadata=False))
+    recall = bare_extraction(html, Options(with_metadata=False, focus="recall"))
+    texts_b = " ".join(s["text"] for s in balanced.spans)
+    texts_r = " ".join(s["text"] for s in recall.spans)
+    assert len(texts_r) >= len(texts_b)

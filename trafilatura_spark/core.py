@@ -156,6 +156,14 @@ def bare_extraction(filecontent: str, options: Options | None = None,
                 return result
 
         working_body = get_body(tree)
+        if options.prune_patterns:
+            # user pruning before any cleaning (core.dart:232-244 pruneXpath)
+            for elem in [e for e in working_body.iterdesc()]:
+                ident = (elem.attrs.get("class", "") + " "
+                         + elem.attrs.get("id", "")).lower()
+                if elem.parent is not None and \
+                        any(p in ident for p in options.prune_patterns):
+                    elem.drop_tree()
         cleaned = tree_cleaning(working_body.copy(), options)
         cleaned_backup = cleaned.copy()
         converted = convert_tags(cleaned, options,

@@ -117,6 +117,9 @@ class Options:
     max_tree_size: int | None = None
     author_blacklist: frozenset = field(default_factory=frozenset)
     url_blacklist: frozenset = field(default_factory=frozenset)
+    # pruneXpath analog (core.dart:232-244): user-supplied class/id
+    # substrings removed before cleaning/extraction
+    prune_patterns: tuple = ()
 
     @classmethod
     def reference_defaults(cls) -> "Options":

@@ -93,6 +93,8 @@ def _head_section(doc_id: int, lang: str, source: str) -> str:
         f'<meta property="og:title" content="doc {doc_id} title"/>'
         f'<meta property="og:site_name" content="{source}"/>'
         f'<meta property="og:locale" content="{lang}"/>'
+        f'<meta property="article:published_time" '
+        f'content="2024-{doc_id % 12 + 1:02d}-{doc_id % 28 + 1:02d}T08:30:00Z"/>'
         f'<meta property="og:description" content="synthetic article {doc_id}"/>'
         f'<link rel="canonical" href="https://{source}.example.com/posts/{doc_id}"/>'
         "</head>"
