@@ -176,8 +176,8 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
-        "metric": "extraction suite wall time (15 oracle queries + "
-                  "throughput run)",
+        "metric": f"extraction suite wall time ({len(query_times)} oracle "
+                  "queries + throughput run)",
         "value": round(total + extraction["sec"], 3),
         "unit": "sec",
         "queries": query_times,
