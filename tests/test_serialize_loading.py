@@ -119,3 +119,25 @@ def test_end_to_end_serializers_from_extraction():
     res = bare_extraction(html, Options(with_metadata=True))
     s = render_json(res.meta, res.text, res.comments_text)
     assert json.loads(s)["text"] == res.text
+
+
+def test_render_tei():
+    from trafilatura_spark.operators.serialize import render_tei
+    body, _ = _result()
+    tei = render_tei(body, {"title": "T", "author": "A", "sitename": "S",
+                            "url": "http://x", "date": "2024-01-02"})
+    assert tei.startswith('<TEI xmlns="http://www.tei-c.org/ns/1.0">')
+    assert '<title type="main">T</title>' in tei
+    assert '<ptr type="URL" target="http://x"/>' in tei
+    assert '<ab type="header">Heading here</ab>' in tei   # head -> ab
+    assert "<head" not in tei.split("<text>")[1]
+    assert tei.endswith("</body></text></TEI>")
+    # well-formed XML
+    import xml.etree.ElementTree as ET
+    ET.fromstring(tei)
+
+
+def test_render_xml_wellformed():
+    import xml.etree.ElementTree as ET
+    body, _ = _result()
+    ET.fromstring(render_xml(body, {"title": 'a"<b>&'}))

@@ -169,6 +169,78 @@ def render_html(body: Node, title: str | None = None) -> str:
     return "".join(parts)
 
 
+# -- TEI ----------------------------------------------------------------------
+
+# xml_utils.dart:20-23 teiValidTags
+TEI_VALID_TAGS = frozenset(
+    "ab body cell code del div graphic head hi item lb list p quote ref row "
+    "table".split())
+
+
+def _tei_prepare(node: Node) -> Node:
+    """checkTei analog (xml_utils.dart:348-392): merge invalid tags into
+    their parents; body-level `head` becomes `<ab type="header">`."""
+    out = node.copy()
+    for child in list(out.iterdesc()):
+        if child.tag not in TEI_VALID_TAGS and child.parent is not None:
+            child.strip_self()
+    for child in out.children:
+        if child.tag == "head":
+            child.tag = "ab"
+            child.attrs = {"type": "header",
+                           **{k: v for k, v in child.attrs.items()
+                              if k != "rend"}}
+    return out
+
+
+def render_tei(body: Node, meta: dict | None = None,
+               comments_body: Node | None = None) -> str:
+    """TEI P5 document (xml_utils.dart:598-813 buildTeiOutput /
+    writeFullHeader, abbreviated to the fields the reference populates)."""
+    meta = meta or {}
+    g = lambda k: _esc(str(meta.get(k) or ""))  # noqa: E731
+    parts: list = [
+        '<TEI xmlns="http://www.tei-c.org/ns/1.0">',
+        "<teiHeader><fileDesc><titleStmt>",
+        f'<title type="main">{g("title")}</title>',
+    ]
+    if meta.get("author"):
+        parts.append(f"<author>{g('author')}</author>")
+    parts.append("</titleStmt><publicationStmt>")
+    if meta.get("sitename"):
+        parts.append(f"<publisher>{g('sitename')}</publisher>")
+    if meta.get("license"):
+        parts.append(f"<availability><licence>{g('license')}</licence>"
+                     "</availability>")
+    else:
+        parts.append("<p/>")
+    parts.append("</publicationStmt><sourceDesc><bibl>")
+    parts.append(", ".join(x for x in (meta.get("sitename"),
+                                       meta.get("title"),
+                                       meta.get("date")) if x))
+    parts.append("</bibl>")
+    if meta.get("url"):
+        parts.append(f'<ptr type="URL" target="{_esc(meta["url"], True)}"/>')
+    parts.append("</sourceDesc></fileDesc>")
+    if meta.get("date") or meta.get("description"):
+        parts.append("<profileDesc>")
+        if meta.get("date"):
+            parts.append(f"<creation><date>{g('date')}</date></creation>")
+        if meta.get("description"):
+            parts.append(f"<abstract><p>{g('description')}</p></abstract>")
+        parts.append("</profileDesc>")
+    parts.append("</teiHeader><text><body>")
+    for child in _tei_prepare(body).children:
+        _xml_elem(child, parts)
+    if comments_body is not None and comments_body.children:
+        parts.append('<div type="comments">')
+        for child in _tei_prepare(comments_body).children:
+            _xml_elem(child, parts)
+        parts.append("</div>")
+    parts.append("</body></text></TEI>")
+    return "".join(parts)
+
+
 # -- Spark form ---------------------------------------------------------------
 
 def serialize_column(extracted, fmt: str = "json"):
