@@ -120,3 +120,44 @@ def test_errors_do_not_fail_tasks(spark):
     res = extract_documents(df, Options()).collect()
     assert {r["doc_id"] for r in res} == {"a", "b"}
     assert all(r["status"] in ("ok", "empty", "rejected", "error") for r in res)
+
+
+def test_bfs_frontier(spark):
+    from trafilatura_spark.sources.spider import bfs_frontier, per_domain_quota
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+         ("e", "a"), ("x", "y")], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["url"])
+    got = {(r["url"], r["hop"]) for r in
+           bfs_frontier(edges, seeds, max_hops=5).collect()}
+    assert got == {("a", 0), ("b", 1), ("c", 1), ("d", 2), ("e", 3)}
+    urls = spark.createDataFrame(
+        [(f"https://h{i%2}.com/p{i}",) for i in range(20)], ["url"])
+    capped = per_domain_quota(urls, quota=3)
+    assert capped.count() == 6
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from trafilatura_spark.functions.similarity import cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    plan = cosine_topk(emb, q)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, plan
+
+
+def test_per_doc_dedup_option():
+    from trafilatura_spark.core import bare_extraction
+    from trafilatura_spark.settings import Options
+    seg = ("A repeated promotional segment that is certainly longer than "
+           "the one hundred character duplicate check minimum threshold "
+           "used by the engine for this test.")
+    html = ("<html><body><article>" + f"<p>{seg}</p>" * 5
+            + "</article></body></html>")
+    res = bare_extraction(html, Options(with_metadata=False, dedup=False,
+                                        min_output_size=1))
+    assert sum(1 for s in res.spans if s["text"] == seg) == 5
+    res2 = bare_extraction(html, Options(with_metadata=False, dedup=True,
+                                         min_output_size=1))
+    assert sum(1 for s in res2.spans if s["text"] == seg) == 2
+    assert [s["offset"] for s in res2.spans] == list(range(len(res2.spans)))

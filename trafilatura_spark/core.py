@@ -207,6 +207,24 @@ def bare_extraction(filecontent: str, options: Options | None = None,
             commentsbody if options.comments and commentsbody.children else None,
             include_formatting=options.formatting,
         )
+        if options.dedup:
+            # deterministic per-document duplicateTest
+            # (deduplication.dart:335-349): occurrences of a long-enough
+            # segment beyond max_repetitions are dropped.  The reference's
+            # cross-document LRU is order-dependent and lives as a
+            # relational stage instead (functions/dedup.py).
+            counts: dict = {}
+            kept = []
+            for s in result.spans:
+                if len(s["text"]) > options.min_duplcheck_size:
+                    seen = counts.get(s["text"], 0) + 1
+                    counts[s["text"]] = seen
+                    if seen > options.max_repetitions:
+                        continue
+                kept.append(s)
+            for i, s in enumerate(kept):
+                s["offset"] = i
+            result.spans = kept
         result.text = render_txt(postbody, options.formatting)
         result.comments_text = render_txt(commentsbody, options.formatting) \
             if commentsbody.children else ""
