@@ -1,0 +1,147 @@
+"""Reference-suite parity: the exact inputs/expectations of the Dart
+test suite (/root/reference/test/*.dart), re-asserted against this
+engine, plus a robustness sweep over the reference's real-page corpus
+(test/cache, 110 pages from live sites).
+
+The Dart runtime is unavailable, so these are the strongest direct
+parity checks possible in-sandbox (SURVEY.md §5)."""
+
+import os
+import pathlib
+
+import pytest
+
+from trafilatura_spark.core import bare_extraction, extract_txt, load_html
+from trafilatura_spark.operators.metadata import extract_metadata
+from trafilatura_spark.settings import Options
+
+REF = pathlib.Path("/root/reference/test")
+
+
+# -- unit_test.dart:11-118 ----------------------------------------------------
+
+def test_ref_simple_article():
+    html = """<html><body><article>
+        <p>Hello World. This is a much longer piece of content that should be extracted properly by the algorithm.</p>
+        <p>It contains multiple paragraphs to ensure there is enough content for the extraction process.</p>
+      </article></body></html>"""
+    result = extract_txt(html, Options(with_metadata=False))
+    assert result is None or "Hello" in result
+
+
+def test_ref_empty_input():
+    assert extract_txt("", Options()) is None
+
+
+def test_ref_complex_html():
+    html = """<html><body>
+          <header><nav>Menu</nav></header>
+          <article>
+            <p>Main content here with enough text to satisfy the extraction threshold.</p>
+            <p>Additional paragraph to provide more substance to the document.</p>
+          </article>
+          <footer>Footer text</footer>
+        </body></html>"""
+    result = extract_txt(html, Options(with_metadata=False))
+    assert result is None or ("Menu" not in result and "Footer" not in result)
+
+
+def test_ref_load_html():
+    assert load_html("<html><body>Test</body></html>") is not None
+
+
+def test_ref_exotic_tags_resource():
+    path = REF / "resources" / "exotic_tags.html"
+    if not path.exists():
+        pytest.skip("resource missing")
+    res = bare_extraction(path.read_text(errors="replace"),
+                          Options(with_metadata=False))
+    assert res.status in ("ok", "empty")
+
+
+# -- metadata_test.dart:6-106 (exact-match assertions) ------------------------
+
+def _meta(html, **kw):
+    return extract_metadata(load_html(html), **kw)
+
+
+def test_ref_meta_og_title():
+    m = _meta('<html><head><meta property="og:title" content="OG Title">'
+              "</head><body></body></html>")
+    assert m["title"] == "OG Title"
+
+
+def test_ref_meta_author():
+    m = _meta('<html><head><meta name="author" content="John Doe">'
+              "</head><body></body></html>")
+    assert m["author"] == "John Doe"
+
+
+def test_ref_meta_date():
+    m = _meta('<html><head>'
+              '<meta property="article:published_time" content="2024-01-15">'
+              "</head><body></body></html>")
+    assert m["date"] == "2024-01-15"
+
+
+def test_ref_meta_canonical_url():
+    m = _meta('<html><head>'
+              '<link rel="canonical" href="https://example.org/page">'
+              "</head><body></body></html>",
+              default_url="https://example.org/page?ref=1")
+    assert m["url"] == "https://example.org/page"
+
+
+def test_ref_meta_description():
+    m = _meta('<html><head>'
+              '<meta name="description" content="A test description">'
+              "</head><body></body></html>")
+    assert m["description"] == "A test description"
+
+
+def test_ref_meta_sitename():
+    m = _meta('<html><head>'
+              '<meta property="og:site_name" content="Example Site">'
+              "</head><body></body></html>")
+    assert m["sitename"] == "Example Site"
+
+
+def test_ref_meta_image():
+    m = _meta('<html><head>'
+              '<meta property="og:image" content="https://example.org/image.jpg">'
+              "</head><body></body></html>")
+    assert m["image"] == "https://example.org/image.jpg"
+
+
+# -- real-page corpus sweep (test/cache, 110 live-site pages) -----------------
+
+@pytest.mark.skipif(not (REF / "cache").exists(), reason="corpus missing")
+def test_cache_corpus_sweep():
+    """Every real page must extract without raising; the large majority
+    must yield non-empty output with sane span structure."""
+    opts = Options(with_metadata=True)
+    pages = sorted((REF / "cache").glob("*.html"))
+    assert len(pages) >= 100
+    ok = empty = rejected = error = 0
+    titled = 0
+    for page in pages:
+        raw = page.read_bytes()
+        from trafilatura_spark.sources.loading import decode_file
+        res = bare_extraction(decode_file(raw), opts, doc_id=page.name)
+        if res.status == "ok":
+            ok += 1
+            assert res.spans, page.name
+            assert [s["offset"] for s in res.spans] == list(range(len(res.spans)))
+            assert all(s["kind"] for s in res.spans), page.name
+            if res.meta and res.meta.get("title"):
+                titled += 1
+        elif res.status == "empty":
+            empty += 1
+        elif res.status == "rejected":
+            rejected += 1
+        else:
+            error += 1
+    # robustness: nothing may hard-error; quality: most pages extract
+    assert error == 0, f"{error} errors"
+    assert ok / len(pages) >= 0.85, (ok, empty, rejected, error)
+    assert titled / max(ok, 1) >= 0.9
