@@ -109,8 +109,11 @@ def trafilatura_sequence(converted_tree: Node, cleaned_backup: Node,
     postbody, temp_text, len_text = extract_content(converted_tree, options)
     tier = "main"
     if not options.fast:
+        # cleaned_backup is consumed here (it has no later reader), so it
+        # is passed without the defensive copy; raw_body is still needed by
+        # the baseline rescue below, so its copy stays
         postbody, temp_text, len_text, tier = compare_extraction(
-            cleaned_backup.copy(), raw_body.copy(), postbody, temp_text,
+            cleaned_backup, raw_body.copy(), postbody, temp_text,
             len_text, options)
     if len_text < options.min_extracted_size and options.focus != "precision":
         postbody, temp_text, len_text = baseline(raw_body.copy())

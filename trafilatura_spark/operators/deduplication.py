@@ -11,6 +11,7 @@ UDF because it breaks parallel determinism (SURVEY.md §4.3.5).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 
@@ -57,8 +58,11 @@ def generate_bow_hash(inputstring: str, length: int = 24) -> bytes:
     return hashlib.sha256(teststring.encode("utf-8")).digest()[:length]
 
 
+@functools.lru_cache(maxsize=65536)
 def _hash_token(token: str) -> int:
-    """First 8 bytes of SHA-256 as big-endian int (deduplication.dart:124-133)."""
+    """First 8 bytes of SHA-256 as big-endian int (deduplication.dart:124-133).
+    Memoized: token distributions are heavy-tailed, and the cache is safe
+    per Python worker (pure function, SURVEY.md §4.1)."""
     digest = hashlib.sha256(token.encode("utf-8")).digest()
     return int.from_bytes(digest[:8], "big")
 
