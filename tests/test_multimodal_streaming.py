@@ -117,3 +117,76 @@ def test_discovery_sitemap_and_feeds(spark):
     known = spark.createDataFrame([("https://a/1",)], ["url"])
     left = filter_known(extract_sitemap_urls(sm), known)
     assert {r["url"] for r in left.collect()} == {"https://a/2"}
+
+
+def test_windowed_metrics_stream(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+    from trafilatura_spark.settings import Options
+    from trafilatura_spark.streaming.extract_stream import (
+        extract_stream, read_documents_stream)
+    from trafilatura_spark.streaming.stateful import (
+        windowed_extraction_metrics)
+    src = str(tmp_path / "min")
+    synthesize_documents_df(spark, sf_dir).limit(80).write.parquet(src)
+    stream = extract_stream(
+        read_documents_stream(spark, src),
+        Options(fast=True, comments=False, with_metadata=False,
+                min_extracted_size=5, min_output_size=1))
+    # event time synthesized from doc_id (deterministic, spread over 3 min)
+    stream = stream.withColumn(
+        "event_time",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")) +
+        F.make_interval(secs=(F.col("doc_id").cast("long") % 180)))
+    metrics = windowed_extraction_metrics(stream)
+    q = (metrics.writeStream.format("memory").queryName("winmetrics")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # append mode only emits closed windows; run a second batch with no new
+    # data to advance the watermark is not possible on file source, so
+    # check the state store instead via complete-mode rerun
+    q2 = (windowed_extraction_metrics(stream)
+          .writeStream.format("memory").queryName("winmetrics2")
+          .outputMode("complete").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    rows = spark.sql("select * from winmetrics2 order by window_start").collect()
+    assert rows
+    assert sum(r["docs"] for r in rows) == 80
+    assert all(0.0 <= r["fallback_rate"] <= 1.0 for r in rows)
+
+
+def test_stateful_url_frontier(spark, tmp_path):
+    import pandas as pd
+    from trafilatura_spark.streaming.stateful import (
+        URL_EVENT_SCHEMA, dedup_urls_stateful)
+    src = str(tmp_path / "urls")
+    import datetime
+    t0 = datetime.datetime(2026, 1, 1)
+    batch1 = [("h1", "u1", t0), ("h1", "u2", t0), ("h2", "u1", t0)]
+    spark.createDataFrame(batch1, URL_EVENT_SCHEMA).write.parquet(src)
+    stream = (spark.readStream.schema(URL_EVENT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    chk = str(tmp_path / "chk")
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        q = (dedup_urls_stateful(stream)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", chk)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = {(r["host"], r["url"]): r["accepted"]
+            for r in spark.read.parquet(sink).collect()}
+    assert got1 == {("h1", "u1"): True, ("h1", "u2"): True,
+                    ("h2", "u1"): True}
+    # second batch: duplicate u1 on h1 must be rejected via persisted state
+    batch2 = [("h1", "u1", t0), ("h1", "u3", t0)]
+    spark.createDataFrame(batch2, URL_EVENT_SCHEMA) \
+        .write.mode("append").parquet(src)
+    run_once()
+    rows2 = [r for r in spark.read.parquet(sink).collect()]
+    assert (("h1", "u1"), False) in {((r["host"], r["url"]), r["accepted"])
+                                     for r in rows2}
+    assert (("h1", "u3"), True) in {((r["host"], r["url"]), r["accepted"])
+                                    for r in rows2}
