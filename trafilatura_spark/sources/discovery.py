@@ -18,9 +18,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 # sitemaps.dart:15-21: <loc>…</loc> entries
 _SITEMAP_LOC = r"<loc>(.*?)</loc>"
-# feeds.dart:39-63: RSS <link>…</link> and Atom <link … href="…">
+# feeds.dart:39-63: RSS <link>…</link>, Atom <link … href="…">, and
+# JSON-feed "url": "…" entries
 _RSS_LINK = r"<link>(.*?)</link>"
 _ATOM_HREF = r'<link[^>]*?href="([^"]+)"'
+_JSON_URL = r'"url"\s*:\s*"([^"]+)"'
 
 
 def extract_sitemap_urls(df: DataFrame, xml_col: str = "xml",
@@ -38,8 +40,13 @@ def extract_feed_urls(df: DataFrame, xml_col: str = "xml",
                       id_col: str = "source") -> DataFrame:
     """RSS + Atom link extraction, de-duplicated per feed."""
     links = F.array_union(
-        F.regexp_extract_all(F.col(xml_col), F.lit(_RSS_LINK), 1),
-        F.regexp_extract_all(F.col(xml_col), F.lit(_ATOM_HREF), 1),
+        F.array_union(
+            F.regexp_extract_all(F.col(xml_col), F.lit(_RSS_LINK), 1),
+            F.regexp_extract_all(F.col(xml_col), F.lit(_ATOM_HREF), 1),
+        ),
+        F.when(F.trim(F.col(xml_col)).startswith("{"),
+               F.regexp_extract_all(F.col(xml_col), F.lit(_JSON_URL), 1))
+        .otherwise(F.array().cast("array<string>")),
     )
     return df.select(F.col(id_col), F.explode(links).alias("url")).distinct()
 
