@@ -137,6 +137,16 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm-up
+    # python-worker warm-up: one small Arrow-batched extraction so the
+    # first timed query doesn't absorb worker spin-up + module imports
+    from pyspark.sql import functions as _F
+
+    from trafilatura_spark.operators.pipeline import extract_documents
+    from trafilatura_spark.settings import Options
+    from trafilatura_spark.sources.corpus import synthesize_documents_df
+    warm = synthesize_documents_df(spark, SF_DIR, partitions=CPUS)
+    extract_documents(warm.filter(_F.xxhash64("doc_id") % 8 == 0),
+                      Options(fast=True)).count()
 
     query_times: dict[str, float] = {}
     total = 0.0

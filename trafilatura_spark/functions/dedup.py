@@ -83,20 +83,16 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     shingled = df.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, k))
                                  ).alias("shingle"))
-    seeded = shingled.select(
+    # one shuffle: n_hashes map-side-combined min-aggregates instead of an
+    # n_hashes-way seed explode (same values, 1/n_hashes the shuffle rows)
+    mins = shingled.groupBy(id_col).agg(*[
+        F.min(F.md5(F.concat_ws("#", "shingle", F.lit(str(seed))))
+              ).alias(f"mh{seed}")
+        for seed in range(n_hashes)
+    ])
+    return mins.select(
         id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
-        "shingle",
-    ).select(
-        id_col, "seed",
-        F.md5(F.concat_ws("#", "shingle", "seed")).alias("h"),
-    )
-    per_seed = seeded.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
-    return (
-        per_seed.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("sm"))
-        .select(id_col, F.transform("sm", lambda s: s["mh"]).alias("sig"))
-    )
+        F.array(*[F.col(f"mh{s}") for s in range(n_hashes)]).alias("sig"))
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
@@ -155,17 +151,21 @@ def near_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
     return jaccard_pairs(df, pairs, id_col, text_col, k, threshold)
 
 
-def simhash32(text_col: str) -> Column:
-    """32-bit Simhash as a pure JVM expression (relational re-expression of
-    deduplication.dart:110-216): token hash = first 8 md5 hex digits; for
-    each bit position sum ±1 over tokens; bit = 1 iff sum > 0.
-
-    Implemented as a per-row expression (aggregate over the token array),
-    so it needs NO shuffle at all — fingerprinting 10^12 docs is a map."""
+def token_hashes(text_col: str) -> Column:
+    """Per-token 32-bit hashes (first 8 md5 hex digits) as an array column.
+    Materialize this ONCE before :func:`simhash32_from_hashes` — nested
+    lambda expressions are not common-subexpression-eliminated, so feeding
+    the raw text into the bit loop would recompute every md5 32 times."""
     tokens = F.split(F.col(text_col), " ")
-    hashes = F.transform(tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 8),
-                                                  16, 10).cast("long"))
+    return F.transform(tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 8),
+                                                16, 10).cast("long"))
 
+
+def simhash32_from_hashes(hashes: Column) -> Column:
+    """32-bit Simhash over a materialized hash array (relational
+    re-expression of deduplication.dart:110-216): for each bit position
+    sum ±1 over token hashes; bit = 1 iff sum > 0.  Pure per-row
+    expression — fingerprinting 10^12 docs is a shuffle-free map."""
     def bit(h, pos):
         # (h >> pos) & 1 via exact double arithmetic: shiftright/shiftleft
         # only take literal shift amounts, pos here is a lambda variable
@@ -183,6 +183,41 @@ def simhash32(text_col: str) -> Column:
             F.pow(F.lit(2.0), pos.cast("double")).cast("long"),
         ).otherwise(0),
     )
+
+
+def simhash32(text_col: str) -> Column:
+    """Convenience single-expression form (see the two-step variant for
+    the fast path used by fingerprints())."""
+    return simhash32_from_hashes(token_hashes(text_col))
+
+
+def simhash32_table(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, fp_simhash) via the RELATIONAL formulation: explode tokens,
+    hash each once, 32 partial-aggregated bit sums, reassemble.
+
+    Prefer this over the expression form for bulk fingerprinting: the
+    nested-lambda expression recomputes token md5s per bit position
+    (Catalyst collapses any materializing projection back in), while here
+    the shuffle boundary materializes each hash exactly once and the 32
+    sums are map-side combined — one shuffle keyed by id."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    hashed = toks.select(
+        id_col,
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"))
+    sums = hashed.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"s{i}")
+        for i in range(32)
+    ])
+    fp = None
+    for i in range(32):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")
+                      ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return sums.select(id_col, fp.alias("fp_simhash"))
 
 
 def hamming32(a: Column, b: Column) -> Column:

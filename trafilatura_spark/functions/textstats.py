@@ -83,8 +83,9 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact (md5) + near-dup (simhash32) fingerprints as columns —
     the relational contentFingerprint (deduplication.dart:219-221)."""
-    from .dedup import simhash32
+    from .dedup import simhash32_table
+    fps = simhash32_table(df, id_col="doc_id", text_col=text_col)
     return (
         df.withColumn("fp_md5", F.md5(F.col(text_col)))
-        .withColumn("fp_simhash", simhash32(text_col))
+        .join(fps, "doc_id")
     )
