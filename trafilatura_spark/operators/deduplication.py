@@ -3,7 +3,7 @@
 Re-expression of /root/reference/lib/src/deduplication.dart:51-221.
 ``content_fingerprint`` is a per-row column; *corpus-level* exact and
 near-duplicate detection are relational stages (hash groupBy, LSH
-band join) defined in ``trafilatura_spark.plans.dedup`` — the
+band join) defined in ``trafilatura_spark.functions.dedup`` — the
 reference's order-dependent LRU ``duplicateTest``
 (deduplication.dart:335-349) is deliberately NOT reproduced inside the
 UDF because it breaks parallel determinism (SURVEY.md §4.3.5).
