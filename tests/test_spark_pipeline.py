@@ -161,3 +161,14 @@ def test_per_doc_dedup_option():
                                          min_output_size=1))
     assert sum(1 for s in res2.spans if s["text"] == seg) == 2
     assert [s["offset"] for s in res2.spans] == list(range(len(res2.spans)))
+
+
+def test_progress_carries_lineage(spark, sf_dir, tmp_path):
+    out, prog = str(tmp_path / "lo"), str(tmp_path / "lp")
+    docs = synthesize_documents_df(spark, sf_dir)
+    run_extraction(spark, docs, out, prog, "rl", RELAXED,
+                   n_buckets=4, wave_size=4, lineage="testdata:sf0.001")
+    rows = spark.read.parquet(prog).collect()
+    assert all(r["lineage"] == "testdata:sf0.001" for r in rows)
+    assert all(r["run_id"] == "rl" for r in rows)
+    assert all(r["committed_at"] is not None for r in rows)

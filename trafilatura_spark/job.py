@@ -71,7 +71,8 @@ def _committed_buckets(spark: SparkSession, progress_path: str) -> set[int]:
 def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
                    progress_path: str, run_id: str = "run0",
                    options: Options | None = None, n_buckets: int = 16,
-                   wave_size: int = 8, tasks_per_wave: int | None = None) -> dict:
+                   wave_size: int = 8, tasks_per_wave: int | None = None,
+                   lineage: str | None = None) -> dict:
     """Resumable batch extraction.  Returns run summary metrics.
 
     ``n_buckets`` is the checkpoint granularity (at 100 TB: hundreds —
@@ -80,6 +81,12 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
     repartition width (default: cluster default parallelism).
     """
     options = options or Options()
+    if lineage is None:
+        # default lineage: the scanned input files (for provenance audits)
+        try:
+            lineage = ";".join(sorted(documents.inputFiles())[:20])
+        except Exception:
+            lineage = "unknown"
     bucket_col = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
     docs = documents.withColumn("bucket", bucket_col)
 
@@ -119,6 +126,7 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
             .withColumn("fallback_rate", F.col("fallback_docs") / F.col("docs"))
             .withColumn("empty_rate", F.col("empty_docs") / F.col("docs"))
             .withColumn("run_id", F.lit(run_id))
+            .withColumn("lineage", F.lit(lineage))
             .withColumn("committed_at", F.current_timestamp())
         )
         wave_metrics.write.mode("append").parquet(progress_path)
@@ -161,7 +169,8 @@ def main(argv: list[str] | None = None) -> int:
                       with_metadata=not args.no_metadata)
     summary = run_extraction(spark, docs, args.output, args.progress,
                              run_id=args.run_id, options=options,
-                             n_buckets=args.buckets, wave_size=args.wave_size)
+                             n_buckets=args.buckets, wave_size=args.wave_size,
+                             lineage=args.input)
     print(summary)
     return 0
 
