@@ -60,6 +60,31 @@ def make_session(app_name: str = "trafilatura-spark", master: str | None = None,
     )
 
 
+def read_html_dir(spark: SparkSession, input_path: str,
+                  glob: str = "*.html") -> DataFrame:
+    """Directory of raw HTML files → documents(doc_id, spans).
+
+    The Spark analog of the reference CLI's --input-dir mode
+    (cli_utils.dart:270-360): binaryFile scan → decode (gzip/zlib +
+    encoding cascade) → one single-chunk span per file."""
+    from .sources.corpus import DOCUMENTS_SCHEMA
+    from .sources.loading import decode_file
+
+    binary = (spark.read.format("binaryFile")
+              .option("pathGlobFilter", glob)
+              .load(input_path)
+              .select("path", "content"))
+
+    def to_docs(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = [(path, [("html", decode_file(bytes(content)), "", 0)])
+                    for path, content in zip(pdf["path"], pdf["content"])]
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return binary.mapInPandas(to_docs, DOCUMENTS_SCHEMA)
+
+
 def _committed_buckets(spark: SparkSession, progress_path: str) -> set[int]:
     try:
         pdf = spark.read.parquet(progress_path).select("bucket").distinct()
@@ -140,7 +165,11 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="trafilatura-spark batch extraction")
     p.add_argument("--input", required=True,
-                   help="parquet/iceberg path of documents(doc_id, spans)")
+                   help="parquet/iceberg path of documents(doc_id, spans), "
+                        "or a directory of raw HTML files with "
+                        "--input-format html-dir")
+    p.add_argument("--input-format", default="spans-parquet",
+                   choices=["spans-parquet", "html-dir"])
     p.add_argument("--output", required=True)
     p.add_argument("--progress", required=True)
     p.add_argument("--run-id", default=f"run-{int(time.time())}")
@@ -161,7 +190,10 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     spark = make_session()
-    docs = spark.read.parquet(args.input)
+    if args.input_format == "html-dir":
+        docs = read_html_dir(spark, args.input)
+    else:
+        docs = spark.read.parquet(args.input)
     options = Options(fast=args.fast, focus=args.focus, lang=args.target_lang,
                       formatting=args.formatting, links=args.links,
                       images=not args.no_images,

@@ -101,7 +101,8 @@ _JSON_NAME_RE = re.compile(r'"@type":"[Aa]rticle", ?"name": ?"([^"\\]+)', re.S)
 _JSON_HEADLINE_RE = re.compile(r'"headline": ?"([^"\\]+)', re.S)
 
 _AUTHOR_PREFIX = re.compile(
-    r"^([a-zäöüß]+(ed|t))? ?(written by|words by|words|by|von|from) ", re.I)
+    r"^([a-zäöüß]+(ed|t))? ?(view all posts by|all posts by|posted by|"
+    r"written by|words by|words|by|von|from) ", re.I)
 _AUTHOR_REMOVE_NUMBERS = re.compile(r"\d.+?$")
 _AUTHOR_TWITTER = re.compile(r"@[\w]+")
 _AUTHOR_REPLACE_JOIN = re.compile(r"[._+]")
