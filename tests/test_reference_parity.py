@@ -147,6 +147,31 @@ def test_cache_corpus_sweep():
     assert titled / max(ok, 1) >= 0.9
 
 
+@pytest.mark.skipif(not (REF / "cache").exists(), reason="corpus missing")
+def test_cache_metadata_coverage_floors():
+    """Regression floors for metadata field coverage on the real-page
+    corpus (measured round 1: title 100%, url 89%, date 71%, author 62%,
+    sitename 92%, description 83%)."""
+    from trafilatura_spark.sources.loading import decode_file
+    opts = Options(with_metadata=True)
+    counts = {k: 0 for k in ("title", "author", "date", "url", "sitename",
+                             "description")}
+    n = 0
+    for page in sorted((REF / "cache").glob("*.html")):
+        res = bare_extraction(decode_file(page.read_bytes()), opts,
+                              doc_id=page.name)
+        if res.meta is None:
+            continue
+        n += 1
+        for k in counts:
+            if res.meta.get(k):
+                counts[k] += 1
+    floors = {"title": 0.95, "url": 0.80, "date": 0.60, "author": 0.50,
+              "sitename": 0.85, "description": 0.75}
+    for k, floor in floors.items():
+        assert counts[k] / n >= floor, (k, counts[k], n)
+
+
 # -- htmlprocessing_test.dart:6-126 (exact reference inputs) ------------------
 
 def test_ref_filters_script():
