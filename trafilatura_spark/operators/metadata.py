@@ -611,6 +611,17 @@ def find_date(tree: Node) -> str | None:
             parsed = _parse_date(date_str)
             if parsed:
                 return parsed
+    # date-classed elements carrying the value in title/datetime attrs
+    # (e.g. blogspot's <abbr class='published' title='…'>)
+    for elem in tree.iterdesc("abbr", "span", "div", "p"):
+        cls = elem.attrs.get("class", "").lower()
+        if "published" in cls or "post-date" in cls or "entry-date" in cls:
+            for cand in (elem.attrs.get("title"), elem.attrs.get("datetime"),
+                         elem.text_content()):
+                if cand:
+                    parsed = _parse_date(cand)
+                    if parsed:
+                        return parsed
     text = tree.text_content()
     for rx in (_DATE_ISO, _DATE_US, _DATE_TEXT):
         m = rx.search(text)
