@@ -226,3 +226,24 @@ def test_ref_table_cells():
     res = bare_extraction(html, Options(with_metadata=False, tables=True))
     cells = [s["text"] for s in res.spans if s["kind"] == "cell"]
     assert cells == ["Cell 1", "Cell 2", "Cell 3", "Cell 4"]
+
+
+def test_exotic_tags_golden_spans():
+    """Pinned golden spans for the reference's exotic_tags.html fixture
+    (test/resources/exotic_tags.html) under relaxed sizes."""
+    path = REF / "resources" / "exotic_tags.html"
+    if not path.exists():
+        pytest.skip("resource missing")
+    res = bare_extraction(path.read_text(errors="replace"),
+                          Options(with_metadata=False, min_output_size=1,
+                                  min_extracted_size=5))
+    assert res.status == "ok" and res.tier == "main"
+    got = [(s["kind"], s["text"]) for s in res.spans]
+    assert got == [
+        ("hi", "Hello"),
+        ("p", "Teletype text"),
+        ("p", "My favorite color is blue red!"),
+        ("p", "My favorite color is blue red!"),
+        ("p", "My car is blue."),
+        ("p", "My new car is silver."),
+    ]
