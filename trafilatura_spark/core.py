@@ -168,7 +168,9 @@ def bare_extraction(filecontent: str, options: Options | None = None,
                         any(p in ident for p in options.prune_patterns):
                     elem.drop_tree()
         cleaned = tree_cleaning(working_body.copy(), options)
-        cleaned_backup = cleaned.copy()
+        # the backup feeds compare_extraction only — skip the full-tree
+        # copy in fast mode (the bench/oracle hot path)
+        cleaned_backup = cleaned.copy() if not options.fast else cleaned
         converted = convert_tags(cleaned, options,
                                  url=options.url or (meta or {}).get("url"))
 
