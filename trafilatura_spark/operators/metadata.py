@@ -19,6 +19,7 @@ from .selectors import (
     select_author_discard_elements,
     select_author_elements,
     select_category_links,
+    select_cats_tags_links,
     select_tag_links,
     select_title_elements,
 )
@@ -526,12 +527,17 @@ def extract_sitename(tree: Node) -> str | None:
     return None
 
 
-def extract_catstags(metatype: str, tree: Node) -> list[str]:
-    """metadata.dart:483-527."""
+def extract_catstags(metatype: str, tree: Node,
+                     links: list | None = None) -> list[str]:
+    """metadata.dart:483-527.  ``links`` lets the caller share one walk
+    for categories + tags (select_cats_tags_links)."""
     results: list[str] = []
     regexpr = re.compile(rf"/{metatype}[s|(ies)]?/")
-    selector = select_category_links if metatype == "category" else select_tag_links
-    for elem in selector(tree):
+    if links is None:
+        selector = (select_category_links if metatype == "category"
+                    else select_tag_links)
+        links = selector(tree)
+    for elem in links:
         href = elem.attrs.get("href", "")
         if regexpr.search(href):
             results.append(elem.text_content())
@@ -683,9 +689,12 @@ def extract_metadata(tree: Node, default_url: str | None = None,
         m = META_URL_RE.match(meta["url"])
         if m:
             meta["sitename"] = m.group(1)
-    if not meta["categories"]:
-        meta["categories"] = extract_catstags("category", tree)
-    if not meta["tags"]:
-        meta["tags"] = extract_catstags("tag", tree)
+    if not meta["categories"] or not meta["tags"]:
+        cat_links, tag_links = select_cats_tags_links(tree)
+        if not meta["categories"]:
+            meta["categories"] = extract_catstags("category", tree,
+                                                  links=cat_links)
+        if not meta["tags"]:
+            meta["tags"] = extract_catstags("tag", tree, links=tag_links)
     meta["license"] = extract_license(tree)
     return _clean_and_trim(meta)

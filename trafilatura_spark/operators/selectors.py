@@ -328,6 +328,29 @@ def select_tag_links(tree: Node) -> list[Node]:
     return results
 
 
+def select_cats_tags_links(tree: Node) -> tuple[list[Node], list[Node]]:
+    """Category and tag link selection sharing ONE tree walk — results are
+    identical to calling the two selectors separately."""
+    buckets = _by_tag(tree, ("div", "p", "footer", "li", "span", "header"))
+    cats: list[Node] = []
+    for tag in ("div", "p", "footer", "li", "span", "header"):
+        for elem in buckets[tag]:
+            cls, eid = _class_id(elem)
+            if any(p in cls or eid.startswith(p) for p in CATEGORY_CLASS_PATTERNS):
+                cats.extend(a for a in elem.iterdesc("a") if "href" in a.attrs)
+    for elem in buckets["div"]:
+        if elem.class_name in ("row", "tags"):
+            cats.extend(a for a in elem.iterdesc("a") if "href" in a.attrs)
+    tags_links: list[Node] = []
+    for tag in ("div", "p"):
+        for elem in buckets[tag]:
+            cls = elem.attrs.get("class", "").lower()
+            if any(p in cls for p in TAG_CLASS_PATTERNS):
+                tags_links.extend(a for a in elem.iterdesc("a")
+                                  if "href" in a.attrs)
+    return cats, tags_links
+
+
 def select_title_elements(tree: Node) -> list[Node]:
     """xpaths.dart:714-740."""
     results = []
