@@ -247,3 +247,30 @@ def test_exotic_tags_golden_spans():
         ("p", "My car is blue."),
         ("p", "My new car is silver."),
     ]
+
+
+@pytest.mark.skipif(not (REF / "cache").exists(), reason="corpus missing")
+def test_cache_corpus_golden_manifest():
+    """Span-sequence digests over the 110 real pages must match the
+    pinned manifest (regenerate deliberately with
+    scripts/regen_cache_golden.py after intentional behavior changes)."""
+    import hashlib
+    import json
+    from trafilatura_spark.sources.loading import decode_file
+    manifest = json.loads(
+        (pathlib.Path(__file__).parent / "fixtures" / "cache_golden.json")
+        .read_text())
+    opts = Options(with_metadata=True)
+    drift = []
+    for page in sorted((REF / "cache").glob("*.html")):
+        res = bare_extraction(decode_file(page.read_bytes()), opts,
+                              doc_id=page.name)
+        payload = json.dumps(
+            [[s["kind"], s["text"], s["media_ref"]] for s in res.spans],
+            ensure_ascii=False)
+        digest = hashlib.md5(payload.encode()).hexdigest()
+        want = manifest.get(page.name)
+        if want is None or want["digest"] != digest or \
+                want["status"] != res.status or want["tier"] != res.tier:
+            drift.append(page.name)
+    assert not drift, f"extraction drift on {len(drift)} pages: {drift[:5]}"
