@@ -172,3 +172,26 @@ def test_progress_carries_lineage(spark, sf_dir, tmp_path):
     assert all(r["lineage"] == "testdata:sf0.001" for r in rows)
     assert all(r["run_id"] == "rl" for r in rows)
     assert all(r["committed_at"] is not None for r in rows)
+
+
+def test_torn_wave_scrubbed_on_resume(spark, sf_dir, tmp_path):
+    """Crash between output append and progress append must not duplicate
+    rows: the resume scrubs output partitions lacking a progress row."""
+    out, prog = str(tmp_path / "to"), str(tmp_path / "tp")
+    docs = synthesize_documents_df(spark, sf_dir)
+    run_extraction(spark, docs, out, prog, "t1", RELAXED,
+                   n_buckets=4, wave_size=4)
+    full = spark.read.parquet(out).count()
+    # simulate the torn wave: delete bucket 2's progress row but keep its
+    # output partition (= crash after output write, before progress write)
+    kept = spark.read.parquet(prog).filter(F.col("bucket") != 2).collect()
+    schema = spark.read.parquet(prog).schema
+    shutil.rmtree(prog)
+    spark.createDataFrame(kept, schema).write.parquet(prog)
+    s = run_extraction(spark, docs, out, prog, "t2", RELAXED,
+                       n_buckets=4, wave_size=4)
+    assert s["scrubbed_torn_buckets"] == 1
+    assert s["processed_buckets"] == 1
+    res = spark.read.parquet(out)
+    assert res.count() == full
+    assert res.select("doc_id").distinct().count() == full

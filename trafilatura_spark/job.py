@@ -85,6 +85,24 @@ def read_html_dir(spark: SparkSession, input_path: str,
     return binary.mapInPandas(to_docs, DOCUMENTS_SCHEMA)
 
 
+def _scrub_uncommitted(spark: SparkSession, output_path: str,
+                       pending: list[int]) -> int:
+    """Delete output partitions of buckets with NO progress row: a crash
+    between the output append and the progress append leaves a torn wave,
+    and re-running it would otherwise duplicate rows.  (On Iceberg the
+    two appends share one snapshot commit and this is a no-op.)"""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    removed = 0
+    for b in pending:
+        p = jvm.org.apache.hadoop.fs.Path(f"{output_path}/bucket={b}")
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
+            removed += 1
+    return removed
+
+
 def _committed_buckets(spark: SparkSession, progress_path: str) -> set[int]:
     try:
         pdf = spark.read.parquet(progress_path).select("bucket").distinct()
@@ -117,7 +135,9 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
 
     done = _committed_buckets(spark, progress_path)
     pending = [b for b in range(n_buckets) if b not in done]
+    scrubbed = _scrub_uncommitted(spark, output_path, pending) if done else 0
     summary = {"run_id": run_id, "resumed_buckets": len(done),
+               "scrubbed_torn_buckets": scrubbed,
                "processed_buckets": 0, "docs": 0, "waves": 0}
 
     if tasks_per_wave is None:
