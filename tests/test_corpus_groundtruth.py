@@ -106,3 +106,28 @@ def test_input_span_offsets_are_dense():
     media = [s for s in spans if s["kind"] == "media"]
     assert len(media) == 7 % 3
     assert all(s["text"] == "" for s in media)
+
+
+try:
+    from hypothesis import given, settings as hyp_settings, strategies as st
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+    words_strategy = st.lists(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+                min_size=1, max_size=14),
+        min_size=9, max_size=120)
+
+    @given(words_strategy, st.integers(min_value=0, max_value=10**9))
+    @hyp_settings(max_examples=150, deadline=None)
+    def test_contract_holds_for_arbitrary_words(words, doc_id):
+        """The ground-truth contract (doc_parts ↔ extraction output) must
+        hold for ANY ≥9-word lowercase-alnum text, not just testdata."""
+        text = " ".join(words)
+        opts = Options(fast=True, comments=False, with_metadata=False,
+                       **RELAXED)
+        html = assemble_html(build_input_spans(doc_id, text, "en", "src1"))
+        res = bare_extraction(html, opts, doc_id=str(doc_id))
+        assert _got(res) == _want(expected_output_spans(doc_id, text)), text
