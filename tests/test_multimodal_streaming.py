@@ -194,3 +194,52 @@ def test_stateful_url_frontier(spark, tmp_path):
                                      for r in rows2}
     assert (("h1", "u3"), True) in {((r["host"], r["url"]), r["accepted"])
                                     for r in rows2}
+
+
+def test_discovery_on_reference_resources(spark):
+    """Run the discovery operators over the reference's own resource
+    fixtures (test/resources/*.xml|atom|rss|json)."""
+    import gzip
+    import pathlib
+    res = pathlib.Path("/root/reference/test/resources")
+    if not res.exists():
+        pytest.skip("resources missing")
+    from trafilatura_spark.sources.discovery import (
+        extract_feed_urls, extract_hreflang_urls, extract_sitemap_urls,
+        guess_sitemap_urls)
+
+    def df_of(name, text):
+        return spark.createDataFrame([(name, text)], ["source", "xml"])
+
+    sm = (res / "sitemap.xml").read_text()
+    urls = {r["url"] for r in
+            extract_sitemap_urls(df_of("sm", sm)).collect()}
+    assert urls and all(u.startswith("http") for u in urls)
+
+    sm_gz = gzip.decompress((res / "sitemap.xml.gz").read_bytes()).decode()
+    urls_gz = {r["url"] for r in
+               extract_sitemap_urls(df_of("smgz", sm_gz)).collect()}
+    assert urls_gz == urls  # same sitemap, compressed
+
+    atom = (res / "feed1.atom").read_text()
+    atom_urls = {r["url"] for r in
+                 extract_feed_urls(df_of("a", atom)).collect()}
+    assert "http://example.org/" in atom_urls
+
+    rss = (res / "feed2.rss").read_text()
+    rss_urls = {r["url"] for r in extract_feed_urls(df_of("r", rss)).collect()}
+    assert any("example" in u for u in rss_urls)
+
+    jf = (res / "feed.json").read_text()
+    json_urls = {r["url"] for r in extract_feed_urls(df_of("j", jf)).collect()}
+    assert json_urls
+
+    hre = (res / "sitemap-hreflang.xml").read_text()
+    de = {r["url"] for r in
+          extract_hreflang_urls(df_of("h", hre), lang="de").collect()}
+    assert "http://www.example.com/deutsch/page.html" in de
+    assert all("/english/" not in u for u in de)
+
+    guesses = guess_sitemap_urls("https://example.org/some/page")
+    assert guesses[0] == "https://example.org/sitemap.xml"
+    assert "https://example.org/sitemap_index.xml" in guesses

@@ -51,6 +51,38 @@ def extract_feed_urls(df: DataFrame, xml_col: str = "xml",
     return df.select(F.col(id_col), F.explode(links).alias("url")).distinct()
 
 
+# sitemaps.dart:44-50 default guesses
+SITEMAP_GUESSES = ["sitemap.xml", "sitemap.xml.gz", "sitemap",
+                   "sitemap_index.xml", "sitemap_news.xml"]
+
+# sitemaps.dart:15-21 hreflang alternates
+_HREFLANG_HREF = r'href="([^"]+)"'
+
+
+def guess_sitemap_urls(homepage: str) -> list[str]:
+    """Base URL + domain + candidate sitemap locations
+    (sitemaps.dart:219-289 sitemapSearch bootstrap)."""
+    from urllib.parse import urlparse
+    u = urlparse(homepage)
+    base = f"{u.scheme}://{u.netloc}"
+    return [f"{base}/{g}" for g in SITEMAP_GUESSES]
+
+
+def extract_hreflang_urls(df: DataFrame, xml_col: str = "xml",
+                          id_col: str = "source",
+                          lang: str | None = None) -> DataFrame:
+    """hreflang alternate links from sitemap XML (sitemaps.dart:324-368);
+    optional language filter on the hreflang attribute."""
+    pat = (rf'<xhtml:link[^>]*hreflang="{lang}[^"]*"[^>]*href="([^"]+)"'
+           if lang else r'<xhtml:link[^>]*href="([^"]+)"')
+    return (
+        df.select(F.col(id_col),
+                  F.explode(F.regexp_extract_all(F.col(xml_col),
+                                                 F.lit(pat), 1)).alias("url"))
+        .distinct()
+    )
+
+
 def same_domain(url_a: Column, url_b: Column) -> Column:
     """Same-host gate used by feed validation (feeds.dart:103-135)."""
     return F.parse_url(url_a, F.lit("HOST")) == F.parse_url(url_b, F.lit("HOST"))
