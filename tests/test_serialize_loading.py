@@ -141,3 +141,48 @@ def test_render_xml_wellformed():
     import xml.etree.ElementTree as ET
     body, _ = _result()
     ET.fromstring(render_xml(body, {"title": 'a"<b>&'}))
+
+
+def test_reference_encoding_resources():
+    """Decode the reference's own encoding fixtures
+    (test/resources/utf8.html, webpage.html.gz)."""
+    import pathlib
+    res = pathlib.Path("/root/reference/test/resources")
+    if not res.exists():
+        import pytest
+        pytest.skip("resources missing")
+    utf8 = decode_file((res / "utf8.html").read_bytes())
+    assert "<html" in utf8.lower() or "<!doctype" in utf8.lower()
+    gz = decode_file((res / "webpage.html.gz").read_bytes())
+    assert "<" in gz and len(gz) > 200
+    # the decoded gz page must extract
+    from trafilatura_spark.core import bare_extraction
+    from trafilatura_spark.settings import Options
+    r = bare_extraction(gz, Options(with_metadata=True))
+    assert r.status in ("ok", "empty")
+
+
+def test_reference_url_list_processing(spark):
+    """CLI URL-list semantics: process list minus discard list, dedup
+    (cli_utils.dart loadInputDict / deduplicateUrls analog)."""
+    import pathlib
+    res = pathlib.Path("/root/reference/test/resources")
+    if not res.exists():
+        import pytest
+        pytest.skip("resources missing")
+    from trafilatura_spark.sources.discovery import filter_known
+    from pyspark.sql import functions as F
+
+    def load(name):
+        urls = [(u.strip(),) for u in (res / name).read_text().splitlines()
+                if u.strip()]
+        return spark.createDataFrame(urls, ["url"])
+
+    todo = filter_known(load("list-process.txt"), load("list-discard.txt"))
+    got = {r["url"] for r in todo.collect()}
+    # exact-match anti-join: the discard list removes its exact twins only
+    assert "https://httpbin.org/status/404" not in got
+    assert "https://httpbin.org/status/200" in got
+    # redundant-urls: dropDuplicates collapses exact dupes
+    red = load("redundant-urls.txt")
+    assert red.dropDuplicates(["url"]).count() <= red.count()
