@@ -19,7 +19,14 @@ Queries come in two families (SURVEY.md §2, FIXTURES.md §4):
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make trafilatura_spark importable no matter the driver's cwd
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
