@@ -29,6 +29,10 @@ _P_CLOSERS = frozenset(
     "table ul".split()
 )
 
+_P_CLOSE_BARRIERS = frozenset(
+    ("div", "td", "th", "li", "body", "html", "#root",
+     "article", "section", "main", "blockquote"))
+
 # element -> set of open elements it implicitly closes
 _IMPLIED_END = {
     "li": frozenset(["li"]),
@@ -240,22 +244,25 @@ class _TreeBuilder(HTMLParser):
             cur.text += data
 
     def _implied_close(self, tag: str) -> None:
+        stack = self.stack
         if tag in _P_CLOSERS:
-            for node in reversed(self.stack[1:]):
-                if node.tag == "p":
-                    self._close_to(node)
+            for i in range(len(stack) - 1, 0, -1):
+                t = stack[i].tag
+                if t == "p":
+                    del stack[i:]
                     break
-                if node.tag in ("div", "td", "th", "li", "body", "html", "#root",
-                                "article", "section", "main", "blockquote"):
+                if t in _P_CLOSE_BARRIERS:
                     break
         closers = _IMPLIED_END.get(tag)
         if closers:
-            for node in reversed(self.stack[1:]):
-                if node.tag in closers:
-                    self._close_to(node)
+            barrier_tr = "tr" if tag in ("td", "th") else "table"
+            for i in range(len(stack) - 1, 0, -1):
+                t = stack[i].tag
+                if t in closers:
+                    del stack[i:]
                     break
-                if node.tag in ("table", "ul", "ol", "dl", "body", "html", "#root",
-                                "select", "tr" if tag in ("td", "th") else "table"):
+                if t in ("table", "ul", "ol", "dl", "body", "html", "#root",
+                         "select", barrier_tr):
                     break
 
     def _close_to(self, node: Node) -> None:
@@ -430,9 +437,10 @@ class _FastBuilder:
     def _handle_end(self, tag: str) -> None:
         if tag in VOID_ELEMENTS:
             return
-        for node in reversed(self.stack[1:]):
-            if node.tag == tag:
-                self._close_to(node)
+        stack = self.stack
+        for i in range(len(stack) - 1, 0, -1):
+            if stack[i].tag == tag:
+                del stack[i:]
                 return
 
 
