@@ -33,10 +33,14 @@ _CONTROL_TABLE[127] = None
 
 
 def trim(string: str) -> str:
-    """Collapse all whitespace runs to single spaces (utils.dart:352-358)."""
+    """Collapse all whitespace runs to single spaces (utils.dart:352-358).
+
+    ``' '.join(s.split())`` is semantically identical to the regex form
+    (both treat any unicode whitespace run as one separator and strip the
+    ends) and ~4x faster in CPython — this is the hottest text function."""
     if not string:
         return ""
-    return _WS_RE.sub(" ", string).strip()
+    return " ".join(string.split())
 
 
 def remove_control_characters(string: str) -> str:
