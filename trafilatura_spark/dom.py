@@ -192,14 +192,27 @@ class Node:
         self.parent = None
 
     def copy(self) -> "Node":
-        dup = Node(self.tag, dict(self.attrs))
-        dup.text = self.text
-        dup.tail = self.tail
-        for child in self.children:
-            c = child.copy()
-            c.parent = dup
-            dup.children.append(c)
-        return dup
+        # iterative deep copy (call-per-node recursion was a hot spot on
+        # real pages: tree surgery rollbacks copy whole subtrees)
+        root = Node(self.tag, dict(self.attrs) if self.attrs else {})
+        root.text = self.text
+        root.tail = self.tail
+        stack = [(self, root)]
+        pop = stack.pop
+        while stack:
+            src, dst = pop()
+            if not src.children:
+                continue
+            dst_children = dst.children
+            for child in src.children:
+                c = Node(child.tag,
+                         dict(child.attrs) if child.attrs else {}, dst)
+                c.text = child.text
+                c.tail = child.tail
+                dst_children.append(c)
+                if child.children:
+                    stack.append((child, c))
+        return root
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
         return f"<Node {self.tag} attrs={self.attrs} children={len(self.children)}>"
