@@ -220,6 +220,14 @@ def q_extract_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spans_flat(ex)
 
 
+def q_extract_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall focus: looser pruning must still produce exactly the
+    ground-truth spans on clean article pages (recall only ADDS content
+    when thresholds bite — here nothing extra exists to add)."""
+    ex = _extract(spark, sf_dir, focus="recall")
+    return _spans_flat(ex)
+
+
 def q_render_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """txt/markdown serialization of the extracted tree (xml_utils.dart
     xmltotxt re-expression — the engine's string-output sink)."""
@@ -665,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "discovery_sitemap": q_discovery_sitemap,
         "extract_precision": q_extract_precision,
+        "extract_recall": q_extract_recall,
     }
 
 
@@ -693,4 +702,5 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _ORACLE_MEDIA,
         "discovery_sitemap": _ORACLE_SITEMAP,
         "extract_precision": _ORACLE_EXTRACT_SPANS,
+        "extract_recall": _ORACLE_EXTRACT_SPANS,
     }
