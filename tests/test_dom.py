@@ -90,3 +90,68 @@ def test_script_style_cdata():
 def test_malformed_nesting_recovery():
     t = parse_html("<div><b>bold<i>both</b>italic?</i></div>")
     assert "bold" in get_body(t).text_content()
+
+
+def test_lone_apostrophe_in_attr_does_not_swallow_content():
+    # regression: a bare apostrophe inside a double-quoted attribute used
+    # to extend the tag to the next '>' chains until EOF, silently
+    # dropping everything after it (seen on theguardian.com cache page)
+    html = ('<html><head><meta content="it\'s a trap" name="description">'
+            '</head><body><p>alpha</p><p>beta gamma</p></body></html>')
+    t = parse_html(html)
+    assert get_body(t).text_content().strip() == "alphabeta gamma".replace("", "") or \
+        "beta gamma" in get_body(t).text_content()
+    metas = t.find_all("meta")
+    assert metas and metas[0].get("content") == "it's a trap"
+
+
+def test_gt_inside_quoted_attr():
+    t = parse_html('<body><img alt="a > b" src="x"><p>tail</p></body>')
+    body = get_body(t)
+    img = body.find_all("img")[0]
+    assert img.get("alt") == "a > b"
+    assert "tail" in body.text_content()
+
+
+def test_comment_wrapping_script_skipped():
+    # faz.net pattern: a huge <script> commented out with <!-- ... -->
+    html = ('<body><p>before</p><!-- <script>var a = "</p>junk";'
+            'if (i<t.length) {}</script> --><p>after</p></body>')
+    body = get_body(parse_html(html))
+    txt = body.text_content()
+    assert "before" in txt and "after" in txt
+    assert "junk" not in txt and "t.length" not in txt
+
+
+def test_fast_vs_stdlib_parity_on_cache_corpus():
+    """The fast builder and the stdlib fallback must agree (within 2%
+    total text length) on the real-page corpus.  faz.net.streaming.html
+    is exempt: it nests a 408 KB <script> inside an HTML comment, which
+    stdlib HTMLParser mis-tokenizes (ends the comment early and emits JS
+    as text) while the fast builder correctly skips the whole comment."""
+    import pathlib
+    from trafilatura_spark.dom import _FastBuilder, _TreeBuilder
+    from trafilatura_spark.sources.loading import decode_file
+    cache = pathlib.Path("/root/reference/test/cache")
+    if not cache.exists():
+        import pytest
+        pytest.skip("corpus missing")
+    known_stdlib_bugs = {"faz.net.streaming.html"}
+    divergent = []
+    for page in sorted(cache.glob("*.html")):
+        if page.name in known_stdlib_bugs:
+            continue
+        html = decode_file(page.read_bytes())
+        fb = _FastBuilder()
+        fb.feed(html)
+        tb = _TreeBuilder()
+        try:
+            tb.feed(html)
+            tb.close()
+        except Exception:
+            continue
+        fl = len(fb.root.text_content())
+        tl = len(tb.root.text_content())
+        if tl and abs(fl - tl) / max(tl, 1) > 0.02:
+            divergent.append((page.name, fl, tl))
+    assert not divergent, divergent

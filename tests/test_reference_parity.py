@@ -166,8 +166,8 @@ def test_cache_metadata_coverage_floors():
         for k in counts:
             if res.meta.get(k):
                 counts[k] += 1
-    floors = {"title": 0.95, "url": 0.80, "date": 0.60, "author": 0.50,
-              "sitename": 0.85, "description": 0.75}
+    floors = {"title": 0.99, "url": 0.85, "date": 0.70, "author": 0.60,
+              "sitename": 0.90, "description": 0.80}
     for k, floor in floors.items():
         assert counts[k] / n >= floor, (k, counts[k], n)
 

@@ -389,14 +389,17 @@ class _FastBuilder:
                     self._add_text(s[lt:])
                     break
                 seg = s[lt + 1:gt]
-                # a quoted attribute value may contain '>': extend until
-                # quotes balance
-                while (seg.count('"') % 2 or seg.count("'") % 2):
-                    gt2 = find(">", gt + 1)
-                    if gt2 < 0:
-                        break
-                    gt = gt2
-                    seg = s[lt + 1:gt]
+                # a quoted attribute value may contain '>': odd quote
+                # parity in the fast slice means the first '>' may sit
+                # inside a value (or a value holds a bare apostrophe) —
+                # resolve with a real quote-state scan instead of blindly
+                # extending to the next '>' (which swallowed page content
+                # whenever an attribute held a lone apostrophe)
+                if seg.count('"') % 2 or seg.count("'") % 2:
+                    gt2 = _scan_tag_end(s, lt + 1, n)
+                    if gt2 >= 0:
+                        gt = gt2
+                        seg = s[lt + 1:gt]
                 self_closing = seg.endswith("/")
                 if self_closing:
                     seg = seg[:-1]
@@ -455,6 +458,36 @@ class _FastBuilder:
             if stack[i].tag == tag:
                 del stack[i:]
                 return
+
+
+def _scan_tag_end(s: str, start: int, n: int) -> int:
+    """Index of the ``>`` terminating a start tag whose attrs may hold quotes.
+
+    Quote state opens only when a quote char directly follows ``=``
+    (whitespace allowed between), mirroring the HTML5 tokenizer's
+    before-attribute-value state — so ``content="it's fine"`` closes at the
+    real ``>`` and a lone apostrophe never swallows the rest of the page.
+    """
+    quote = ""
+    after_eq = False
+    i = start
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = ""
+        elif ch == ">":
+            return i
+        elif ch == '"' or ch == "'":
+            if after_eq:
+                quote = ch
+            after_eq = False
+        elif ch == "=":
+            after_eq = True
+        elif not ch.isspace():
+            after_eq = False
+        i += 1
+    return -1
 
 
 import re as _re_mod
