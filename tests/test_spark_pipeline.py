@@ -195,3 +195,23 @@ def test_torn_wave_scrubbed_on_resume(spark, sf_dir, tmp_path):
     res = spark.read.parquet(out)
     assert res.count() == full
     assert res.select("doc_id").distinct().count() == full
+
+
+def test_first_wave_torn_crash_scrubbed(spark, sf_dir, tmp_path):
+    """A crash during the FIRST wave (output written, progress table never
+    created) must also scrub: previously the scrub was skipped whenever the
+    progress table was empty, so a restart duplicated the orphan rows."""
+    out, prog = str(tmp_path / "fo"), str(tmp_path / "fp")
+    docs = synthesize_documents_df(spark, sf_dir)
+    run_extraction(spark, docs, out, prog, "f1", RELAXED,
+                   n_buckets=4, wave_size=2)
+    full = spark.read.parquet(out).count()
+    # simulate: crash after the first wave's output append, before any
+    # progress append — orphan partitions, NO progress table at all
+    shutil.rmtree(prog)
+    s = run_extraction(spark, docs, out, prog, "f2", RELAXED,
+                       n_buckets=4, wave_size=2)
+    assert s["scrubbed_torn_buckets"] == 4
+    res = spark.read.parquet(out)
+    assert res.count() == full
+    assert res.select("doc_id").distinct().count() == full

@@ -30,7 +30,7 @@ import os
 import sys
 import time
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from .operators.pipeline import extract_documents, extraction_metrics  # noqa: F401
 from .operators.pipeline import make_extract_batches, EXTRACTED_SCHEMA
@@ -85,6 +85,11 @@ def read_html_dir(spark: SparkSession, input_path: str,
     return binary.mapInPandas(to_docs, DOCUMENTS_SCHEMA)
 
 
+_PROGRESS_SCHEMA = ("run_id string, bucket int, docs long, fallback_docs long, "
+                    "empty_docs long, error_docs long, fallback_rate double, "
+                    "empty_rate double, lineage string")
+
+
 def _scrub_uncommitted(spark: SparkSession, output_path: str,
                        pending: list[int]) -> int:
     """Delete output partitions of buckets with NO progress row: a crash
@@ -135,7 +140,10 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
 
     done = _committed_buckets(spark, progress_path)
     pending = [b for b in range(n_buckets) if b not in done]
-    scrubbed = _scrub_uncommitted(spark, output_path, pending) if done else 0
+    # unconditional: a crash during the FIRST wave leaves orphan output
+    # partitions with an empty progress table; fs.exists() makes this a
+    # no-op on a genuinely fresh run
+    scrubbed = _scrub_uncommitted(spark, output_path, pending)
     summary = {"run_id": run_id, "resumed_buckets": len(done),
                "scrubbed_torn_buckets": scrubbed,
                "processed_buckets": 0, "docs": 0, "waves": 0}
@@ -155,29 +163,42 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
             wave_df.mapInPandas(extract_fn, EXTRACTED_SCHEMA)
             .withColumn("bucket", bucket_col)
         )
-        extracted.write.mode("append").partitionBy("bucket").parquet(output_path)
+        # per-bucket metrics ride the write itself as observe() accumulator
+        # expressions (4 per bucket in the wave) — ONE pass over the data;
+        # the old shape re-read the just-written output, a full second scan
+        # of everything written at 100 TB
+        obs = Observation(f"wave-{i // wave_size}")
+        fallback = F.col("tier").isin("baseline", "readability", "justext")
+        exprs = []
+        for b in wave:
+            hit = F.col("bucket") == b
+            exprs += [
+                F.sum(hit.cast("long")).alias(f"docs_{b}"),
+                F.sum((hit & fallback).cast("long")).alias(f"fb_{b}"),
+                F.sum((hit & (F.col("status") == "empty")).cast("long")
+                      ).alias(f"empty_{b}"),
+                F.sum((hit & (F.col("status") == "error")).cast("long")
+                      ).alias(f"err_{b}"),
+            ]
+        observed = extracted.observe(obs, *exprs)
+        observed.write.mode("append").partitionBy("bucket").parquet(output_path)
 
-        out = spark.read.parquet(output_path).filter(F.col("bucket").isin(wave))
+        vals = obs.get
+        rows = []
+        for b in wave:
+            n_docs = int(vals[f"docs_{b}"] or 0)
+            rows.append((run_id, b, n_docs, int(vals[f"fb_{b}"] or 0),
+                         int(vals[f"empty_{b}"] or 0), int(vals[f"err_{b}"] or 0),
+                         (vals[f"fb_{b}"] or 0) / n_docs if n_docs else 0.0,
+                         (vals[f"empty_{b}"] or 0) / n_docs if n_docs else 0.0,
+                         lineage))
         wave_metrics = (
-            out.groupBy("bucket")
-            .agg(F.count("*").alias("docs"),
-                 F.sum(F.when(F.col("tier").isin("baseline", "readability",
-                                                 "justext"), 1).otherwise(0)
-                       ).alias("fallback_docs"),
-                 F.sum(F.when(F.col("status") == "empty", 1).otherwise(0)
-                       ).alias("empty_docs"),
-                 F.sum(F.when(F.col("status") == "error", 1).otherwise(0)
-                       ).alias("error_docs"))
-            .withColumn("fallback_rate", F.col("fallback_docs") / F.col("docs"))
-            .withColumn("empty_rate", F.col("empty_docs") / F.col("docs"))
-            .withColumn("run_id", F.lit(run_id))
-            .withColumn("lineage", F.lit(lineage))
+            spark.createDataFrame(rows, schema=_PROGRESS_SCHEMA)
             .withColumn("committed_at", F.current_timestamp())
         )
         wave_metrics.write.mode("append").parquet(progress_path)
-        counts = wave_metrics.agg(F.sum("docs")).collect()[0][0] or 0
         summary["processed_buckets"] += len(wave)
-        summary["docs"] += counts
+        summary["docs"] += sum(r[2] for r in rows)
         summary["waves"] += 1
     return summary
 
