@@ -186,3 +186,15 @@ def test_reference_url_list_processing(spark):
     # redundant-urls: dropDuplicates collapses exact dupes
     red = load("redundant-urls.txt")
     assert red.dropDuplicates(["url"]).count() <= red.count()
+
+
+def test_is_similar_domain_reference_formula():
+    # deduplication.dart:14-48: strip ANY trailing extension, score
+    # 2*matches/(len_a+len_b) with set-membership char matching
+    from trafilatura_spark.operators.deduplication import is_similar_domain
+    # shifted-by-one strings share all chars -> ratio 1.0 (positional
+    # matching scored ~0 here before the port)
+    assert is_similar_domain("abcdef.com", "bcdefa.org")
+    # arbitrary (non-listed) extensions are stripped too
+    assert is_similar_domain("example.travel", "example.museum")
+    assert not is_similar_domain("xyz.com", "abba.net")

@@ -159,7 +159,9 @@ def test_per_doc_dedup_option():
     assert sum(1 for s in res.spans if s["text"] == seg) == 5
     res2 = bare_extraction(html, Options(with_metadata=False, dedup=True,
                                          min_output_size=1))
-    assert sum(1 for s in res2.spans if s["text"] == seg) == 2
+    # reference semantics (deduplication.dart:335-349): count tested
+    # BEFORE increment -> max_repetitions+1 copies kept
+    assert sum(1 for s in res2.spans if s["text"] == seg) == 3
     assert [s["offset"] for s in res2.spans] == list(range(len(res2.spans)))
 
 

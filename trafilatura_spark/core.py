@@ -214,17 +214,18 @@ def bare_extraction(filecontent: str, options: Options | None = None,
         )
         if options.dedup:
             # deterministic per-document duplicateTest
-            # (deduplication.dart:335-349): occurrences of a long-enough
-            # segment beyond max_repetitions are dropped.  The reference's
-            # cross-document LRU is order-dependent and lives as a
-            # relational stage instead (functions/dedup.py).
+            # (deduplication.dart:335-349): the reference tests the cached
+            # count BEFORE incrementing, so max_repetitions+1 copies are
+            # kept and occurrences beyond that are dropped.  The
+            # reference's cross-document LRU is order-dependent and lives
+            # as a relational stage instead (functions/dedup.py).
             counts: dict = {}
             kept = []
             for s in result.spans:
                 if len(s["text"]) > options.min_duplcheck_size:
                     seen = counts.get(s["text"], 0) + 1
                     counts[s["text"]] = seen
-                    if seen > options.max_repetitions:
+                    if seen - 1 > options.max_repetitions:
                         continue
                 kept.append(s)
             for i, s in enumerate(kept):

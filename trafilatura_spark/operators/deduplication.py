@@ -94,25 +94,23 @@ def content_fingerprint(content: str) -> str:
     return format(simhash(content), "x")
 
 
-_DOMAIN_EXTENSIONS = (".com", ".org", ".net", ".info", ".co")
+_STRIP_EXTENSION_RE = re.compile(r"\.[^/?#]{2,63}$")
 
 
 def _strip_extension(domain: str) -> str:
-    for ext in _DOMAIN_EXTENSIONS:
-        if domain.endswith(ext):
-            return domain[: -len(ext)]
-    idx = domain.rfind(".")
-    return domain[:idx] if idx > 0 else domain
+    return _STRIP_EXTENSION_RE.sub("", domain)
 
 
 def is_similar_domain(a: str, b: str, threshold: float = 0.5) -> bool:
-    """Char-overlap ratio >= threshold on extension-stripped domains
-    (deduplication.dart:20-48)."""
-    a, b = _strip_extension(a.lower()), _strip_extension(b.lower())
+    """Sequence-ratio >= threshold on extension-stripped domains
+    (deduplication.dart:14-48): strip any trailing ``.xxx`` extension,
+    then score ``2*matches/(len_a+len_b)`` where matches counts chars of
+    ``a`` present anywhere in ``b`` (set membership)."""
+    a, b = _strip_extension(a), _strip_extension(b)
+    if not a and not b:
+        return True
     if not a or not b:
         return False
-    if a == b:
-        return True
-    shorter, longer = (a, b) if len(a) <= len(b) else (b, a)
-    matches = sum(1 for i, ch in enumerate(shorter) if i < len(longer) and longer[i] == ch)
-    return matches / len(longer) >= threshold
+    b_set = set(b)
+    matches = sum(1 for ch in a if ch in b_set)
+    return (2.0 * matches) / (len(a) + len(b)) >= threshold
