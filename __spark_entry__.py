@@ -413,9 +413,16 @@ sh AS (
 
 _ORACLE_DEDUP_MINHASH = f"""
 WITH {_DUPED}, {_SHINGLES},
+hashed AS (
+    SELECT doc_id, md5(shingle) AS h0 FROM sh
+),
 seeded AS (
-    SELECT doc_id, s.seed, md5(shingle || '#' || s.seed) AS h
-    FROM sh, LATERAL (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS seed) s
+    -- one md5 per shingle; per-seed value = digest rotated left by 4*seed
+    -- hex chars (mirrors minhash_signatures)
+    SELECT doc_id, s.seed,
+           substr(h0, s.seed * 4 + 1, 32 - s.seed * 4)
+           || substr(h0, 1, s.seed * 4) AS h
+    FROM hashed, LATERAL (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS seed) s
 ),
 sig AS (
     SELECT doc_id, list(mh ORDER BY seed) AS sig

@@ -77,18 +77,25 @@ def word_shingles(text_col: str, k: int = 3) -> Column:
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 8,
                        k: int = 3) -> DataFrame:
-    """(id, sig array<string>): per seed s, min over shingles of
-    md5(shingle || '#' || s).  Lexicographic min over hex strings ==
-    numeric min over the 128-bit hash — identical in any SQL engine."""
+    """(id, sig array<string>): ONE md5 per shingle; the per-seed value is
+    the digest rotated left by ``4*seed`` hex chars, so each seed's min is
+    driven by a disjoint 16-bit leading chunk of the same digest —
+    approximately independent permutations at 1/n_hashes the hash work of
+    one-md5-per-seed.  Lexicographic min over hex strings == numeric min;
+    the rotation (two substrings + concat) reproduces bit-for-bit in any
+    SQL engine."""
+    if n_hashes > 8:
+        raise ValueError("n_hashes > 8 would reuse rotation offsets")
     shingled = df.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, k))
                                  ).alias("shingle"))
+    h = F.md5("shingle")
     # one shuffle: n_hashes map-side-combined min-aggregates instead of an
     # n_hashes-way seed explode (same values, 1/n_hashes the shuffle rows)
-    mins = shingled.groupBy(id_col).agg(*[
-        F.min(F.md5(F.concat_ws("#", "shingle", F.lit(str(seed))))
-              ).alias(f"mh{seed}")
-        for seed in range(n_hashes)
+    mins = shingled.select(id_col, h.alias("h")).groupBy(id_col).agg(*[
+        F.min(F.concat(F.substring("h", 4 * s + 1, 32 - 4 * s),
+                       F.substring("h", 1, 4 * s))).alias(f"mh{s}")
+        for s in range(n_hashes)
     ])
     return mins.select(
         id_col,
@@ -97,9 +104,15 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                         band_size: int = 2) -> DataFrame:
-    """Band the signature, hash each band, self-join on (band, hash).
-    Returns distinct (id_a < id_b) candidate pairs."""
-    n = None  # bands derived from signature length at plan time via posexplode
+    """Band the signature, hash each band, group by (band, hash) and emit
+    all in-bucket pairs.  Returns distinct (id_a < id_b) candidate pairs.
+
+    A groupBy + in-bucket pair explode instead of a bands⋈bands self-join:
+    same output set, but the signature subtree is evaluated ONCE (the
+    self-join re-ran the whole minhash computation for each side) and one
+    shuffle replaces join-both-sides.  Bucket sizes are small by LSH
+    construction; a pathological bucket (e.g. a corpus-wide boilerplate
+    signature) produces quadratic pairs under either formulation."""
     bands = sig_df.select(
         F.col(id_col),
         F.posexplode(
@@ -111,12 +124,23 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
             )
         ).alias("band_idx", "band_hash"),
     )
-    left = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
-    right = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    buckets = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    n = F.size("ids")
+    pair_structs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.slice("ids", i + 1, n),
+            lambda x: F.struct(F.element_at("ids", i).alias("id_a"),
+                               x.alias("id_b")),
+        ),
+    ))
     return (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -125,17 +149,35 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 3,
                   threshold: float = 0.0) -> DataFrame:
     """Exact k-shingle Jaccard for candidate pairs (verification stage).
-    ``round(.., 6)`` keeps float hashing stable across engines."""
-    sets = df.select(F.col(id_col),
-                     F.array_distinct(word_shingles(text_col, k)).alias("sh"))
-    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    ``round(.., 6)`` keeps float hashing stable across engines.
+
+    Shape: explode each pair into (pair, side, doc_id) rows, broadcast
+    them into a join against the RAW docs, and only then shingle — so the
+    corpus is scanned once, shingling touches candidate docs only, and the
+    two-sided sets⋈pairs⋈sets diamond (which shuffled full shingle arrays
+    through two joins and re-ran the shingle scan per side) is gone."""
+    roles = pairs.select(
+        "id_a", "id_b",
+        F.explode(F.array(
+            F.struct(F.col("id_a").alias("doc_id"), F.lit("a").alias("side")),
+            F.struct(F.col("id_b").alias("doc_id"), F.lit("b").alias("side")),
+        )).alias("r"),
+    ).select("id_a", "id_b", F.col("r.doc_id").alias("_cand_id"),
+             F.col("r.side").alias("side"))
+    cand = df.join(F.broadcast(roles), F.col(id_col) == F.col("_cand_id"))
+    sets = cand.select(
+        "id_a", "id_b", "side",
+        F.array_distinct(word_shingles(text_col, k)).alias("sh"))
+    per_pair = sets.groupBy("id_a", "id_b").agg(
+        F.first(F.when(F.col("side") == "a", F.col("sh")),
+                ignorenulls=True).alias("sh_a"),
+        F.first(F.when(F.col("side") == "b", F.col("sh")),
+                ignorenulls=True).alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        pairs.join(a, "id_a").join(b, "id_b")
-        .select("id_a", "id_b",
-                F.round(inter / union, 6).alias("jaccard"))
+        per_pair.select("id_a", "id_b",
+                        F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
