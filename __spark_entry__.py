@@ -220,6 +220,39 @@ def q_extract_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spans_flat(ex)
 
 
+def _fallback_family(spark: SparkSession, sf_dir: str,
+                     template: str) -> DataFrame:
+    """fast=False oracle family: pages built to defeat the main cascade so
+    the compare_extraction decision table (external.dart:36-115) picks the
+    readability or justext tier.  The ``tier`` column rides the hash
+    compare, so a doc silently taking a different path fails the oracle.
+    Restricted to >= 15-word docs (shorter docs legitimately route
+    differently through the decision table)."""
+    from trafilatura_spark.operators.pipeline import extract_documents
+    docs = synthesize_documents_df(spark, sf_dir, template=template)
+    ex = extract_documents(docs, Options(fast=False, comments=False,
+                                         with_metadata=False, **RELAXED))
+    eligible = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .filter(F.size(F.split("text", " ")) >= 15)
+                .select("doc_id"))
+    flat = ex.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     "tier", F.explode("spans").alias("s")) \
+             .select("doc_id", "tier",
+                     F.col("s.offset").cast("long").alias("offset"),
+                     F.col("s.kind").alias("kind"),
+                     F.col("s.text").alias("text"),
+                     F.col("s.media_ref").alias("media_ref"))
+    return flat.join(F.broadcast(eligible), "doc_id")
+
+
+def q_extract_fallback_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fallback_family(spark, sf_dir, "fallback_readability")
+
+
+def q_extract_fallback_justext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fallback_family(spark, sf_dir, "fallback_justext")
+
+
 def q_extract_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall focus: looser pruning must still produce exactly the
     ground-truth spans on clean article pages (recall only ADDS content
@@ -387,6 +420,33 @@ duped AS (
     UNION ALL
     SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
 )
+"""
+
+_ORACLE_FALLBACK_READABILITY = f"""
+WITH {_PARTS},
+elig AS (
+    SELECT d.doc_id, d.para1 || ' ' || d.para2 AS body
+    FROM derived d JOIN parts p ON d.doc_id = p.doc_id
+    WHERE p.n >= 15
+)
+SELECT * FROM (
+    SELECT doc_id, 'readability' AS tier, 0::BIGINT AS "offset",
+           'row' AS kind, '' AS text, '' AS media_ref FROM elig
+    UNION ALL
+    SELECT doc_id, 'readability', 1::BIGINT, 'cell', body, '' FROM elig
+) ORDER BY doc_id, "offset"
+"""
+
+_ORACLE_FALLBACK_JUSTEXT = f"""
+WITH {_PARTS},
+elig AS (
+    SELECT d.doc_id, d.para1 || ' ' || d.para2 AS body
+    FROM derived d JOIN parts p ON d.doc_id = p.doc_id
+    WHERE p.n >= 15
+)
+SELECT doc_id, 'justext' AS tier, 0::BIGINT AS "offset",
+       'p' AS kind, body AS text, '' AS media_ref
+FROM elig ORDER BY doc_id
 """
 
 _ORACLE_DEDUP_EXACT = f"""
@@ -681,6 +741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery_sitemap": q_discovery_sitemap,
         "extract_precision": q_extract_precision,
         "extract_recall": q_extract_recall,
+        "extract_fallback_readability": q_extract_fallback_readability,
+        "extract_fallback_justext": q_extract_fallback_justext,
     }
 
 
@@ -710,4 +772,6 @@ def oracle_sql() -> dict[str, str]:
         "discovery_sitemap": _ORACLE_SITEMAP,
         "extract_precision": _ORACLE_EXTRACT_SPANS,
         "extract_recall": _ORACLE_EXTRACT_SPANS,
+        "extract_fallback_readability": _ORACLE_FALLBACK_READABILITY,
+        "extract_fallback_justext": _ORACLE_FALLBACK_JUSTEXT,
     }

@@ -35,7 +35,10 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "8"))
-BOILER = 8          # page-weight multiplier (≈4-5 KB pages)
+BOILER = 16         # page-weight multiplier (≈9 KB pages — closer to real
+                    # web pages; also puts per-doc parse work in honest
+                    # proportion to Arrow transfer, which 4 KB toy pages
+                    # understate)
 ARROW_BATCH = 1024
 
 
@@ -92,6 +95,12 @@ def _mp_control(n_lo: int, n_hi: int) -> float | None:
     _CONTROL_HTMLS = htmls * 3
 
     def rate(nproc: int) -> float:
+        # pin to nproc CPUs (children inherit): same N-core-node emulation
+        # as the Spark probe, so the control measures the box's true ceiling
+        try:
+            os.sched_setaffinity(0, range(nproc))
+        except (AttributeError, OSError):
+            pass
         with mp.Pool(nproc) as pool:
             pool.map(_control_work, [(0, 50)] * nproc)      # warm
             chunks = nproc * 8
@@ -105,6 +114,11 @@ def _mp_control(n_lo: int, n_hi: int) -> float | None:
         return round((r_hi / r_lo) / (n_hi / n_lo), 3)
     except Exception:
         return None
+    finally:
+        try:
+            os.sched_setaffinity(0, range(os.cpu_count() or 1))
+        except (AttributeError, OSError):
+            pass
 
 
 _CONTROL_HTMLS: list = []
@@ -121,7 +135,20 @@ def _control_work(args):
     return hi - lo
 
 
+def _pin_cpus(n: int) -> None:
+    """Restrict this process tree to CPUs 0..n-1.  The JVM and the Python
+    workers it spawns inherit the mask, so local[N] really means an N-core
+    node — without this, the lo-parallelism run free-rides on the other
+    cores (JVM GC, Arrow serving, py workers) and the measured scaling
+    ratio understates how the same job scales across real cluster sizes."""
+    try:
+        os.sched_setaffinity(0, range(n))
+    except (AttributeError, OSError):
+        pass
+
+
 def scaling_probe(cpus: int) -> None:
+    _pin_cpus(cpus)
     spark = _make_session(cpus)
     res = _extraction_run(spark, cpus, REPLICATE)
     spark.stop()

@@ -16,6 +16,8 @@ pipeline is exercisable end-to-end in tests and benchmarks.
 
 from __future__ import annotations
 
+import pandas as pd
+
 import hashlib
 import struct
 
@@ -75,11 +77,10 @@ def fake_media_bytes(media_ref: str, kind: str = "image") -> bytes:
 def with_fake_payloads(media: DataFrame, kind: str = "image") -> DataFrame:
     """Attach deterministic fake binary payloads (test/bench path; in
     production this is a broadcast-free join against the blob table)."""
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf(T.BinaryType(), PandasUDFType.SCALAR)
-    def gen(refs):
+    @pandas_udf(T.BinaryType())
+    def gen(refs: pd.Series) -> pd.Series:
         return refs.map(lambda r: fake_media_bytes(r, kind))
 
     return media.withColumn("content", gen("media_ref"))

@@ -13,9 +13,11 @@ from ..dom import Node
 
 # xpaths.dart:17-43
 BODY_CLASS_PATTERNS = [
+    # reference lists postContent/articleText/ArticleContent separately;
+    # matching here is on lowercased attrs, so each appears once
     "post-text", "post_text", "post-body", "post-entry", "postentry",
-    "post-content", "post_content", "postcontent", "postcontent",
-    "post_inner_wrapper", "article-text", "articletext", "articletext",
+    "post-content", "post_content", "postcontent",
+    "post_inner_wrapper", "article-text", "articletext",
     "entry-content", "article-content", "article__content", "article-body",
     "article__body", "articlebody", "articlecontent", "page-content",
     "text-content", "body-text", "article__container", "art-content",

@@ -145,6 +145,31 @@ def build_input_spans(doc_id: int, text: str, lang: str, source: str,
                       "offset": len(spans)})
         html(markup)
 
+    if template in ("fallback_readability", "fallback_justext"):
+        # Pages that defeat the main cascade so compare_extraction
+        # (external.dart:36-115) decides the outcome — used by the
+        # fast=False oracle families.  Content lives in a table cell
+        # (own_p == 0 in the main extraction); for the readability tier a
+        # tiny second cell makes len_algo != len_text so the own_p branch
+        # fires; for the justext tier a <time> marker in the cell poisons
+        # the readability output (sanitized-tag check, external.dart:93)
+        # and routes to the justext rescue.  Deterministic for docs with
+        # >= 15 words (shorter docs legitimately route differently —
+        # callers filter).
+        body_text = f"{para1} {para2}"
+        if template == "fallback_justext":
+            cellpart = (f"<tr><td>{body_text} "
+                        f'<time datetime="2024-01-01">tick</time></td></tr>')
+        else:
+            cellpart = (f"<tr><td>{body_text}</td></tr>"
+                        "<tr><td>ad box</td></tr>")
+        html(
+            f'<!DOCTYPE html><html lang="{lang}">{_head_section(doc_id, lang, source)}'
+            f'<body>{_NAV}<div id="page"><table>{cellpart}</table></div>'
+            f"{_FOOTER}</body></html>"
+        )
+        return spans
+
     if template == "bare":
         html(
             f'<!DOCTYPE html><html lang="{lang}">{_head_section(doc_id, lang, source)}'

@@ -9,6 +9,8 @@ runs as one Arrow-batched stage in front of extraction (raw crawl bytes
 
 from __future__ import annotations
 
+import pandas as pd
+
 import gzip
 import zlib
 
@@ -65,10 +67,10 @@ def decode_file(data: bytes) -> str:
 def decode_binary_documents(df: DataFrame, content_col: str = "content",
                             out_col: str = "html") -> DataFrame:
     """Spark stage: binary column → decoded text column (Arrow-batched)."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf(T.StringType(), PandasUDFType.SCALAR)
-    def dec(col):
+    @pandas_udf(T.StringType())
+    def dec(col: pd.Series) -> pd.Series:
         return col.map(lambda b: decode_file(bytes(b)) if b is not None else None)
 
     return df.withColumn(out_col, dec(content_col))
