@@ -227,3 +227,84 @@ def test_recall_mode_keeps_more():
     texts_b = " ".join(s["text"] for s in balanced.spans)
     texts_r = " ".join(s["text"] for s in recall.spans)
     assert len(texts_r) >= len(texts_b)
+
+
+# -- output-tree normalization (xml_utils.dart:65-192) ------------------------
+
+def _mk(tag, text="", tail="", children=(), attrs=None):
+    from trafilatura_spark.dom import Node
+    n = Node(tag, attrs or {})
+    n.text = text
+    n.tail = tail
+    for c in children:
+        c.parent = n
+        n.children.append(c)
+    return n
+
+
+def test_strip_double_tags_merges_nested_p():
+    from trafilatura_spark.operators.normalize import strip_double_tags
+    inner = _mk("p", text="inner")
+    outer = _mk("p", text="outer ", children=[inner])
+    body = _mk("body", children=[outer])
+    strip_double_tags(body)
+    assert [c.tag for c in outer.children] == []
+    assert outer.text == "outer  inner"  # base + ' ' + merged
+
+
+def test_strip_double_tags_respects_nesting_whitelist():
+    from trafilatura_spark.operators.normalize import strip_double_tags
+    inner = _mk("p", text="quoted para")
+    quote = _mk("quote", children=[inner])
+    outer = _mk("p", children=[quote])
+    body = _mk("body", children=[outer])
+    strip_double_tags(body)
+    # parent of the nested p is 'quote' (whitelisted) -> untouched
+    assert quote.children and quote.children[0].tag == "p"
+
+
+def test_remove_empty_elements_keeps_graphic_and_code_children():
+    from trafilatura_spark.operators.normalize import remove_empty_elements
+    empty_p = _mk("p", text="   ")
+    graphic = _mk("graphic", attrs={"src": "m-1"})
+    code = _mk("code", children=[_mk("lb")])
+    keep = _mk("p", text="real text")
+    body = _mk("body", children=[empty_p, graphic, code, keep])
+    remove_empty_elements(body)
+    tags = [c.tag for c in body.children]
+    assert tags == ["graphic", "code", "p"]
+    assert code.children[0].tag == "lb"  # child of <code> kept
+
+
+def test_remove_empty_elements_preserves_tail():
+    from trafilatura_spark.operators.normalize import remove_empty_elements
+    first = _mk("p", text="first")
+    empty = _mk("span", tail=" tail kept")
+    body = _mk("body", children=[first, empty])
+    remove_empty_elements(body)
+    assert [c.tag for c in body.children] == ["p"]
+    assert first.tail == " tail kept"
+
+
+def test_merge_with_parent_after_sibling():
+    from trafilatura_spark.operators.normalize import merge_with_parent
+    prev = _mk("hi", text="bold")
+    sub = _mk("p", text="merged", tail=" after")
+    parent = _mk("p", text="start ", children=[prev, sub])
+    merge_with_parent(sub)
+    assert [c.tag for c in parent.children] == ["hi"]
+    assert prev.tail == " merged after"
+
+
+def test_nested_headings_normalized_end_to_end():
+    from trafilatura_spark.core import bare_extraction
+    from trafilatura_spark.settings import Options
+    pad = "word " * 20
+    html = (f'<html lang="en"><head><title>t</title></head><body><article>'
+            f"<h2>big title <h3>sub title</h3> trailing</h2><p>{pad}</p>"
+            f"</article></body></html>")
+    res = bare_extraction(html, Options(with_metadata=False, min_output_size=1,
+                                        min_extracted_size=5, fast=True))
+    assert res.status == "ok"
+    assert res.spans[0]["kind"] == "head"
+    assert res.spans[0]["text"] == "big title sub title trailing"

@@ -23,6 +23,7 @@ from .operators.deduplication import content_fingerprint
 from .operators.fallbacks import compare_extraction
 from .operators.main_extractor import extract_comments, extract_content
 from .operators.metadata import extract_metadata
+from .operators.normalize import normalize_output_tree
 from .operators.render import emit_spans, render_txt
 from .operators.selectors import select_comment_elements
 from .settings import Options
@@ -205,6 +206,13 @@ def bare_extraction(filecontent: str, options: Options | None = None,
             result.status = "empty"
             result.tier = tier
             return result
+
+        # output normalization (xml_utils.dart:315-316 via controlXmlOutput):
+        # collapse nested head/code/p, drop word-char-less empties.  The
+        # reference runs this on the XML serialization path; the span table
+        # is this engine's serialization, so it runs before emit_spans (and
+        # thus also feeds render_txt — consistent across sinks).
+        normalize_output_tree(postbody, options.formatting)
 
         result.tier = tier
         result.spans = emit_spans(
