@@ -308,3 +308,23 @@ def test_nested_headings_normalized_end_to_end():
     assert res.status == "ok"
     assert res.spans[0]["kind"] == "head"
     assert res.spans[0]["text"] == "big title sub title trailing"
+
+
+def test_links_mode_preserves_mixed_inline_content():
+    """Pins the documented links=True deviation (SURVEY.md §2.6 waiver):
+    the Dart port keeps only the <a> children of a paragraph and drops
+    the surrounding text (main_extractor.dart:230-249); this engine
+    preserves the mixed text/ref flow in document order."""
+    from trafilatura_spark.core import bare_extraction
+    from trafilatura_spark.settings import Options
+    pad = "word " * 20
+    html = (f'<html lang="en"><head><title>t</title></head><body><article>'
+            f'<p>before <a href="https://x.example/t">the link</a> after</p>'
+            f"<p>{pad}</p></article></body></html>")
+    res = bare_extraction(html, Options(with_metadata=False, links=True,
+                                        min_output_size=1,
+                                        min_extracted_size=5, fast=True))
+    assert res.status == "ok"
+    # ref rendered markdown-style inside the paragraph, flanked by the
+    # non-link text the Dart port would drop
+    assert res.spans[0]["text"] == "before [the link](https://x.example/t) after"
