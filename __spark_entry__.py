@@ -306,6 +306,50 @@ def q_discovery_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.col("pos").cast("long").alias("pos"), "url")
 
 
+def q_discovery_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive sitemap-index expansion (sitemapSearch loop,
+    sitemaps.dart:267-283): per-source two-level sitemap tree (index →
+    chunk sitemaps → post URLs) built deterministically from documents,
+    expanded via the anti-join frontier loop."""
+    from trafilatura_spark.sources.discovery import expand_sitemaps
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = F.concat(F.lit("https://"), F.col("source"),
+                    F.lit(".example.com"))
+    chunked = docs.select(
+        "source",
+        F.concat(base, F.lit("/sitemap-"), F.col("doc_id") % 5,
+                 F.lit(".xml")).alias("child_url"),
+        F.struct("doc_id").alias("k"),
+        F.concat(F.lit("<url><loc>https://"), "source",
+                 F.lit(".example.com/posts/"), "doc_id",
+                 F.lit("</loc></url>")).alias("entry"))
+    children = (
+        chunked.groupBy("child_url")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("k", "entry"))),
+                        lambda s: s["entry"]), "").alias("body"))
+        .select(F.col("child_url").alias("url"),
+                F.concat(F.lit("<?xml version='1.0'?><urlset>"), "body",
+                         F.lit("</urlset>")).alias("xml"))
+    )
+    index = (
+        chunked.select("source", "child_url").distinct()
+        .groupBy("source")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list("child_url")),
+                        lambda u: F.concat(F.lit("<sitemap><loc>"), u,
+                                           F.lit("</loc></sitemap>"))),
+            "").alias("body"))
+        .select(F.concat(F.lit("https://"), "source",
+                         F.lit(".example.com/sitemap.xml")).alias("url"),
+                F.concat(F.lit("<?xml version='1.0'?><sitemapindex>"), "body",
+                         F.lit("</sitemapindex>")).alias("xml"))
+    )
+    fetched = children.unionByName(index)
+    seeds = index.select("url")
+    return expand_sitemaps(fetched, seeds).select("sitemap_url", "link")
+
+
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trafilatura_spark.functions.similarity import cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -632,6 +676,14 @@ SELECT source,
 FROM documents
 """
 
+_ORACLE_SITEMAP_INDEX = """
+SELECT DISTINCT
+       'https://' || source || '.example.com/sitemap-' || (doc_id % 5)
+           || '.xml' AS sitemap_url,
+       'https://' || source || '.example.com/posts/' || doc_id AS link
+FROM documents
+"""
+
 _ORACLE_KNN = """
 WITH q AS (
     SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -739,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_markdown": q_render_markdown,
         "media_features": q_media_features,
         "discovery_sitemap": q_discovery_sitemap,
+        "discovery_sitemap_index": q_discovery_sitemap_index,
         "extract_precision": q_extract_precision,
         "extract_recall": q_extract_recall,
         "extract_fallback_readability": q_extract_fallback_readability,
@@ -770,6 +823,7 @@ def oracle_sql() -> dict[str, str]:
         "render_markdown": _ORACLE_RENDER,
         "media_features": _ORACLE_MEDIA,
         "discovery_sitemap": _ORACLE_SITEMAP,
+        "discovery_sitemap_index": _ORACLE_SITEMAP_INDEX,
         "extract_precision": _ORACLE_EXTRACT_SPANS,
         "extract_recall": _ORACLE_EXTRACT_SPANS,
         "extract_fallback_readability": _ORACLE_FALLBACK_READABILITY,

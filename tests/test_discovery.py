@@ -1,0 +1,133 @@
+"""Sitemap recursion, robots.txt discovery, feed cascade tests
+(sitemaps.dart:53-368, feeds.dart:16-63+300-434) against the
+reference's own fixtures where available."""
+
+import pathlib
+
+import pytest
+
+REF = pathlib.Path("/root/reference/test/resources")
+
+
+def test_extract_robots_sitemaps():
+    from trafilatura_spark.sources.discovery import extract_robots_sitemaps
+    robots = (
+        "# comment\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Sitemap: https://example.org/sitemap.xml\n"
+        "sitemap: /sitemap2.xml   # trailing comment\n"
+        "Sitemap: https://example.org/sitemap.xml\n"   # dup dropped
+    )
+    got = extract_robots_sitemaps(robots, "https://example.org")
+    assert got == ["https://example.org/sitemap.xml",
+                   "https://example.org/sitemap2.xml"]
+    assert extract_robots_sitemaps(None, "https://example.org") == []
+    assert extract_robots_sitemaps("x" * 10_001, "https://example.org") == []
+
+
+def test_fix_relative_urls():
+    from trafilatura_spark.sources.discovery import fix_relative_urls
+    base = "https://example.org"
+    assert fix_relative_urls(base, "https://a/b") == "https://a/b"
+    assert fix_relative_urls(base, "//cdn.example.org/x") == \
+        "https://cdn.example.org/x"
+    assert fix_relative_urls(base + "/sub/dir", "/abs") == \
+        "https://example.org/abs"
+    assert fix_relative_urls(base, "rel.xml") == "https://example.org/rel.xml"
+
+
+def test_sitemap_cdata_loc(spark):
+    from pyspark.sql import functions as F
+    from trafilatura_spark.sources.discovery import sitemap_links
+    xml = (REF / "sitemap2.xml").read_text()
+    df = spark.createDataFrame([(xml,)], ["xml"])
+    links = df.select(F.explode(sitemap_links(F.col("xml"))).alias("l")) \
+        .collect()
+    got = [r["l"] for r in links]
+    assert "http://www.example.com/sitemap1.xml.gz" in got
+    assert "http://www.example.com/sitemap2.xml.gz" in got  # CDATA form
+
+
+def test_is_plausible_sitemap(spark):
+    from pyspark.sql import functions as F
+    from trafilatura_spark.sources.discovery import is_plausible_sitemap
+    rows = [
+        ("https://a/sitemap.xml", '<?xml version="1.0"?><urlset/>', True),
+        ("https://a/sitemap.xml", "<html><body>404 not found" + "x" * 150,
+         False),
+        ("https://a/sitemap.xml", "just text, not xml", False),
+        ("https://a/urls.txt", "https://a/1\nhttps://a/2", True),
+    ]
+    df = spark.createDataFrame([(u, c) for u, c, _ in rows], ["url", "xml"])
+    got = [r["p"] for r in df.select(
+        is_plausible_sitemap(F.col("url"), F.col("xml")).alias("p")).collect()]
+    assert got == [want for _, _, want in rows]
+
+
+def test_expand_sitemaps_recurses_index(spark):
+    from trafilatura_spark.sources.discovery import expand_sitemaps
+    index = ("<?xml version='1.0'?><sitemapindex>"
+             "<sitemap><loc>https://ex.org/child1.xml</loc></sitemap>"
+             "<sitemap><loc><![CDATA[https://ex.org/child2.xml]]></loc></sitemap>"
+             "</sitemapindex>")
+    child1 = ("<?xml version='1.0'?><urlset>"
+              "<url><loc>https://ex.org/page1</loc></url>"
+              "<url><loc>https://ex.org/page2</loc></url></urlset>")
+    # child2 chains to a grandchild sitemap plus one page
+    child2 = ("<?xml version='1.0'?><urlset>"
+              "<url><loc>https://ex.org/deeper.xml</loc></url>"
+              "<url><loc>https://ex.org/page3</loc></url></urlset>")
+    deeper = ("<?xml version='1.0'?><urlset>"
+              "<url><loc>https://ex.org/page4</loc></url></urlset>")
+    fetched = spark.createDataFrame(
+        [("https://ex.org/sitemap.xml", index),
+         ("https://ex.org/child1.xml", child1),
+         ("https://ex.org/child2.xml", child2),
+         ("https://ex.org/deeper.xml", deeper)],
+        ["url", "xml"])
+    seeds = spark.createDataFrame([("https://ex.org/sitemap.xml",)], ["url"])
+    pages = expand_sitemaps(fetched, seeds)
+    got = {r["link"] for r in pages.collect()}
+    assert got == {"https://ex.org/page1", "https://ex.org/page2",
+                   "https://ex.org/page3", "https://ex.org/page4"}
+
+
+def test_expand_sitemaps_respects_max_seen(spark):
+    from trafilatura_spark.sources.discovery import expand_sitemaps
+    index = ("<?xml version='1.0'?><sitemapindex>" + "".join(
+        f"<sitemap><loc>https://ex.org/c{i}.xml</loc></sitemap>"
+        for i in range(10)) + "</sitemapindex>")
+    children = [(f"https://ex.org/c{i}.xml",
+                 f"<?xml version='1.0'?><urlset><url>"
+                 f"<loc>https://ex.org/p{i}</loc></url></urlset>")
+                for i in range(10)]
+    fetched = spark.createDataFrame(
+        [("https://ex.org/sitemap.xml", index)] + children, ["url", "xml"])
+    seeds = spark.createDataFrame([("https://ex.org/sitemap.xml",)], ["url"])
+    # cap: 1 seed + at most 3 children fetched
+    pages = expand_sitemaps(fetched, seeds, max_sitemaps_seen=4)
+    assert pages.count() <= 3
+
+
+def test_expand_sitemaps_txt_fallback(spark):
+    from trafilatura_spark.sources.discovery import expand_sitemaps
+    fetched = spark.createDataFrame(
+        [("https://ex.org/urls", "https://ex.org/a\nhttps://ex.org/b\n")],
+        ["url", "xml"])
+    seeds = spark.createDataFrame([("https://ex.org/urls",)], ["url"])
+    got = {r["link"] for r in expand_sitemaps(fetched, seeds).collect()}
+    assert got == {"https://ex.org/a", "https://ex.org/b"}
+
+
+def test_reference_sitemap_fixture_roundtrip(spark):
+    from trafilatura_spark.sources.discovery import expand_sitemaps
+    xml = (REF / "sitemap.xml").read_text()
+    fetched = spark.createDataFrame([("https://www.sitemaps.org/sitemap.xml",
+                                      xml)], ["url", "xml"])
+    seeds = spark.createDataFrame([("https://www.sitemaps.org/sitemap.xml",)],
+                                  ["url"])
+    got = {r["link"] for r in expand_sitemaps(fetched, seeds).collect()}
+    assert "https://www.sitemaps.org/" in got
+    assert "https://www.sitemaps.org/protocol.html" in got
+    assert len(got) > 10

@@ -16,8 +16,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# sitemaps.dart:15-21: <loc>…</loc> entries
-_SITEMAP_LOC = r"<loc>(.*?)</loc>"
+# sitemaps.dart:15: <loc>…</loc> entries, CDATA-tolerant
+_SITEMAP_LOC = r"<loc>(?:<!\[CDATA\[)?(http.+?)(?:\]\]>)?</loc>"
+# sitemaps.dart:31: a <loc> link that is itself a (nested) sitemap
+DETECT_SITEMAP_LINK = r"\.xml(\..{2,4})?$|\.xml[?#]"
+# sitemaps.dart:28: xml/sitemap/urlset leader marks the XML sitemap format
+SITEMAP_FORMAT = r"^.{0,5}<\?xml|<sitemap|<urlset"
+# sitemaps.dart:34: plain-text sitemap fallback (one URL per line)
+_DETECT_TXT_LINKS = r"https?://[^\s<\"]+"
 # feeds.dart:39-63: RSS <link>…</link>, Atom <link … href="…">, and
 # JSON-feed "url": "…" entries
 _RSS_LINK = r"<link>(.*?)</link>"
@@ -81,6 +87,125 @@ def extract_hreflang_urls(df: DataFrame, xml_col: str = "xml",
                                                  F.lit(pat), 1)).alias("url"))
         .distinct()
     )
+
+
+def is_plausible_sitemap(url: Column, content: Column) -> Column:
+    """isPlausibleSitemap (sitemaps.dart:291-311): an .xml URL whose body
+    lacks the sitemap format marker, or an HTML page, is not a sitemap."""
+    scrubbed = F.regexp_replace(url, r"[?#].*$", "")
+    is_fmt = content.rlike(SITEMAP_FORMAT)
+    xml_url = scrubbed.rlike(r"\.xml\b")
+    htmlish = (F.length(content) > 150) & \
+        F.lower(F.substring(content, 1, 150)).contains("<html")
+    return content.isNotNull() & ~(xml_url & ~is_fmt) & ~htmlish
+
+
+def sitemap_links(xml_col: Column, max_links: int = 10_000) -> Column:
+    """All <loc> links of an XML sitemap, or the per-line URLs of a TXT
+    sitemap (process(), sitemaps.dart:160-177), capped at ``max_links``
+    per document (extractLinks cap, sitemaps.dart:128-139)."""
+    xml_links = F.regexp_extract_all(xml_col, F.lit(_SITEMAP_LOC), 1)
+    txt_links = F.regexp_extract_all(xml_col, F.lit(_DETECT_TXT_LINKS), 0)
+    links = F.when(xml_col.rlike(SITEMAP_FORMAT), xml_links) \
+             .otherwise(txt_links)
+    return F.slice(links, 1, max_links)
+
+
+def expand_sitemaps(fetched: DataFrame, seeds: DataFrame,
+                    url_col: str = "url", xml_col: str = "xml",
+                    max_sitemaps_seen: int = 10_000,
+                    max_rounds: int = 10,
+                    max_links: int = 10_000) -> DataFrame:
+    """Iterative sitemap-index expansion (the sitemapSearch loop,
+    sitemaps.dart:267-283) over a table of already-fetched sitemap
+    documents — same anti-join frontier shape as ``spider.bfs_frontier``.
+
+    ``fetched`` is (url, xml): the batch analog of the reference's
+    fetch() — at scale this is the crawl store, so each round is one
+    join + one regex scan, no Python in the loop.  <loc> links that are
+    themselves sitemaps (DETECT_SITEMAP_LINK) become the next frontier
+    (bounded by ``max_sitemaps_seen`` total, mirroring maxSitemapsSeen);
+    the rest accumulate as page URLs.  Returns distinct page URLs with
+    the sitemap URL they came from.
+    """
+    spark = fetched.sparkSession
+    frontier = seeds.select(url_col).distinct().persist()
+    seen = frontier
+    seen_count = frontier.count()
+    pages = None
+    for _ in range(max_rounds):
+        if seen_count == 0:
+            break
+        docs = fetched.join(F.broadcast(frontier), url_col) \
+            .filter(is_plausible_sitemap(F.col(url_col), F.col(xml_col)))
+        links = docs.select(
+            F.col(url_col).alias("sitemap_url"),
+            F.explode(sitemap_links(F.col(xml_col), max_links)).alias("link"),
+        ).distinct().persist()
+        pg = links.filter(~F.col("link").rlike(DETECT_SITEMAP_LINK))
+        pages = pg if pages is None else pages.unionByName(pg)
+        nested = (links.filter(F.col("link").rlike(DETECT_SITEMAP_LINK))
+                  .select(F.col("link").alias(url_col))
+                  .join(seen, url_col, "left_anti").distinct())
+        budget = max_sitemaps_seen - seen_count
+        if budget <= 0:
+            break
+        nested = nested.limit(budget).persist()
+        n = nested.count()
+        if n == 0:
+            break
+        seen = seen.unionByName(nested).persist()
+        seen_count += n
+        frontier = nested
+    if pages is None:
+        return spark.createDataFrame([], f"sitemap_url string, link string")
+    return pages.distinct()
+
+
+def extract_robots_sitemaps(robotstxt: str | None, baseurl: str) -> list[str]:
+    """Sitemap: directives from robots.txt (sitemaps.dart:324-366):
+    comment-stripped, case-insensitive key, deduped in order, relative
+    URLs resolved against the base."""
+    if robotstxt is None or len(robotstxt) > 10_000:
+        return []
+    candidates: list[str] = []
+    for line in robotstxt.split("\n"):
+        comment = line.find("#")
+        if comment >= 0:
+            line = line[:comment]
+        line = line.strip()
+        if not line:
+            continue
+        key, sep, value = line.partition(":")
+        if sep and key.strip().lower() == "sitemap":
+            value = value.strip()
+            if value:
+                candidates.append(value)
+    seen: set[str] = set()
+    out: list[str] = []
+    for url in candidates:
+        if url not in seen:
+            seen.add(url)
+            out.append(fix_relative_urls(baseurl, url))
+    return out
+
+
+def fix_relative_urls(baseurl: str, url: str) -> str:
+    """Resolve a possibly-relative URL against a base (feeds.dart:137-159):
+    protocol-relative gets https:, absolute paths get scheme://host, and
+    bare relatives append to the base."""
+    if url.startswith(("http://", "https://")):
+        return url
+    if url.startswith("//"):
+        return f"https:{url}"
+    if url.startswith("/"):
+        from urllib.parse import urlparse
+        u = urlparse(baseurl)
+        if u.scheme and u.netloc:
+            return f"{u.scheme}://{u.netloc}{url}"
+    if not baseurl.endswith("/"):
+        baseurl += "/"
+    return baseurl + url
 
 
 def same_domain(url_a: Column, url_b: Column) -> Column:
