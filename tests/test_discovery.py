@@ -226,3 +226,56 @@ def test_feed_links_df(spark):
                                ["url", "content"])
     got = {r["link"] for r in feed_links_df(df).collect()}
     assert got == {"http://example.org/p/1", "http://example.org/p/2"}
+
+
+# -- spider robots compliance (spider.dart:106-177) ---------------------------
+
+ROBOTS = """# example robots
+User-agent: *
+Disallow: /private/
+Disallow: /tmp/
+Allow: /private/public-bit/
+Crawl-delay: 2
+
+User-agent: specialcrawler
+Disallow: /
+"""
+
+
+def test_parse_robots_and_can_fetch():
+    from trafilatura_spark.sources.spider import can_fetch, parse_robots
+    rules = parse_robots(ROBOTS)
+    assert rules["disallow"] == ["/private/", "/tmp/"]
+    assert rules["allow"] == ["/private/public-bit/"]
+    assert rules["crawl_delay"] == 2.0
+    assert can_fetch(rules, "https://ex.org/articles/1")
+    assert not can_fetch(rules, "https://ex.org/private/x")
+    assert can_fetch(rules, "https://ex.org/private/public-bit/x")  # allow wins
+    # the specialcrawler block is not relevant for * / bot agents
+    assert can_fetch(rules, "https://ex.org/")
+
+
+def test_parse_robots_bot_block():
+    from trafilatura_spark.sources.spider import can_fetch, parse_robots
+    rules = parse_robots("User-agent: examplebot\nDisallow: /no-bots/\n")
+    assert not can_fetch(rules, "https://ex.org/no-bots/page")
+
+
+def test_filter_robots_frontier(spark):
+    from trafilatura_spark.sources.spider import filter_robots, robots_rules_df
+    robots = spark.createDataFrame([("ex.org", ROBOTS),
+                                    ("open.org", None)],
+                                   ["host", "robotstxt"])
+    rules = robots_rules_df(robots)
+    urls = spark.createDataFrame(
+        [("https://ex.org/articles/1",),
+         ("https://ex.org/private/x",),
+         ("https://ex.org/private/public-bit/x",),
+         ("https://open.org/anything",),
+         ("https://norobots.net/free",)],
+        ["url"])
+    got = {r["url"] for r in filter_robots(urls, rules).collect()}
+    assert got == {"https://ex.org/articles/1",
+                   "https://ex.org/private/public-bit/x",
+                   "https://open.org/anything",
+                   "https://norobots.net/free"}

@@ -68,3 +68,104 @@ def per_domain_quota(urls: DataFrame, url_col: str = "url",
     w = Window.partitionBy(host).orderBy(F.col(url_col))
     return (urls.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= quota).drop("_rn"))
+
+
+# -- robots.txt compliance (spider.dart:106-177 RobotRules) -------------------
+
+def parse_robots(content: str | None) -> dict:
+    """RobotRules.parse (spider.dart:116-151): comment-stripped,
+    lowercased lines; blocks gated on ``user-agent: *`` or agents
+    containing 'bot'; collects allow/disallow paths and crawl-delay."""
+    rules = {"allow": [], "disallow": [], "crawl_delay": None}
+    if not content:
+        return rules
+    relevant = False
+    for line in content.split("\n"):
+        comment = line.find("#")
+        if comment >= 0:
+            line = line[:comment]
+        line = line.strip().lower()
+        if not line:
+            continue
+        key, sep, value = line.partition(":")
+        if not sep:
+            continue
+        key, value = key.strip(), value.strip()
+        if key == "user-agent":
+            relevant = value == "*" or "bot" in value
+        elif relevant:
+            if key == "disallow" and value:
+                rules["disallow"].append(value)
+            elif key == "allow" and value:
+                rules["allow"].append(value)
+            elif key == "crawl-delay":
+                try:
+                    rules["crawl_delay"] = float(value)
+                except ValueError:
+                    pass
+    return rules
+
+
+def can_fetch(rules: dict, url: str) -> bool:
+    """RobotRules.canFetch (spider.dart:153-176): explicit allows win,
+    then disallow prefixes, default allow."""
+    from urllib.parse import urlparse
+    try:
+        path = urlparse(url).path
+    except ValueError:
+        return False
+    for allowed in rules["allow"]:
+        if path.startswith(allowed):
+            return True
+    for disallowed in rules["disallow"]:
+        if path.startswith(disallowed):
+            return False
+    return True
+
+
+def robots_rules_df(robots: DataFrame, host_col: str = "host",
+                    txt_col: str = "robotstxt") -> DataFrame:
+    """(host, allow, path) rule rows from a per-host robots.txt table —
+    Arrow-batched parse, so a million-host robots store stays
+    distributed."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for host, txt in zip(pdf[host_col], pdf[txt_col]):
+                parsed = parse_robots(txt)
+                for p in parsed["allow"]:
+                    rows.append((host, True, p))
+                for p in parsed["disallow"]:
+                    rows.append((host, False, p))
+            yield pd.DataFrame(rows, columns=["host", "allow", "path"])
+
+    return robots.mapInPandas(gen, "host string, allow boolean, path string")
+
+
+def filter_robots(urls: DataFrame, rules: DataFrame,
+                  url_col: str = "url") -> DataFrame:
+    """Robots row-filter for the frontier: keep URLs whose path hits an
+    allow prefix, or no disallow prefix, of their host's rules
+    (canFetch semantics relationally: allows win, default allow —
+    including hosts with no robots entry at all).
+
+    ``rules`` is the output of :func:`robots_rules_df`.  One broadcast-
+    able join on host + a per-URL aggregate; no Python in the loop."""
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit(""))
+    tagged = urls.select(F.col(url_col), host.alias("_host"),
+                         path.alias("_path"))
+    joined = tagged.join(rules, tagged["_host"] == rules["host"], "left")
+    hit = F.col("_path").startswith(F.col("path"))
+    verdict = (
+        joined.groupBy(url_col)
+        .agg(F.max(F.when(F.col("allow") & hit, 1).otherwise(0)
+                   ).alias("_allowed"),
+             F.max(F.when(~F.col("allow") & hit, 1).otherwise(0)
+                   ).alias("_disallowed"))
+        .filter((F.col("_allowed") == 1) | (F.col("_disallowed") == 0))
+        .select(url_col)
+    )
+    return urls.join(verdict, url_col, "left_semi")
