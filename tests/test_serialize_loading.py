@@ -198,3 +198,34 @@ def test_is_similar_domain_reference_formula():
     # arbitrary (non-listed) extensions are stripped too
     assert is_similar_domain("example.travel", "example.museum")
     assert not is_similar_domain("xyz.com", "abba.net")
+
+
+def test_render_tei_full_header():
+    """Full writeFullHeader field set (xml_utils.dart:598-813)."""
+    from trafilatura_spark.dom import Node
+    from trafilatura_spark.operators.serialize import render_tei
+    body = Node("body")
+    p = Node("p", {}, body)
+    p.text = "content"
+    body.children.append(p)
+    meta = {"title": "T", "author": "A", "sitename": "Site",
+            "hostname": "ex.org", "date": "2024-01-02", "url": "http://x",
+            "license": "CC-BY", "id": "doc-9", "fingerprint": "abcd1234",
+            "description": "desc", "categories": ["news"],
+            "tags": ["a", "b"]}
+    tei = render_tei(body, meta)
+    assert "<publisher>Site (ex.org)</publisher>" in tei
+    assert "<availability><p>CC-BY</p></availability>" in tei
+    assert '<note type="id">doc-9</note>' in tei
+    assert '<note type="fingerprint">abcd1234</note>' in tei
+    assert '<bibl type="sigle">Site, 2024-01-02</bibl>' in tei
+    assert "<bibl>T, Site, 2024-01-02</bibl>" in tei
+    assert "<biblFull>" in tei
+    assert '<term type="categories">news</term>' in tei
+    assert '<term type="tags">a,b</term>' in tei
+    assert '<date type="download"></date>' in tei
+    assert 'ident="Trafilatura"' in tei
+    assert '<div type="entry"><p>content</p></div>' in tei
+    # no license -> empty publicationStmt placeholder
+    tei2 = render_tei(body, {"title": "T"})
+    assert "<publicationStmt><p/></publicationStmt>" in tei2

@@ -7,8 +7,9 @@ the span table; these string formats exist for reference parity and for
 users consuming single-document outputs.  On Spark each is a per-row
 map — see :func:`serialize_column` for the DataFrame form.
 
-TEI output (xml_utils.dart:598-813) is deliberately out of scope for now
-(fixture-only in the reference, no test coverage depends on it).
+TEI output implements the reference's full writeFullHeader field set
+(xml_utils.dart:598-813) plus the checkTei invalid-tag merge
+(xml_utils.dart:348-392).
 """
 
 from __future__ import annotations
@@ -193,12 +194,27 @@ def _tei_prepare(node: Node) -> Node:
     return out
 
 
+def _publisher_string(meta: dict) -> str:
+    """_definePublisherString (xml_utils.dart:627-632)."""
+    sitename, hostname = meta.get("sitename"), meta.get("hostname")
+    if hostname and sitename:
+        return f"{sitename.strip()} ({hostname})"
+    return hostname or sitename or "N/A"
+
+
 def render_tei(body: Node, meta: dict | None = None,
                comments_body: Node | None = None) -> str:
-    """TEI P5 document (xml_utils.dart:598-813 buildTeiOutput /
-    writeFullHeader, abbreviated to the fields the reference populates)."""
+    """TEI P5 document with the full header field set
+    (xml_utils.dart:598-813 writeTeiTree + writeFullHeader): titleStmt,
+    publicationStmt with publisher/availability, notesStmt (id +
+    fingerprint), sourceDesc with sigle + biblFull, profileDesc with
+    abstract/keywords/download-date, encodingDesc application block;
+    body wrapped in ``div type=entry``."""
     meta = meta or {}
     g = lambda k: _esc(str(meta.get(k) or ""))  # noqa: E731
+    publisher = _esc(_publisher_string(meta))
+    sigle = ", ".join(x for x in (meta.get("sitename"), meta.get("date")) if x)
+    bibl = ", ".join(x for x in (meta.get("title"), sigle) if x)
     parts: list = [
         '<TEI xmlns="http://www.tei-c.org/ns/1.0">',
         "<teiHeader><fileDesc><titleStmt>",
@@ -207,31 +223,54 @@ def render_tei(body: Node, meta: dict | None = None,
     if meta.get("author"):
         parts.append(f"<author>{g('author')}</author>")
     parts.append("</titleStmt><publicationStmt>")
-    if meta.get("sitename"):
-        parts.append(f"<publisher>{g('sitename')}</publisher>")
     if meta.get("license"):
-        parts.append(f"<availability><licence>{g('license')}</licence>"
-                     "</availability>")
+        parts.append(f"<publisher>{publisher}</publisher>"
+                     f"<availability><p>{g('license')}</p></availability>")
     else:
         parts.append("<p/>")
-    parts.append("</publicationStmt><sourceDesc><bibl>")
-    parts.append(", ".join(x for x in (meta.get("sitename"),
-                                       meta.get("title"),
-                                       meta.get("date")) if x))
-    parts.append("</bibl>")
+    parts.append("</publicationStmt><notesStmt>")
+    if meta.get("id"):
+        parts.append(f'<note type="id">{g("id")}</note>')
+    if meta.get("fingerprint"):
+        parts.append(f'<note type="fingerprint">{g("fingerprint")}</note>')
+    parts.append("</notesStmt><sourceDesc>")
+    parts.append(f"<bibl>{_esc(bibl)}</bibl>")
+    parts.append(f'<bibl type="sigle">{_esc(sigle)}</bibl>')
+    parts.append('<biblFull><titleStmt>'
+                 f'<title type="main">{g("title")}</title>')
+    if meta.get("author"):
+        parts.append(f"<author>{g('author')}</author>")
+    parts.append("</titleStmt><publicationStmt>"
+                 f"<publisher>{publisher}</publisher>")
     if meta.get("url"):
         parts.append(f'<ptr type="URL" target="{_esc(meta["url"], True)}"/>')
-    parts.append("</sourceDesc></fileDesc>")
-    if meta.get("date") or meta.get("description"):
-        parts.append("<profileDesc>")
-        if meta.get("date"):
-            parts.append(f"<creation><date>{g('date')}</date></creation>")
-        if meta.get("description"):
-            parts.append(f"<abstract><p>{g('description')}</p></abstract>")
-        parts.append("</profileDesc>")
+    parts.append(f"<date>{g('date')}</date>"
+                 "</publicationStmt></biblFull>"
+                 "</sourceDesc></fileDesc>")
+    parts.append("<profileDesc>"
+                 f"<abstract><p>{g('description')}</p></abstract>")
+    categories, tags = meta.get("categories") or [], meta.get("tags") or []
+    if categories or tags:
+        parts.append("<textClass><keywords>")
+        if categories:
+            parts.append(f'<term type="categories">'
+                         f'{_esc(",".join(categories))}</term>')
+        if tags:
+            parts.append(f'<term type="tags">{_esc(",".join(tags))}</term>')
+        parts.append("</keywords></textClass>")
+    parts.append("<creation>"
+                 f'<date type="download">{g("filedate")}</date>'
+                 "</creation></profileDesc>")
+    parts.append('<encodingDesc><appInfo>'
+                 '<application version="0.1" ident="Trafilatura">'
+                 "<label>Trafilatura</label>"
+                 '<ptr target="https://github.com/adbar/trafilatura"/>'
+                 "</application></appInfo></encodingDesc>")
     parts.append("</teiHeader><text><body>")
+    parts.append('<div type="entry">')
     for child in _tei_prepare(body).children:
         _xml_elem(child, parts)
+    parts.append("</div>")
     if comments_body is not None and comments_body.children:
         parts.append('<div type="comments">')
         for child in _tei_prepare(comments_body).children:
