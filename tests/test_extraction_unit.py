@@ -328,3 +328,40 @@ def test_links_mode_preserves_mixed_inline_content():
     # ref rendered markdown-style inside the paragraph, flanked by the
     # non-link text the Dart port would drop
     assert res.spans[0]["text"] == "before [the link](https://x.example/t) after"
+
+
+def test_json_ld_salvage_full_zoo():
+    """Malformed JSON-LD regex salvage (json_metadata.dart:308-363):
+    author after ImageObject/Organization sub-object removal, @type ->
+    pagetype, comma-free publisher, articleSection, headline title,
+    normalizeJson unicode/HTML cleanup."""
+    from trafilatura_spark.operators.metadata import (
+        _extract_json_parse_error, normalize_json)
+    bad = ('{"@context":"https://schema.org","@type":"NewsArticle",'
+           '"author":{"@type":"ImageObject","name":"logo.png","url":"x"},'
+           '"author":{"@type":"Person","name":"Jane Q"},'
+           '"publisher":{"@type":"Organization","name":"Example News"},'
+           '"articleSection":"Politics",'
+           '"headline":"Big \\u0053tory" MALFORMED')
+    meta = {k: None for k in ("author", "sitename", "title", "pagetype")}
+    meta["categories"] = []
+    out = _extract_json_parse_error(bad, meta)
+    assert out["author"] == "Jane Q"          # not logo.png
+    assert out["sitename"] == "Example News"
+    assert out["pagetype"] == "newsarticle"
+    assert out["categories"] == ["Politics"]
+    # the reference's headline regex stops at the first backslash
+    # ([^"\\]+), so the escaped char is excluded — reference-exact
+    assert out["title"] == "Big"
+    assert normalize_json(r"a <b>c</b>\n d") == "a c d"
+
+
+def test_json_article_schema_complete():
+    from trafilatura_spark.operators.metadata import (
+        JSON_ARTICLE_SCHEMA, JSON_OGTYPE_SCHEMA)
+    # the reference's full 20-type zoo (json_metadata.dart:36-60)
+    assert len(JSON_ARTICLE_SCHEMA) == 20
+    for t in ("techarticle", "jobposting", "satiricalarticle", "report",
+              "blog", "discussionforumposting", "reviewnewsarticle"):
+        assert t in JSON_ARTICLE_SCHEMA
+    assert "faqpage" in JSON_OGTYPE_SCHEMA

@@ -78,12 +78,20 @@ OG_PROPERTIES = {
 }
 OG_AUTHOR = frozenset(["og:author", "og:article:author"])
 
-# json_metadata.dart:11-67 schema type tables
+# json_metadata.dart:11-67 schema type tables (full 20-type zoo)
 JSON_ARTICLE_SCHEMA = frozenset("""
-article backgroundnewsarticle blogposting medicalscholarlyarticle newsarticle
-opinionnewsarticle reportagenewsarticle scholarlyarticle socialmediaposting
-liveblogposting
+article advertisercontentarticle newsarticle analysisnewsarticle
+askpublicnewsarticle backgroundnewsarticle opinionnewsarticle
+reportagenewsarticle reviewnewsarticle report satiricalarticle
+scholarlyarticle medicalscholarlyarticle socialmediaposting blogposting
+liveblogposting discussionforumposting techarticle blog jobposting
 """.split())
+# json_metadata.dart:25-60 — webpage types + article types
+JSON_OGTYPE_SCHEMA = frozenset("""
+aboutpage checkoutpage collectionpage contactpage faqpage itempage
+medicalwebpage profilepage qapage realestatelisting searchresultspage
+webpage website
+""".split()) | JSON_ARTICLE_SCHEMA
 JSON_PUBLISHER_SCHEMA = frozenset(
     "newsmediaorganization organization webpage website".split()
 )
@@ -96,6 +104,14 @@ _JSON_AUTHOR_1 = re.compile(
     re.S,
 )
 _JSON_AUTHOR_2 = re.compile(r'"[Pp]erson"[^}]+?"names?".+?"([^"]+)', re.S)
+# json_metadata.dart:82-84 — strip nested ImageObject/Organization/WebPage
+# sub-objects before author salvage (their "name" fields are not authors)
+_JSON_AUTHOR_REMOVE = re.compile(
+    r',?(?:"\w+":?[:|,\[])?{?"@type":"(?:[Ii]mageObject|[Oo]rganization|'
+    r'[Ww]eb[Pp]age)",[^}\[]+}[\]|}]?')
+_JSON_TYPE_RE = re.compile(r'"@type"\s*:\s*"([^"]*)"', re.S)
+_JSON_REMOVE_HTML = re.compile(r"<[^>]+>")
+_JSON_UNICODE_REPLACE = re.compile(r"\\u([0-9a-fA-F]{4})")
 _JSON_PUBLISHER_RE = re.compile(r'"publisher":[^}]+?"name?\\?": ?\\?"([^"\\]+)', re.S)
 _JSON_CATEGORY_RE = re.compile(r'"articleSection": ?"([^"\\]+)', re.S)
 _JSON_NAME_RE = re.compile(r'"@type":"[Aa]rticle", ?"name": ?"([^"\\]+)', re.S)
@@ -398,28 +414,60 @@ def _extract_json(schema, meta: dict) -> dict:
     return meta
 
 
+def normalize_json(string: str) -> str:
+    """normalizeJson (json_metadata.dart:367-385): strip literal \\n/\\r/\\t,
+    decode \\uXXXX escapes, drop lone surrogates, unescape HTML entities,
+    strip tags, trim."""
+    from html import unescape
+    if "\\" in string:
+        string = string.replace("\\n", "").replace("\\r", "").replace("\\t", "")
+        string = _JSON_UNICODE_REPLACE.sub(
+            lambda m: chr(int(m.group(1), 16)), string)
+        string = "".join(c for c in string if not 0xD800 <= ord(c) <= 0xDFFF)
+        string = unescape(string)
+    if _JSON_REMOVE_HTML.search(string):
+        string = _JSON_REMOVE_HTML.sub("", string)
+    return trim(string)
+
+
 def _extract_json_parse_error(text: str, meta: dict) -> dict:
-    """Regex salvage on malformed JSON-LD (json_metadata.dart:289-330)."""
+    """Regex salvage on malformed JSON-LD (json_metadata.dart:308-363):
+    full zoo — author (after sub-object removal), @type → pagetype,
+    publisher, articleSection, name/headline title."""
     if meta["author"] is None:
+        cleaned = _JSON_AUTHOR_REMOVE.sub("", text)
         for rx in (_JSON_AUTHOR_1, _JSON_AUTHOR_2):
-            m = rx.search(text)
+            m = rx.search(cleaned)
             if m:
                 name = m.group(1) or (m.group(2) if rx.groups >= 2 and m.lastindex and m.lastindex >= 2 else None)
                 if name:
-                    meta["author"] = normalize_authors(meta["author"], name)
+                    meta["author"] = normalize_authors(meta["author"],
+                                                       normalize_json(name))
                     break
-    if meta["sitename"] is None:
+    if meta["pagetype"] is None and "@type" in text:
+        m = _JSON_TYPE_RE.search(text)
+        if m:
+            candidate = normalize_json(m.group(1).lower())
+            if candidate in JSON_OGTYPE_SCHEMA:
+                meta["pagetype"] = candidate
+    if meta["sitename"] is None and '"publisher"' in text:
         m = _JSON_PUBLISHER_RE.search(text)
-        if m and _json_plausible_sitename(meta, m.group(1)):
-            meta["sitename"] = m.group(1)
+        if m and "," not in m.group(1):
+            candidate = normalize_json(m.group(1))
+            if _json_plausible_sitename(meta, candidate):
+                meta["sitename"] = candidate
     if not meta["categories"]:
         m = _JSON_CATEGORY_RE.search(text)
         if m:
-            meta["categories"] = [m.group(1)]
+            meta["categories"] = [normalize_json(m.group(1))]
     if meta["title"] is None:
-        m = _JSON_NAME_RE.search(text) or _JSON_HEADLINE_RE.search(text)
-        if m:
-            meta["title"] = m.group(1)
+        for key, rx in (('"name"', _JSON_NAME_RE),
+                        ('"headline"', _JSON_HEADLINE_RE)):
+            if key in text:
+                m = rx.search(text)
+                if m:
+                    meta["title"] = normalize_json(m.group(1))
+                    break
     return meta
 
 
