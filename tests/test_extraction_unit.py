@@ -365,3 +365,29 @@ def test_json_article_schema_complete():
               "blog", "discussionforumposting", "reviewnewsarticle"):
         assert t in JSON_ARTICLE_SCHEMA
     assert "faqpage" in JSON_OGTYPE_SCHEMA
+
+
+def test_prune_patterns_css_selectors():
+    """pruneXpath parity (core.dart:232-244): expressions are CSS
+    selectors handed to querySelectorAll; invalid ones are skipped."""
+    from trafilatura_spark.core import bare_extraction
+    from trafilatura_spark.settings import Options
+    html = _page(
+        f'<article><p>{LONG_P1}</p>'
+        f'<div class="promo-box extra"><p>Buy our product now with this '
+        f'special limited offer available only today for readers of this '
+        f'very article.</p></div>'
+        f'<div id="ad-slot"><p>An advertisement block that should also '
+        f'be removable by id selector in the options.</p></div>'
+        f"<p>{LONG_P2}</p></article>")
+    res = bare_extraction(html, Options(with_metadata=False,
+                                        prune_patterns=("div.promo-box",
+                                                        "#ad-slot")))
+    assert res.status == "ok"
+    assert not any("Buy our product" in s["text"] for s in res.spans)
+    assert not any("advertisement" in s["text"] for s in res.spans)
+    assert any(LONG_P1[:30] in s["text"] for s in res.spans)
+    # invalid selector: skipped without error (reference try/skip)
+    res2 = bare_extraction(html, Options(with_metadata=False,
+                                         prune_patterns=("div:::bad[",)))
+    assert res2.status == "ok"

@@ -161,13 +161,27 @@ def bare_extraction(filecontent: str, options: Options | None = None,
 
         working_body = get_body(tree)
         if options.prune_patterns:
-            # user pruning before any cleaning (core.dart:232-244 pruneXpath)
-            for elem in [e for e in working_body.iterdesc()]:
-                ident = (elem.attrs.get("class", "") + " "
-                         + elem.attrs.get("id", "")).lower()
-                if elem.parent is not None and \
-                        any(p in ident for p in options.prune_patterns):
-                    elem.drop_tree()
+            # user pruning before any cleaning (core.dart:232-244
+            # pruneXpath — the reference hands the expressions to
+            # querySelectorAll, so they are CSS selectors; invalid ones
+            # are skipped).  Bare-word patterns additionally fall back to
+            # class/id substring matching (engine extension, pinned by
+            # test_prune_patterns_option).
+            from .dom import css_select
+            for pattern in options.prune_patterns:
+                try:
+                    matched = css_select(working_body, pattern)
+                except ValueError:
+                    matched = []
+                for elem in matched:
+                    if elem.parent is not None:
+                        elem.drop_tree()
+                if not matched and pattern.isalnum():
+                    for elem in list(working_body.iterdesc()):
+                        ident = (elem.attrs.get("class", "") + " "
+                                 + elem.attrs.get("id", "")).lower()
+                        if elem.parent is not None and pattern in ident:
+                            elem.drop_tree()
         cleaned = tree_cleaning(working_body.copy(), options)
         # the backup feeds compare_extraction only — skip the full-tree
         # copy in fast mode (the bench/oracle hot path)

@@ -563,3 +563,98 @@ def get_body(tree: Node) -> Node:
         if child.tag == "body":
             return child
     return tree
+
+
+# -- minimal CSS selector engine (for pruneXpath parity, core.dart:232-244:
+#    the reference hands the user's prune expressions to querySelectorAll,
+#    i.e. they are CSS selectors) --------------------------------------------
+
+_SEL_TOKEN = _re_mod.compile(
+    r"(?P<tag>\*|[a-zA-Z][-\w]*)?"
+    r"(?P<rest>(?:[.#][-\w]+|\[[^\]]+\])*)")
+_SEL_PART = _re_mod.compile(r"[.#][-\w]+|\[[^\]]+\]")
+
+
+def _parse_simple(simple: str):
+    """One compound selector -> predicate(Node) -> bool."""
+    m = _SEL_TOKEN.match(simple)
+    if m is None or m.end() != len(simple):
+        raise ValueError(f"unsupported selector: {simple!r}")
+    tag = m.group("tag")
+    checks = []
+    if tag and tag != "*":
+        want_tag = tag.lower()
+        checks.append(lambda n, t=want_tag: n.tag == t)
+    for part in _SEL_PART.findall(m.group("rest") or ""):
+        if part.startswith("."):
+            cls = part[1:]
+            checks.append(
+                lambda n, c=cls: c in n.attrs.get("class", "").split())
+        elif part.startswith("#"):
+            ident = part[1:]
+            checks.append(lambda n, i=ident: n.attrs.get("id") == i)
+        else:
+            inner = part[1:-1]
+            if "*=" in inner:
+                k, _, v = inner.partition("*=")
+                v = v.strip("\"'")
+                checks.append(
+                    lambda n, k=k.strip(), v=v: v in n.attrs.get(k, ""))
+            elif "~=" in inner:
+                k, _, v = inner.partition("~=")
+                v = v.strip("\"'")
+                checks.append(
+                    lambda n, k=k.strip(), v=v: v in n.attrs.get(k, "").split())
+            elif "=" in inner:
+                k, _, v = inner.partition("=")
+                v = v.strip("\"'")
+                checks.append(
+                    lambda n, k=k.strip(), v=v: n.attrs.get(k) == v)
+            else:
+                k = inner.strip()
+                checks.append(lambda n, k=k: k in n.attrs)
+    return lambda n: all(c(n) for c in checks)
+
+
+def css_select(root: "Node", selector: str) -> list["Node"]:
+    """querySelectorAll subset: comma groups, descendant and child
+    combinators, compound tag/.class/#id/[attr(=|~=|*=)val] selectors.
+    Raises ValueError on syntax it doesn't support (callers mirror the
+    reference's try/skip behavior)."""
+    out: list[Node] = []
+    seen: set[int] = set()
+    for group in selector.split(","):
+        group = group.strip()
+        if not group:
+            continue
+        # tokenize into (combinator, simple) steps
+        toks = group.replace(">", " > ").split()
+        steps: list[tuple[str, object]] = []
+        comb = " "
+        for tok in toks:
+            if tok == ">":
+                comb = ">"
+                continue
+            steps.append((comb, _parse_simple(tok)))
+            comb = " "
+        if not steps:
+            continue
+        candidates = [root]
+        first = True
+        for comb, pred in steps:
+            nxt: list[Node] = []
+            for c in candidates:
+                if comb == ">" and not first:
+                    pool = c.children
+                else:
+                    pool = list(c.iterdesc())
+                for n in pool:
+                    if pred(n):
+                        nxt.append(n)
+            candidates = nxt
+            first = False
+        for n in candidates:
+            if id(n) not in seen:
+                seen.add(id(n))
+                out.append(n)
+    return out
