@@ -7,8 +7,9 @@ Completes the streaming story (SURVEY.md §2.12):
   (plain watermark + window aggregation, fully JVM-side).
 - :func:`dedup_urls_stateful` — the reference's ``UrlStore`` known-set
   (cli_utils.dart:43-114) as an ``applyInPandasWithState`` operator:
-  per-host state carries the seen-URL set and a politeness quota; late
-  arrivals of already-seen URLs are dropped exactly-once per trigger.
+  per-host state carries a BOUNDED Bloom seen-set (16 KB/host, ~1% FP
+  at 10k URLs) and a politeness quota; late arrivals of already-seen
+  URLs are dropped exactly-once per trigger.
 """
 
 from __future__ import annotations
@@ -28,9 +29,24 @@ FRONTIER_OUT_SCHEMA = T.StructType([
 ])
 
 FRONTIER_STATE_SCHEMA = T.StructType([
-    T.StructField("seen", T.ArrayType(T.StringType()), True),
+    T.StructField("bloom", T.BinaryType(), True),
     T.StructField("emitted", T.IntegerType(), True),
+    T.StructField("n_seen", T.IntegerType(), True),
 ])
+
+# per-host Bloom filter: 2^17 bits (16 KB) / 4 hashes ≈ 1% FP at ~10k URLs.
+# Bounded state per host regardless of crawl length — the raw seen-set grew
+# without limit and was re-sorted every trigger; a false positive just skips
+# an occasional genuinely-new URL, the safe direction for crawl dedup.
+_BLOOM_BITS = 1 << 17
+_BLOOM_K = 4
+
+
+def _bloom_positions(url: str):
+    import hashlib
+    d = hashlib.md5(url.encode()).digest()
+    for i in range(_BLOOM_K):
+        yield int.from_bytes(d[i * 4:(i + 1) * 4], "big") % _BLOOM_BITS
 
 
 def windowed_extraction_metrics(extracted_stream: DataFrame,
@@ -57,25 +73,31 @@ def windowed_extraction_metrics(extracted_stream: DataFrame,
 
 
 def _frontier_fn(key, pdf_iter, state):
-    """Per-host frontier state: seen-URL set + emitted-count quota."""
+    """Per-host frontier state: bounded Bloom seen-set + emitted quota."""
     import pandas as pd
 
     quota = 100
     if state.exists:
-        seen_list, emitted = state.get
-        seen = set(seen_list or [])
+        bloom_bytes, emitted, n_seen = state.get
+        bloom = bytearray(bloom_bytes or bytes(_BLOOM_BITS // 8))
+        emitted = emitted or 0
+        n_seen = n_seen or 0
     else:
-        seen, emitted = set(), 0
+        bloom, emitted, n_seen = bytearray(_BLOOM_BITS // 8), 0, 0
     rows = []
     for pdf in pdf_iter:
         for url in pdf["url"]:
-            if url in seen or emitted >= quota:
+            pos = list(_bloom_positions(url))
+            seen = all(bloom[p >> 3] & (1 << (p & 7)) for p in pos)
+            if seen or emitted >= quota:
                 rows.append((key[0], url, False))
             else:
-                seen.add(url)
+                for p in pos:
+                    bloom[p >> 3] |= 1 << (p & 7)
+                n_seen += 1
                 emitted += 1
                 rows.append((key[0], url, True))
-    state.update((sorted(seen), emitted))
+    state.update((bytes(bloom), emitted, n_seen))
     yield pd.DataFrame(rows, columns=["host", "url", "accepted"])
 
 
