@@ -350,6 +350,55 @@ def q_discovery_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expand_sitemaps(fetched, seeds).select("sitemap_url", "link")
 
 
+def q_discovery_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed determination cascade (feeds.dart:92-297) end-to-end: one RSS
+    feed per source built deterministically from documents, pushed
+    through find_feed_links (flavor detection, candidate validation,
+    same-domain gate) via the Arrow-batched feed_links_df operator."""
+    from trafilatura_spark.sources.feeds import feed_links_df
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    entry = F.concat(F.lit("<item><link>https://"), "source",
+                     F.lit(".example.com/posts/"), "doc_id",
+                     F.lit("</link></item>")).alias("entry")
+    feeds = (
+        docs.select("source", F.struct("doc_id").alias("k"), entry)
+        .groupBy("source")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("k", "entry"))),
+                        lambda s: s["entry"]), "").alias("body"))
+        .select(
+            F.concat(F.lit("https://"), "source",
+                     F.lit(".example.com/feed")).alias("url"),
+            F.concat(F.lit("<rss><channel>"), "body",
+                     F.lit("</channel></rss>")).alias("content"))
+    )
+    return feed_links_df(feeds).select("url", "link").distinct()
+
+
+def q_spider_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-compliance frontier filter (spider.dart:106-177 canFetch,
+    relationally): per-source robots.txt disallows /private/ but allows
+    /private/allowed/; doc_id%3 rotates URLs through posts (kept),
+    private (dropped), private/allowed (allow wins)."""
+    from trafilatura_spark.sources.spider import filter_robots, robots_rules_df
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    path = (F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("/private/"), "doc_id"))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.concat(F.lit("/posts/"), "doc_id"))
+            .otherwise(F.concat(F.lit("/private/allowed/"), "doc_id")))
+    urls = docs.select(
+        F.concat(F.lit("https://"), host, path).alias("url")).distinct()
+    robots = (docs.select(F.col("source").alias("host")).distinct()
+              .select(F.concat(F.col("host"), F.lit(".example.com"))
+                      .alias("host"),
+                      F.lit("User-agent: *\nDisallow: /private/\n"
+                            "Allow: /private/allowed/\n").alias("robotstxt")))
+    rules = robots_rules_df(robots)
+    return filter_robots(urls, rules)
+
+
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trafilatura_spark.functions.similarity import cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -684,6 +733,25 @@ SELECT DISTINCT
 FROM documents
 """
 
+_ORACLE_FEEDS = """
+SELECT DISTINCT
+       'https://' || source || '.example.com/feed' AS url,
+       'https://' || source || '.example.com/posts/' || doc_id AS link
+FROM documents
+"""
+
+_ORACLE_ROBOTS = """
+SELECT DISTINCT
+       'https://' || source || '.example.com' ||
+       CASE doc_id % 3
+            WHEN 0 THEN '/private/' || doc_id
+            WHEN 1 THEN '/posts/' || doc_id
+            ELSE '/private/allowed/' || doc_id
+       END AS url
+FROM documents
+WHERE doc_id % 3 <> 0
+"""
+
 _ORACLE_KNN = """
 WITH q AS (
     SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -792,6 +860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "discovery_sitemap": q_discovery_sitemap,
         "discovery_sitemap_index": q_discovery_sitemap_index,
+        "discovery_feeds": q_discovery_feeds,
+        "spider_robots": q_spider_robots,
         "extract_precision": q_extract_precision,
         "extract_recall": q_extract_recall,
         "extract_fallback_readability": q_extract_fallback_readability,
@@ -824,6 +894,8 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _ORACLE_MEDIA,
         "discovery_sitemap": _ORACLE_SITEMAP,
         "discovery_sitemap_index": _ORACLE_SITEMAP_INDEX,
+        "discovery_feeds": _ORACLE_FEEDS,
+        "spider_robots": _ORACLE_ROBOTS,
         "extract_precision": _ORACLE_EXTRACT_SPANS,
         "extract_recall": _ORACLE_EXTRACT_SPANS,
         "extract_fallback_readability": _ORACLE_FALLBACK_READABILITY,
