@@ -20,12 +20,17 @@ _PUNCT_ALL = re.compile(r"[^\w\s]", re.UNICODE)
 _WS = re.compile(r"\s+")
 
 
+# deduplication.dart:70-77 — ASCII alphanumerics or any char > 0x7f
+_ALNUMISH_RE = re.compile("[0-9A-Za-z\u0080-\U0010ffff]+\\Z")
+
+
 def _is_alnumish(s: str) -> bool:
     """deduplication.dart:70-77 — ASCII alphanumerics or extended chars."""
-    return bool(s) and all(
-        ("0" <= c <= "9") or ("A" <= c <= "Z") or ("a" <= c <= "z") or ord(c) > 127
-        for c in s
-    )
+    if not s:
+        return False
+    if s.isascii():
+        return s.isalnum()
+    return _ALNUMISH_RE.fullmatch(s) is not None
 
 
 def _sample_by_length(tokens: list[str], target: int) -> list[str]:
@@ -67,16 +72,33 @@ def _hash_token(token: str) -> int:
     return int.from_bytes(digest[:8], "big")
 
 
+@functools.lru_cache(maxsize=65536)
+def _token_bits(token: str) -> tuple:
+    """Set-bit positions of the token hash, memoized (the per-token work
+    in the simhash loop is all here, and token distributions are
+    heavy-tailed)."""
+    h = _hash_token(token)
+    return tuple(i for i in range(64) if h & (1 << i))
+
+
 def simhash(inputstring: str, length: int = 64) -> int:
-    """Charikar simhash over sampled tokens (deduplication.dart:142-159)."""
-    vector = [0] * length
-    for token in sample_tokens(inputstring, length=length):
-        h = _hash_token(token)
-        for i in range(length):
-            vector[i] += 1 if h & (1 << i) else -1
+    """Charikar simhash over sampled tokens (deduplication.dart:142-159).
+
+    Equivalent reformulation of the reference's ±1 vector: with S_i =
+    occurrences whose hash has bit i set and T = total occurrences,
+    vector[i] = 2*S_i - T, so bit i is set iff 2*S_i >= T.  Unique tokens
+    are visited once with their count (same result, ~2-4x fewer ops on
+    natural text)."""
+    from collections import Counter
+    counts = Counter(sample_tokens(inputstring, length=length))
+    total = sum(counts.values())
+    sums = [0] * length
+    for token, c in counts.items():
+        for i in _token_bits(token):
+            sums[i] += c
     result = 0
     for i in range(length):
-        if vector[i] >= 0:
+        if 2 * sums[i] >= total:
             result |= 1 << i
     return result
 

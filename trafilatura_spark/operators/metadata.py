@@ -523,12 +523,40 @@ def extract_title(tree: Node) -> str | None:
     return title_text or None
 
 
+def _text_content_excluding(node: Node, excluded: set) -> str:
+    """text_content() as if the excluded subtrees had been drop_tree'd
+    (keep_tail semantics: an excluded node's tail stays in the flow)."""
+    parts = [node.text]
+    stack = list(reversed(node.children))
+    while stack:
+        n = stack.pop()
+        if id(n) in excluded:
+            parts.append(n.tail)
+            continue
+        parts.append(n.text)
+        stack.extend(reversed(n.children))
+        parts.append(n.tail)
+    return "".join(parts)
+
+
 def extract_author(tree: Node) -> str | None:
-    """metadata.dart:418-431."""
-    subtree = tree.copy()
-    prune_unwanted_nodes(subtree, select_author_discard_elements)
-    for elem in select_author_elements(subtree):
-        content = trim(elem.text_content())
+    """metadata.dart:418-431.  Equivalent to copy→prune→select, without
+    the full-tree copy (a per-document hot spot): discarded subtrees are
+    excluded from both candidate selection and candidate text."""
+    excluded = {id(e) for e in select_author_discard_elements(tree)}
+    for elem in select_author_elements(tree):
+        if excluded:
+            n, skip = elem, False
+            while n is not None:
+                if id(n) in excluded:
+                    skip = True
+                    break
+                n = n.parent
+            if skip:
+                continue
+            content = trim(_text_content_excluding(elem, excluded))
+        else:
+            content = trim(elem.text_content())
         if content and 2 < len(content) < 120:
             return normalize_authors(None, content)
     return None

@@ -78,6 +78,20 @@ HIDDEN_PATTERNS = [
 _DISCARD_TAGS = ("div", "item", "li", "p", "section", "span")
 
 
+
+import re as _re
+
+
+def _contains_re(patterns):
+    """Compiled alternation equivalent of any(p in s for p in patterns)."""
+    return _re.compile("|".join(_re.escape(p) for p in patterns))
+
+
+def _prefix_re(patterns):
+    """Compiled alternation equivalent of any(s.startswith(p) ...)."""
+    return _re.compile("|".join(_re.escape(p) for p in patterns))
+
+
 def _class_id(elem: Node) -> tuple[str, str]:
     return elem.attrs.get("class", "").lower(), elem.attrs.get("id", "").lower()
 
@@ -102,6 +116,19 @@ def _by_tag(tree: Node, tags: tuple) -> dict:
     return want
 
 
+
+# compiled alternation forms of the tables above (identical match
+# semantics to the any(p in x) scans they replace; the tables stay the
+# readable source of truth)
+_BODY_CLASS_RE = _contains_re(BODY_CLASS_PATTERNS)
+_BODY_ID_RE = _contains_re(BODY_ID_PATTERNS)
+_SECONDARY_BODY_RE = _contains_re(SECONDARY_BODY_PATTERNS)
+_CONTENT_CLASS_RE = _contains_re(CONTENT_CLASS_PATTERNS)
+_COMMENTS_CLASS_RE = _contains_re(COMMENTS_CLASS_PATTERNS)
+_OVERALL_DISCARD_RE = _contains_re(OVERALL_DISCARD_PATTERNS)
+_HIDDEN_RE = _contains_re(HIDDEN_PATTERNS)
+
+
 def select_body_elements(tree: Node) -> list[Node]:
     """5-tier first-match-wins candidate cascade (xpaths.dart:87-187)."""
     buckets = _by_tag(tree, ("article", "div", "main", "section"))
@@ -110,8 +137,8 @@ def select_body_elements(tree: Node) -> list[Node]:
     for tag in _CANDIDATE_TAGS:
         for elem in buckets[tag]:
             cls, eid = _class_id(elem)
-            if any(p in cls for p in BODY_CLASS_PATTERNS) or \
-               any(p in eid for p in BODY_ID_PATTERNS) or \
+            if _BODY_CLASS_RE.search(cls) or \
+               _BODY_ID_RE.search(eid) or \
                elem.attrs.get("itemprop") == "articleBody":
                 results.append(elem)
     if results:
@@ -123,7 +150,7 @@ def select_body_elements(tree: Node) -> list[Node]:
     for tag in _CANDIDATE_TAGS:
         for elem in buckets[tag]:
             cls, eid = _class_id(elem)
-            if any(p in cls or p in eid for p in SECONDARY_BODY_PATTERNS) or \
+            if _SECONDARY_BODY_RE.search(cls) or _SECONDARY_BODY_RE.search(eid) or \
                elem.attrs.get("role") == "article":
                 results.append(elem)
     if results:
@@ -132,7 +159,7 @@ def select_body_elements(tree: Node) -> list[Node]:
     for tag in _CANDIDATE_TAGS:
         for elem in buckets[tag]:
             cls, eid = _class_id(elem)
-            if any(p in cls or p in eid for p in CONTENT_CLASS_PATTERNS) or \
+            if _CONTENT_CLASS_RE.search(cls) or _CONTENT_CLASS_RE.search(eid) or \
                eid == "content" or cls == "content":
                 results.append(elem)
     if results:
@@ -157,7 +184,7 @@ def select_comment_elements(tree: Node) -> list[Node]:
     for tag in ("div", "section", "ul", "ol"):
         for elem in buckets[tag]:
             cls, eid = _class_id(elem)
-            if any(p in cls or p in eid for p in COMMENTS_CLASS_PATTERNS):
+            if _COMMENTS_CLASS_RE.search(cls) or _COMMENTS_CLASS_RE.search(eid):
                 results.append(elem)
     return results
 
@@ -171,9 +198,11 @@ def select_elements_to_discard(tree: Node) -> list[Node]:
             cls, eid = _class_id(elem)
             role = elem.attrs.get("role", "").lower()
             style = elem.attrs.get("style", "").lower()
-            if any(p in cls or p in eid or p in role for p in OVERALL_DISCARD_PATTERNS):
+            if _OVERALL_DISCARD_RE.search(cls) or _OVERALL_DISCARD_RE.search(eid) \
+                    or _OVERALL_DISCARD_RE.search(role):
                 results.append(elem)
-            elif any(p in cls or p in eid or p in style for p in HIDDEN_PATTERNS):
+            elif _HIDDEN_RE.search(cls) or _HIDDEN_RE.search(eid) \
+                    or _HIDDEN_RE.search(style):
                 results.append(elem)
             elif elem.attrs.get("aria-hidden") == "true":
                 results.append(elem)
@@ -265,6 +294,12 @@ TITLE_CLASS_PATTERNS = [
     "title",
 ]
 
+_AUTHOR_RE = _contains_re(AUTHOR_PATTERNS)
+_CATEGORY_CLASS_RE = _contains_re(CATEGORY_CLASS_PATTERNS)
+_CATEGORY_PREFIX_RE = _prefix_re(CATEGORY_CLASS_PATTERNS)
+_TAG_CLASS_RE = _contains_re(TAG_CLASS_PATTERNS)
+_TITLE_CLASS_RE = _contains_re(TITLE_CLASS_PATTERNS)
+
 
 def select_author_elements(tree: Node) -> list[Node]:
     """xpaths.dart:524-560."""
@@ -281,7 +316,7 @@ def select_author_elements(tree: Node) -> list[Node]:
                "author" in itemprop or data_testid in ("AuthorCard", "AuthorURL"):
                 results.append(elem)
                 continue
-            if any(p in cls or p in eid for p in AUTHOR_PATTERNS):
+            if _AUTHOR_RE.search(cls) or _AUTHOR_RE.search(eid):
                 results.append(elem)
     results.extend(buckets["author"])
     return results
@@ -310,7 +345,7 @@ def select_category_links(tree: Node) -> list[Node]:
     for tag in ("div", "p", "footer", "li", "span", "header"):
         for elem in buckets[tag]:
             cls, eid = _class_id(elem)
-            if any(p in cls or eid.startswith(p) for p in CATEGORY_CLASS_PATTERNS):
+            if _CATEGORY_CLASS_RE.search(cls) or _CATEGORY_PREFIX_RE.match(eid):
                 results.extend(a for a in elem.iterdesc("a") if "href" in a.attrs)
     for elem in buckets["div"]:
         if elem.class_name in ("row", "tags"):
@@ -325,7 +360,7 @@ def select_tag_links(tree: Node) -> list[Node]:
     for tag in ("div", "p"):
         for elem in buckets[tag]:
             cls = elem.attrs.get("class", "").lower()
-            if any(p in cls for p in TAG_CLASS_PATTERNS):
+            if _TAG_CLASS_RE.search(cls):
                 results.extend(a for a in elem.iterdesc("a") if "href" in a.attrs)
     return results
 
@@ -338,7 +373,7 @@ def select_cats_tags_links(tree: Node) -> tuple[list[Node], list[Node]]:
     for tag in ("div", "p", "footer", "li", "span", "header"):
         for elem in buckets[tag]:
             cls, eid = _class_id(elem)
-            if any(p in cls or eid.startswith(p) for p in CATEGORY_CLASS_PATTERNS):
+            if _CATEGORY_CLASS_RE.search(cls) or _CATEGORY_PREFIX_RE.match(eid):
                 cats.extend(a for a in elem.iterdesc("a") if "href" in a.attrs)
     for elem in buckets["div"]:
         if elem.class_name in ("row", "tags"):
@@ -347,7 +382,7 @@ def select_cats_tags_links(tree: Node) -> tuple[list[Node], list[Node]]:
     for tag in ("div", "p"):
         for elem in buckets[tag]:
             cls = elem.attrs.get("class", "").lower()
-            if any(p in cls for p in TAG_CLASS_PATTERNS):
+            if _TAG_CLASS_RE.search(cls):
                 tags_links.extend(a for a in elem.iterdesc("a")
                                   if "href" in a.attrs)
     return cats, tags_links
@@ -368,7 +403,8 @@ def select_title_elements(tree: Node) -> list[Node]:
         for elem in h_buckets[tag]:
             cls, eid = _class_id(elem)
             itemprop = elem.attrs.get("itemprop", "")
-            if any(p in cls or p in eid or p in itemprop for p in TITLE_CLASS_PATTERNS):
+            if _TITLE_CLASS_RE.search(cls) or _TITLE_CLASS_RE.search(eid) \
+                    or _TITLE_CLASS_RE.search(itemprop):
                 results.append(elem)
     results.extend(classed)
     return results
