@@ -97,7 +97,20 @@ class Node:
             stack.extend(reversed(node.children))
 
     def find_all(self, *tags: str) -> list["Node"]:
-        return list(self.iterdesc(*tags))
+        # explicit loop: full-scan callers skip generator resume overhead
+        want = set(tags) if tags else None
+        out: list[Node] = []
+        append = out.append
+        stack = list(reversed(self.children))
+        pop = stack.pop
+        extend = stack.extend
+        while stack:
+            node = pop()
+            if want is None or node.tag in want:
+                append(node)
+            if node.children:
+                extend(reversed(node.children))
+        return out
 
     def find(self, *tags: str) -> "Node | None":
         for node in self.iterdesc(*tags):

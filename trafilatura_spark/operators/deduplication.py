@@ -46,7 +46,14 @@ def sample_tokens(inputstring: str, length: int = 64) -> list[str]:
     """deduplication.dart:80-98."""
     tokens = []
     for token in _WS.split(inputstring):
-        token = _PUNCT_EDGE.sub("", token)
+        if not token:
+            continue
+        # ASCII-alnum edge chars cannot be \p{P}: skip the edge-strip sub
+        c0, c1 = token[0], token[-1]
+        if not (("0" <= c0 <= "9" or "A" <= c0 <= "Z" or "a" <= c0 <= "z")
+                and ("0" <= c1 <= "9" or "A" <= c1 <= "Z"
+                     or "a" <= c1 <= "z")):
+            token = _PUNCT_EDGE.sub("", token)
         if _is_alnumish(token):
             tokens.append(token)
     sample = _sample_by_length(tokens, length)
