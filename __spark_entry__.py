@@ -399,6 +399,25 @@ def q_spider_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_robots(urls, rules)
 
 
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Charikar simhash fingerprint (deduplication.dart
+    142-159 via content_fingerprint) — the Python token-hash simhash
+    reproduced bit-for-bit by the DuckDB oracle (sha256 per token, 64
+    bit-sums in SQL)."""
+    ex = _extract(spark, sf_dir)
+    return ex.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.col("meta.fingerprint").alias("fingerprint"))
+
+
+def q_serialize_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side CSV serialization sink (xml_utils.dart:564-595 xmltocsv
+    re-expression): tab-joined url/fingerprint/hostname/title/text."""
+    from trafilatura_spark.operators.serialize import serialize_column
+    ex = _extract(spark, sf_dir)
+    return serialize_column(ex, "csv").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "serialized")
+
+
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trafilatura_spark.functions.similarity import cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -752,6 +771,86 @@ FROM documents
 WHERE doc_id % 3 <> 0
 """
 
+
+_FINGERPRINT_CTE = rf"""
+{_PARTS},
+content AS (
+    SELECT doc_id, m, head, para1, para2,
+       'doc ' || doc_id || ' title' || ' ' ||
+       head || chr(10) || para1 || chr(10) ||
+       CASE m WHEN 0 THEN ''
+              WHEN 1 THEN '![figure 0](m-' || doc_id || '-0) '
+              ELSE '![figure 0](m-' || doc_id || '-0) ![figure 1](m-'
+                   || doc_id || '-1) '
+       END || para2 || chr(10) AS s
+    FROM derived
+),
+rawtok AS (
+    SELECT doc_id, unnest(regexp_split_to_array(s, '\s+')) AS t FROM content
+),
+stripped AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(t, '^\W+', ''), '\W+$', '') AS t
+    FROM rawtok WHERE t <> ''
+),
+tok AS (
+    SELECT doc_id, t FROM stripped
+    WHERE t <> '' AND regexp_full_match(t, '[0-9A-Za-z\x{{0080}}-\x{{10FFFF}}]+')
+),
+th AS (
+    SELECT doc_id,
+        CASE WHEN count(*) FILTER (len(t) > 4) >= 32 THEN 4
+             WHEN count(*) FILTER (len(t) > 3) >= 32 THEN 3
+             WHEN count(*) FILTER (len(t) > 2) >= 32 THEN 2
+             WHEN count(*) FILTER (len(t) > 1) >= 32 THEN 1
+             ELSE 0 END AS thr
+    FROM tok GROUP BY doc_id
+),
+seltok AS (
+    SELECT tok.doc_id, substr(sha256(t), 1, 16) AS hh
+    FROM tok JOIN th USING (doc_id) WHERE len(t) > thr
+),
+bits AS (
+    SELECT doc_id, i.i AS i,
+           ((strpos('0123456789abcdef', substr(hh, 16 - (i.i // 4), 1)) - 1)
+            >> (i.i % 4)) & 1 AS b
+    FROM seltok, LATERAL (SELECT unnest(range(0, 64)) AS i) i
+),
+perbit AS (
+    SELECT doc_id, i, sum(b) AS s, count(*) AS t
+    FROM bits GROUP BY doc_id, i
+),
+fp AS (
+    SELECT doc_id,
+           lower(to_hex(sum(CASE WHEN 2 * s >= t
+                                 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END
+                            )::UBIGINT)) AS fingerprint
+    FROM perbit GROUP BY doc_id
+)
+"""
+
+_ORACLE_DOC_FINGERPRINT = f"""
+WITH {_FINGERPRINT_CTE}
+SELECT doc_id, fingerprint FROM fp ORDER BY doc_id
+"""
+
+_ORACLE_SERIALIZE_CSV = f"""
+WITH {_FINGERPRINT_CTE}
+SELECT c.doc_id,
+       'https://' || d.source || '.example.com/posts/' || c.doc_id
+       || chr(9) || fp.fingerprint
+       || chr(9) || d.source || '.example.com'
+       || chr(9) || 'doc ' || c.doc_id || ' title'
+       || chr(9) || regexp_replace(c.head || ' ' || c.para1 || ' ' ||
+              CASE c.m WHEN 0 THEN ''
+                   WHEN 1 THEN '![figure 0](m-' || c.doc_id || '-0) '
+                   ELSE '![figure 0](m-' || c.doc_id || '-0) ![figure 1](m-'
+                        || c.doc_id || '-1) '
+              END || c.para2 || ' ', chr(9), ' ', 'g') AS serialized
+FROM content c JOIN fp USING (doc_id) JOIN documents d ON d.doc_id = c.doc_id
+ORDER BY c.doc_id
+"""
+
 _ORACLE_KNN = """
 WITH q AS (
     SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -862,6 +961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery_sitemap_index": q_discovery_sitemap_index,
         "discovery_feeds": q_discovery_feeds,
         "spider_robots": q_spider_robots,
+        "doc_fingerprint": q_doc_fingerprint,
+        "serialize_csv": q_serialize_csv,
         "extract_precision": q_extract_precision,
         "extract_recall": q_extract_recall,
         "extract_fallback_readability": q_extract_fallback_readability,
@@ -896,6 +997,8 @@ def oracle_sql() -> dict[str, str]:
         "discovery_sitemap_index": _ORACLE_SITEMAP_INDEX,
         "discovery_feeds": _ORACLE_FEEDS,
         "spider_robots": _ORACLE_ROBOTS,
+        "doc_fingerprint": _ORACLE_DOC_FINGERPRINT,
+        "serialize_csv": _ORACLE_SERIALIZE_CSV,
         "extract_precision": _ORACLE_EXTRACT_SPANS,
         "extract_recall": _ORACLE_EXTRACT_SPANS,
         "extract_fallback_readability": _ORACLE_FALLBACK_READABILITY,
