@@ -177,7 +177,7 @@ def bare_extraction(filecontent: str, options: Options | None = None,
                     if elem.parent is not None:
                         elem.drop_tree()
                 if not matched and pattern.isalnum():
-                    for elem in list(working_body.iterdesc()):
+                    for elem in working_body.find_all():
                         ident = (elem.attrs.get("class", "") + " "
                                  + elem.attrs.get("id", "")).lower()
                         if elem.parent is not None and pattern in ident:

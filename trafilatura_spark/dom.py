@@ -660,7 +660,7 @@ def css_select(root: "Node", selector: str) -> list["Node"]:
                 if comb == ">" and not first:
                     pool = c.children
                 else:
-                    pool = list(c.iterdesc())
+                    pool = c.find_all()
                 for n in pool:
                     if pred(n):
                         nxt.append(n)

@@ -34,7 +34,7 @@ def tree_cleaning(tree: Node, options: Options) -> Node:
         cleaning_list += ["table", "td", "th", "tr"]
     else:
         # figure-containing-table fix (htmlprocessing.dart:50-59)
-        for elem in list(tree.iterdesc("figure")):
+        for elem in tree.find_all("figure"):
             if elem.find("table") is not None:
                 elem.tag = "div"
 
@@ -46,7 +46,7 @@ def tree_cleaning(tree: Node, options: Options) -> Node:
 
     if options.focus == "recall" and tree.find("p") is not None:
         backup = tree.copy()
-        for elem in list(tree.iterdesc(*cleaning_list)):
+        for elem in tree.find_all(*cleaning_list):
             if elem.parent is not None:
                 elem.drop_tree()
         if tree.find("p") is None:
@@ -56,7 +56,7 @@ def tree_cleaning(tree: Node, options: Options) -> Node:
                 c.parent = tree
             tree.text = backup.text
     else:
-        for elem in list(tree.iterdesc(*cleaning_list)):
+        for elem in tree.find_all(*cleaning_list):
             if elem.parent is not None:
                 elem.drop_tree()
 
@@ -66,7 +66,7 @@ def tree_cleaning(tree: Node, options: Options) -> Node:
 def prune_html(tree: Node, focus: str = "balanced") -> Node:
     """Delete empty elements (htmlprocessing.dart:117-137)."""
     keep_tails = focus != "precision"
-    for elem in list(tree.iterdesc(*CUT_EMPTY_ELEMS)):
+    for elem in tree.find_all(*CUT_EMPTY_ELEMS):
         if elem.parent is not None and not elem.children and not elem.text.strip():
             elem.drop_tree(keep_tail=keep_tails)
     return tree
@@ -114,7 +114,7 @@ def convert_tags(tree: Node, options: Options, url: str | None = None) -> Node:
     # links
     if not options.links:
         keep_parents = {"div", "li", "p"} | ({"table", "td", "th"} if options.tables else set())
-        for elem in list(tree.iterdesc("a")):
+        for elem in tree.find_all("a"):
             parent = elem.parent
             inside = False
             while parent is not None:
@@ -129,7 +129,7 @@ def convert_tags(tree: Node, options: Options, url: str | None = None) -> Node:
                 elem.strip_self()
     else:
         base_url = _get_base_url(url) if url else None
-        for elem in list(tree.iterdesc("a", "ref")):
+        for elem in tree.find_all("a", "ref"):
             target = elem.attrs.get("href")
             elem.tag = "ref"
             elem.attrs = {}
@@ -140,7 +140,7 @@ def convert_tags(tree: Node, options: Options, url: str | None = None) -> Node:
 
     # formatting (htmlprocessing.dart:528-542)
     if options.formatting:
-        for elem in list(tree.iterdesc(*REND_TAG_MAPPING)):
+        for elem in tree.find_all(*REND_TAG_MAPPING):
             rend = REND_TAG_MAPPING[elem.tag]
             elem.attrs = {"rend": rend}
             elem.tag = "hi"
@@ -148,7 +148,7 @@ def convert_tags(tree: Node, options: Options, url: str | None = None) -> Node:
         strip_tags(tree, *REND_TAG_MAPPING)
 
     # structural conversions (htmlprocessing.dart:468-487)
-    for elem in list(tree.iterdesc("ul", "ol", "dl")):
+    for elem in tree.find_all("ul", "ol", "dl"):
         elem.attrs["rend"] = elem.tag
         elem.tag = "list"
         i = 1
@@ -180,7 +180,7 @@ def convert_tags(tree: Node, options: Options, url: str | None = None) -> Node:
     for elem in tree.iterdesc("del", "s", "strike"):
         elem.tag = "del"
         elem.attrs["rend"] = "overstrike"
-    for elem in list(tree.iterdesc("details")):
+    for elem in tree.find_all("details"):
         elem.tag = "div"
         for sub in elem.iterdesc("summary"):
             sub.tag = "head"

@@ -96,6 +96,6 @@ def calculate_link_density(elem: Node) -> float:
 def delete_high_link_density(tree: Node, tag: str, favor_precision: bool = False) -> None:
     """Two-threshold delete pass (main_extractor.dart:524-533)."""
     threshold = 0.25 if favor_precision else 0.5
-    for elem in list(tree.iterdesc(tag)):
+    for elem in tree.find_all(tag):
         if elem.parent is not None and calculate_link_density(elem) > threshold:
             elem.drop_tree()

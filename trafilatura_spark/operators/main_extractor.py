@@ -262,21 +262,21 @@ def prune_unwanted_sections(tree: Node, potential_tags: set, options: Options) -
             elem.drop_tree()
 
     if "graphic" not in potential_tags:
-        for elem in list(tree.iterdesc("img", "graphic", "figure", "picture")):
+        for elem in tree.find_all("img", "graphic", "figure", "picture"):
             if elem.parent is not None:
                 elem.drop_tree()
 
     if options.focus != "recall":
         for token in ("teaser", "promo", "advertisement", "sponsored"):
-            for elem in list(tree.iterdesc()):
+            for elem in tree.find_all():
                 if elem.parent is not None and _class_token(elem, token):
                     elem.drop_tree()
         if favor_precision:
-            for elem in list(tree.iterdesc("aside")):
+            for elem in tree.find_all("aside"):
                 if elem.parent is not None:
                     elem.drop_tree()
             for token in ("related", "sidebar", "widget", "share"):
-                for elem in list(tree.iterdesc()):
+                for elem in tree.find_all():
                     if elem.parent is not None and _class_token(elem, token):
                         elem.drop_tree()
 
@@ -286,7 +286,7 @@ def prune_unwanted_sections(tree: Node, potential_tags: set, options: Options) -
         delete_high_link_density(tree, "p", favor_precision)
 
     if "table" in potential_tags or favor_precision:
-        for elem in list(tree.iterdesc("table")):
+        for elem in tree.find_all("table"):
             if elem.parent is not None and calculate_link_density(elem) > 0.5:
                 elem.drop_tree()
 
@@ -407,11 +407,11 @@ def extract_comments(tree: Node, options: Options) -> tuple[Node, str, int, Node
     for subtree in select_comment_elements(tree):
         if subtree.parent is None:
             continue
-        for elem in list(subtree.iterdesc("form")):
+        for elem in subtree.find_all("form"):
             if elem.parent is not None:
                 elem.drop_tree()
         for token in ("reply", "respond", "hidden"):
-            for elem in list(subtree.iterdesc()):
+            for elem in subtree.find_all():
                 if elem.parent is not None and _class_token(elem, token):
                     elem.drop_tree()
         strip_tags(subtree, "a", "ref", "span")

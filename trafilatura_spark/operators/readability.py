@@ -81,7 +81,7 @@ class ReadabilityDocument:
         self.retry_length = retry_length
 
     def summary(self) -> Node | None:
-        for elem in list(self.doc.iterdesc("script", "style")):
+        for elem in self.doc.find_all("script", "style"):
             if elem.parent is not None:
                 elem.drop_tree()
         ruthless = True
@@ -183,7 +183,7 @@ class ReadabilityDocument:
         return [score, elem]
 
     def _remove_unlikely_candidates(self) -> None:
-        for elem in list(self.doc.iterdesc()):
+        for elem in self.doc.find_all():
             if elem.parent is None:
                 continue
             attrs = f"{elem.attrs.get('class', '')} {elem.attrs.get('id', '')}".strip()
@@ -194,25 +194,25 @@ class ReadabilityDocument:
                 elem.drop_tree()
 
     def _transform_misused_divs(self) -> None:
-        for elem in list(self.doc.iterdesc("div")):
+        for elem in self.doc.find_all("div"):
             if not _has_block_child_markup(elem):
                 elem.tag = "p"
         for elem in self.doc.iterdesc("div"):
-            for br in list(elem.iterdesc("br")):
+            for br in elem.find_all("br"):
                 if br.parent is not None:
                     br.drop_tree()
 
     def _sanitize(self, node: Node, candidates: dict) -> Node | None:
         """readability_lxml.dart:317-410 feature-count cleaning."""
-        for header in list(node.iterdesc("h1", "h2", "h3", "h4", "h5", "h6")):
+        for header in node.find_all("h1", "h2", "h3", "h4", "h5", "h6"):
             if header.parent is not None and (
                 self._class_weight(header) < 0 or _link_density(header) > 0.33
             ):
                 header.drop_tree()
-        for elem in list(node.iterdesc("form", "textarea")):
+        for elem in node.find_all("form", "textarea"):
             if elem.parent is not None:
                 elem.drop_tree()
-        for elem in list(node.iterdesc("iframe")):
+        for elem in node.find_all("iframe"):
             if elem.parent is None:
                 continue
             if REGEXES["video"].search(elem.attrs.get("src", "")):
@@ -221,8 +221,8 @@ class ReadabilityDocument:
                 elem.drop_tree()
 
         allowed: set[int] = set()
-        targets = list(node.iterdesc("table", "ul", "div", "aside", "header",
-                                     "footer", "section"))
+        targets = node.find_all("table", "ul", "div", "aside", "header",
+                                     "footer", "section")
         for elem in reversed(targets):
             if id(elem) in allowed or elem.parent is None:
                 continue
@@ -286,7 +286,7 @@ def try_readability(htmlinput: Node) -> Node:
 def is_probably_readerable(html: Node, min_content_length: int = 140,
                            min_score: int = 20) -> bool:
     """Cheap pre-filter (readability_lxml.dart:442-487)."""
-    nodes = list(html.iterdesc("p", "pre", "article"))
+    nodes = html.find_all("p", "pre", "article")
     for br in html.iterdesc("br"):
         if br.parent is not None and br.parent.tag == "div":
             nodes.append(br.parent)

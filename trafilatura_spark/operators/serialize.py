@@ -182,7 +182,7 @@ def _tei_prepare(node: Node) -> Node:
     """checkTei analog (xml_utils.dart:348-392): merge invalid tags into
     their parents; body-level `head` becomes `<ab type="header">`."""
     out = node.copy()
-    for child in list(out.iterdesc()):
+    for child in out.find_all():
         if child.tag not in TEI_VALID_TAGS and child.parent is not None:
             child.strip_self()
     for child in out.children:
