@@ -274,3 +274,30 @@ def test_cache_corpus_golden_manifest():
                 want["status"] != res.status or want["tier"] != res.tier:
             drift.append(page.name)
     assert not drift, f"extraction drift on {len(drift)} pages: {drift[:5]}"
+
+
+@pytest.mark.skipif(not (REF / "eval").exists(), reason="corpus missing")
+def test_eval_corpus_golden_manifest():
+    """Span-sequence digests over the full 923-page eval corpus must
+    match the pinned manifest (regenerate deliberately with
+    scripts/regen_eval_golden.py after intentional behavior changes)."""
+    import hashlib
+    import json
+    from trafilatura_spark.sources.loading import decode_file
+    manifest = json.loads(
+        (pathlib.Path(__file__).parent / "fixtures" / "eval_golden.json")
+        .read_text())
+    opts = Options(with_metadata=True)
+    drift = []
+    for page in sorted((REF / "eval").glob("*.html")):
+        res = bare_extraction(decode_file(page.read_bytes()), opts,
+                              doc_id=page.name)
+        payload = json.dumps(
+            [[s["kind"], s["text"], s["media_ref"]] for s in res.spans],
+            ensure_ascii=False)
+        digest = hashlib.md5(payload.encode()).hexdigest()
+        want = manifest.get(page.name)
+        if want is None or want["digest"] != digest or \
+                want["status"] != res.status or want["tier"] != res.tier:
+            drift.append(page.name)
+    assert not drift, f"extraction drift on {len(drift)} pages: {drift[:5]}"
