@@ -418,6 +418,37 @@ def q_serialize_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"), "serialized")
 
 
+def q_extract_default_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFAULT-threshold behavior (no relaxed sizes): docs above
+    min_extracted_size come out single-copy via the main pass; docs below
+    it route through recoverWildText, which appends the paragraphs to the
+    existing body AGAIN (reference-faithful duplication,
+    main_extractor.dart:612-629).  Restricted to docs decisively clear of
+    the 62/250-char gates so the class split is exact in SQL."""
+    opts = Options(fast=True, comments=False, with_metadata=True)
+    docs = synthesize_documents_df(spark, sf_dir)
+    ex = extract_documents(docs, opts)
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.split("text", " ")
+    n = F.size(w)
+    head_len = F.length(F.array_join(F.slice(w, 1, 3), " "))
+    h = F.floor((n - 2) / 2).cast("int")
+    p1 = F.array_join(F.slice(w, 4, h), " ")
+    p2 = F.array_join(F.slice(w, h + 4, n - h - 3), " ")
+    l1 = head_len + F.length(p1) + F.length(p2)
+    l2 = l1 + F.length(p1) + F.length(p2)
+    eligible = (src
+                .filter((F.length(p1) >= 72) & (F.length(p2) >= 72)
+                        & ((l1 >= 260) | ((l1 <= 240) & (l2 >= 260))))
+                .select("doc_id"))
+    flat = ex.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     "status", "tier", F.explode("spans").alias("s"))              .select("doc_id", "status", "tier",
+                     F.col("s.offset").cast("long").alias("offset"),
+                     F.col("s.kind").alias("kind"),
+                     F.col("s.text").alias("text"))
+    return flat.join(F.broadcast(eligible), "doc_id")
+
+
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trafilatura_spark.functions.similarity import cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -851,6 +882,39 @@ FROM content c JOIN fp USING (doc_id) JOIN documents d ON d.doc_id = c.doc_id
 ORDER BY c.doc_id
 """
 
+_ORACLE_DEFAULT_GATES = f"""
+WITH {_PARTS},
+elig AS (
+    SELECT d.doc_id, d.m, d.head, d.para1, d.para2,
+           len(d.head) + len(d.para1) + len(d.para2) AS l1,
+           len(d.head) + 2*len(d.para1) + 2*len(d.para2) AS l2
+    FROM derived d
+    WHERE len(d.para1) >= 72 AND len(d.para2) >= 72
+),
+fam AS (
+    SELECT *, (l1 >= 260) AS single_copy FROM elig
+    WHERE l1 >= 260 OR (l1 <= 240 AND l2 >= 260)
+)
+SELECT * FROM (
+    SELECT doc_id, 'ok' AS status, 'main' AS tier, 0::BIGINT AS "offset",
+           'head' AS kind, head AS text FROM fam
+    UNION ALL
+    SELECT doc_id, 'ok', 'main', 1::BIGINT, 'p', para1 FROM fam
+    UNION ALL
+    SELECT f.doc_id, 'ok', 'main', 2 + g.i, 'graphic', 'figure ' || g.i
+    FROM fam f, LATERAL (SELECT unnest(generate_series(0, f.m - 1)) AS i) g
+    WHERE f.m > 0
+    UNION ALL
+    SELECT doc_id, 'ok', 'main', (m + 2)::BIGINT, 'p', para2 FROM fam
+    UNION ALL
+    SELECT doc_id, 'ok', 'main', (m + 3)::BIGINT, 'p', para1 FROM fam
+    WHERE NOT single_copy
+    UNION ALL
+    SELECT doc_id, 'ok', 'main', (m + 4)::BIGINT, 'p', para2 FROM fam
+    WHERE NOT single_copy
+) ORDER BY doc_id, "offset"
+"""
+
 _ORACLE_KNN = """
 WITH q AS (
     SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -963,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spider_robots": q_spider_robots,
         "doc_fingerprint": q_doc_fingerprint,
         "serialize_csv": q_serialize_csv,
+        "extract_default_gates": q_extract_default_gates,
         "extract_precision": q_extract_precision,
         "extract_recall": q_extract_recall,
         "extract_fallback_readability": q_extract_fallback_readability,
@@ -999,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
         "spider_robots": _ORACLE_ROBOTS,
         "doc_fingerprint": _ORACLE_DOC_FINGERPRINT,
         "serialize_csv": _ORACLE_SERIALIZE_CSV,
+        "extract_default_gates": _ORACLE_DEFAULT_GATES,
         "extract_precision": _ORACLE_EXTRACT_SPANS,
         "extract_recall": _ORACLE_EXTRACT_SPANS,
         "extract_fallback_readability": _ORACLE_FALLBACK_READABILITY,
