@@ -8,9 +8,12 @@ Queries come in two families (SURVEY.md §2, FIXTURES.md §4):
    mapInPandas pipeline, and — because the construction is a pure
    function of (doc_id, text, lang, source) — the expected output spans
    are expressible in ANSI SQL over the original `documents` view.
-   These queries use relaxed size thresholds + fast mode so the expected
-   path is the deterministic main cascade (default-threshold and
-   fallback behaviors are covered by `tests/`).
+   Most use relaxed size thresholds + fast mode so the expected path is
+   the deterministic main cascade; `extract_fallback_*` run fast=False
+   over pages built to defeat the main cascade (readability / justext
+   tiers), and `extract_default_gates` runs STOCK thresholds and pins
+   the wild-text duplication the reference exhibits below
+   min_extracted_size.
 
 2. **Training-pipeline ops** (`dedup_*`, `text_*`, `embedding_*`):
    DataFrame-native operators over `documents`/`embeddings`, mirrored
