@@ -217,3 +217,15 @@ def test_first_wave_torn_crash_scrubbed(spark, sf_dir, tmp_path):
     res = spark.read.parquet(out)
     assert res.count() == full
     assert res.select("doc_id").distinct().count() == full
+
+
+def test_job_serialize_flag(spark, sf_dir, tmp_path):
+    """--serialize adds a JVM-side serialized column to the output."""
+    out, prog = str(tmp_path / "so"), str(tmp_path / "sp")
+    docs = synthesize_documents_df(spark, sf_dir)
+    run_extraction(spark, docs, out, prog, "s1", RELAXED,
+                   n_buckets=4, wave_size=4, serialize="csv")
+    res = spark.read.parquet(out)
+    assert "serialized" in res.columns
+    row = res.filter(F.col("status") == "ok").first()
+    assert row["serialized"].count("\t") == 4

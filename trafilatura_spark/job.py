@@ -120,7 +120,8 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
                    progress_path: str, run_id: str = "run0",
                    options: Options | None = None, n_buckets: int = 16,
                    wave_size: int = 8, tasks_per_wave: int | None = None,
-                   lineage: str | None = None) -> dict:
+                   lineage: str | None = None,
+                   serialize: str | None = None) -> dict:
     """Resumable batch extraction.  Returns run summary metrics.
 
     ``n_buckets`` is the checkpoint granularity (at 100 TB: hundreds —
@@ -163,6 +164,9 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
             wave_df.mapInPandas(extract_fn, EXTRACTED_SCHEMA)
             .withColumn("bucket", bucket_col)
         )
+        if serialize:
+            from .operators.serialize import serialize_column
+            extracted = serialize_column(extracted, serialize)
         # per-bucket metrics ride the write itself as observe() accumulator
         # expressions (4 per bucket in the wave) — ONE pass over the data;
         # the old shape re-read the just-written output, a full second scan
@@ -228,6 +232,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="drop graphic spans (reference default)")
     p.add_argument("--no-comments", action="store_true")
     p.add_argument("--no-metadata", action="store_true")
+    p.add_argument("--serialize", default=None, choices=["json", "csv"],
+                   help="add a serialized string column to the output "
+                        "(reference CLI -f json/csv analog; spans stay "
+                        "the primary sink)")
     args = p.parse_args(argv)
 
     spark = make_session()
@@ -243,7 +251,7 @@ def main(argv: list[str] | None = None) -> int:
     summary = run_extraction(spark, docs, args.output, args.progress,
                              run_id=args.run_id, options=options,
                              n_buckets=args.buckets, wave_size=args.wave_size,
-                             lineage=args.input)
+                             lineage=args.input, serialize=args.serialize)
     print(summary)
     return 0
 
