@@ -229,3 +229,24 @@ def test_render_tei_full_header():
     # no license -> empty publicationStmt placeholder
     tei2 = render_tei(body, {"title": "T"})
     assert "<publicationStmt><p/></publicationStmt>" in tei2
+
+
+def test_extract_format_dispatch():
+    """determineReturnString parity (core.dart:25-105): one entry point,
+    six output formats."""
+    from trafilatura_spark import Options, extract
+    pad = "word " * 30
+    html = (f'<html lang="en"><head><title>T | x</title>'
+            f'<meta property="og:title" content="My Title"/></head>'
+            f"<body><article><h2>Head</h2><p>{pad}</p></article></body></html>")
+    o = Options(min_output_size=1, min_extracted_size=5, fast=True)
+    txt = extract(html, "txt", o)
+    assert txt.startswith("---\ntitle: My Title")
+    assert "word word" in txt
+    assert '"title": "My Title"' in extract(html, "json", o)
+    assert extract(html, "csv", o).count("\t") == 10
+    assert extract(html, "xml", o).startswith('<doc title="My Title"')
+    assert "<h2>Head</h2>" in extract(html, "html", o)
+    assert extract(html, "xmltei", o).startswith(
+        '<TEI xmlns="http://www.tei-c.org/ns/1.0">')
+    assert extract("<html><body></body></html>", "txt", o) is None

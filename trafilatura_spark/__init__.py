@@ -5,8 +5,8 @@ kamranxdev/trafilatura (Dart, at /root/reference) as a Spark batch
 pipeline over interleaved text+media span documents.  See SURVEY.md.
 """
 
-from .core import ExtractionResult, bare_extraction, extract_txt, load_html
+from .core import ExtractionResult, bare_extraction, extract, extract_txt, load_html
 from .settings import Options
 
-__all__ = ["Options", "ExtractionResult", "bare_extraction", "extract_txt", "load_html"]
+__all__ = ["Options", "ExtractionResult", "bare_extraction", "extract", "extract_txt", "load_html"]
 __version__ = "0.1.0"

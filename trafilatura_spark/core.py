@@ -41,6 +41,8 @@ class ExtractionResult:
     status: str = "ok"      # ok | empty | error | rejected
     tier: str = "main"      # main | readability | justext | baseline | none
     len_text: int = 0
+    body: Node | None = None           # output-vocabulary tree (for sinks)
+    commentsbody: Node | None = None
 
 
 def load_html(content: str) -> Node | None:
@@ -229,6 +231,9 @@ def bare_extraction(filecontent: str, options: Options | None = None,
         normalize_output_tree(postbody, options.formatting)
 
         result.tier = tier
+        result.body = postbody
+        result.commentsbody = commentsbody \
+            if options.comments and commentsbody.children else None
         result.spans = emit_spans(
             postbody,
             commentsbody if options.comments and commentsbody.children else None,
@@ -278,3 +283,48 @@ def extract_txt(filecontent: str, options: Options | None = None) -> str | None:
     if res.status in ("rejected", "error", "empty"):
         return None
     return res.text
+
+
+_TXT_META_ORDER = ("title", "author", "url", "hostname", "description",
+                   "sitename", "date", "categories", "tags", "fingerprint",
+                   "id", "license")
+
+
+def extract(filecontent: str, output_format: str = "txt",
+            options: Options | None = None) -> str | None:
+    """Top-level string extraction with output-format dispatch
+    (core.dart:25-105 determineReturnString): txt/markdown with metadata
+    front-matter, json, csv, html, xml, xmltei.  Markdown = txt with
+    ``options.formatting`` enabled."""
+    from .operators.serialize import (render_csv, render_html, render_json,
+                                      render_tei, render_xml)
+    options = options or Options()
+    res = bare_extraction(filecontent, options)
+    if res.status in ("rejected", "error", "empty") or res.body is None:
+        return None
+    if output_format == "xml":
+        return render_xml(res.body, res.meta, res.commentsbody)
+    if output_format == "xmltei":
+        return render_tei(res.body, res.meta, res.commentsbody)
+    if output_format == "csv":
+        return render_csv(res.meta, res.text, res.comments_text)
+    if output_format == "json":
+        return render_json(res.meta, res.text, res.comments_text)
+    if output_format == "html":
+        return render_html(res.body, (res.meta or {}).get("title"))
+    # txt / markdown: optional metadata front-matter then rendered body
+    parts: list[str] = []
+    if options.with_metadata and res.meta:
+        parts.append("---")
+        for name in _TXT_META_ORDER:
+            val = res.meta.get(name)
+            if isinstance(val, list):
+                val = ", ".join(val)
+            if val:
+                parts.append(f"{name}: {val}")
+        parts.append("---")
+    body_txt = res.text
+    if res.comments_text:
+        body_txt = f"{body_txt}\n{res.comments_text}"
+    parts.append(body_txt)
+    return "\n".join(parts).strip()
