@@ -155,3 +155,23 @@ def test_fast_vs_stdlib_parity_on_cache_corpus():
         if tl and abs(fl - tl) / max(tl, 1) > 0.02:
             divergent.append((page.name, fl, tl))
     assert not divergent, divergent
+
+
+def test_parser_fuzz_no_crash():
+    """Differential/robustness fuzz: random tag soup must never raise and
+    must always yield an html/body skeleton."""
+    import random
+    rng = random.Random(1234)
+    frags = ["<div>", "</div>", "<p>", "</p>", "<a href='x'>", "</a>",
+             "text ", "it's ", '<img src="i">', "<script>a<b</script>",
+             "<!-- c -->", "<!doctype html>", "&amp;", "&bogus;", "< p",
+             '<meta content="a > b">', "<td>", "</td>", "<table>",
+             "</table>", "<li>", "<ul>", "'", '"', ">", "<", "é",
+             "<p class='a\"b'>", "<br/>", "<span", "</nothere>"]
+    for _ in range(300):
+        html = "".join(rng.choice(frags) for _ in range(rng.randint(0, 40)))
+        tree = parse_html(html)
+        assert tree.tag == "html"
+        body = get_body(tree)
+        assert body.tag == "body"
+        body.text_content()  # must not raise either
