@@ -276,6 +276,7 @@ AUTHOR_DISCARD_PATTERNS = [
     "productreviews", "figure", "article-share", "article-support", "print",
     "category", "meta-date", "meta-reviewer",
 ]
+_AUTHOR_DISCARD_RE = _contains_re(AUTHOR_DISCARD_PATTERNS)
 
 CATEGORY_CLASS_PATTERNS = [
     "post-info", "postinfo", "post-meta", "postmeta", "meta", "entry-meta",
@@ -330,8 +331,8 @@ def select_author_discard_elements(tree: Node) -> list[Node]:
         for elem in buckets[tag]:
             cls, eid = _class_id(elem)
             data_component = elem.attrs.get("data-component", "").lower()
-            if any(p in cls or p in eid or p in data_component
-                   for p in AUTHOR_DISCARD_PATTERNS):
+            if _AUTHOR_DISCARD_RE.search(cls) or _AUTHOR_DISCARD_RE.search(eid) \
+                    or _AUTHOR_DISCARD_RE.search(data_component):
                 results.append(elem)
     results.extend(buckets["time"])
     results.extend(buckets["figure"])
