@@ -96,8 +96,10 @@ class ReadabilityDocument:
                 article = self._get_article(candidates, best)
             else:
                 if ruthless:
+                    # final attempt: saved has no later reader, hand it
+                    # over without the defensive copy
                     ruthless = False
-                    self.doc = saved.copy()
+                    self.doc = saved
                     continue
                 body = self.doc.find("body")
                 article = body if body is not None else self.doc
@@ -105,7 +107,7 @@ class ReadabilityDocument:
             article_length = len(cleaned.text_content()) if cleaned is not None else 0
             if ruthless and article_length < self.retry_length:
                 ruthless = False
-                self.doc = saved.copy()
+                self.doc = saved
                 continue
             return cleaned
 
