@@ -279,3 +279,37 @@ def test_filter_robots_frontier(spark):
                    "https://ex.org/private/public-bit/x",
                    "https://open.org/anything",
                    "https://norobots.net/free"}
+
+
+def test_sitemap_hreflang_precedence(spark):
+    """extractSitemapLanglinks (sitemaps.dart:141-158) over the
+    reference's sitemap-hreflang.xml fixture: with a target language the
+    matching hreflang alternates (incl. x-default) replace the <loc>s."""
+    from pyspark.sql import functions as F
+    from trafilatura_spark.sources.discovery import sitemap_links
+    xml = (REF / "sitemap-hreflang.xml").read_text()
+    df = spark.createDataFrame([(xml,)], ["xml"])
+    de = {r["l"] for r in df.select(
+        F.explode(sitemap_links(F.col("xml"), target_lang="de")).alias("l"))
+        .collect()}
+    assert "http://www.example.com/deutsch/page.html" in de
+    assert "http://www.example.com/schweiz-deutsch/page.html" in de
+    assert "http://www.example.com/english/page.html" not in de
+    # no target lang -> plain <loc> extraction
+    plain = {r["l"] for r in df.select(
+        F.explode(sitemap_links(F.col("xml"))).alias("l")).collect()}
+    assert "http://www.example.com/english/page.html" in plain
+
+
+def test_url_lang_filter(spark):
+    from pyspark.sql import functions as F
+    from trafilatura_spark.sources.discovery import lang_filter
+    rows = [("https://ex.org/article/1", True),      # no marker
+            ("https://ex.org/de/artikel", True),     # matching marker
+            ("https://ex.org/fr/article", False),    # other language
+            ("https://ex.org/p?lang=fr", False),
+            ("https://ex.org/p?lang=de", True)]
+    df = spark.createDataFrame([(u,) for u, _ in rows], ["url"])
+    got = [r["k"] for r in df.select(
+        lang_filter(F.col("url"), "de").alias("k")).collect()]
+    assert got == [w for _, w in rows]

@@ -100,22 +100,46 @@ def is_plausible_sitemap(url: Column, content: Column) -> Column:
     return content.isNotNull() & ~(xml_url & ~is_fmt) & ~htmlish
 
 
-def sitemap_links(xml_col: Column, max_links: int = 10_000) -> Column:
+def sitemap_links(xml_col: Column, max_links: int = 10_000,
+                  target_lang: str | None = None) -> Column:
     """All <loc> links of an XML sitemap, or the per-line URLs of a TXT
     sitemap (process(), sitemaps.dart:160-177), capped at ``max_links``
-    per document (extractLinks cap, sitemaps.dart:128-139)."""
+    per document (extractLinks cap, sitemaps.dart:128-139).
+
+    With ``target_lang``, hreflang alternates matching the language (or
+    x-default) take precedence when the document carries any
+    (extractSitemapLanglinks, sitemaps.dart:141-158)."""
     xml_links = F.regexp_extract_all(xml_col, F.lit(_SITEMAP_LOC), 1)
+    if target_lang:
+        lang_pat = (rf'<xhtml:link[^>]*hreflang="(?:{target_lang}[^"]*'
+                    rf'|x-default)"[^>]*href="([^"]+)"')
+        lang_links = F.regexp_extract_all(xml_col, F.lit(lang_pat), 1)
+        xml_links = F.when(F.size(lang_links) > 0, lang_links) \
+                     .otherwise(xml_links)
     txt_links = F.regexp_extract_all(xml_col, F.lit(_DETECT_TXT_LINKS), 0)
     links = F.when(xml_col.rlike(SITEMAP_FORMAT), xml_links) \
              .otherwise(txt_links)
     return F.slice(links, 1, max_links)
 
 
+# sitemaps.dart:184-198 — URL-level language filter: drop links carrying an
+# explicit other-language marker
+_URL_LANG_MARKER = r"/[a-z]{2}(-[a-z]{2})?/|[?&]lang=([a-z]{2})"
+
+
+def lang_filter(url_col: Column, target_lang: str) -> Column:
+    """True if the URL has no explicit language marker, or the marker
+    contains the target language (_langFilter, sitemaps.dart:184-198)."""
+    marker = F.lower(F.regexp_extract(url_col, _URL_LANG_MARKER, 0))
+    return (marker == "") | marker.contains(target_lang.lower())
+
+
 def expand_sitemaps(fetched: DataFrame, seeds: DataFrame,
                     url_col: str = "url", xml_col: str = "xml",
                     max_sitemaps_seen: int = 10_000,
                     max_rounds: int = 10,
-                    max_links: int = 10_000) -> DataFrame:
+                    max_links: int = 10_000,
+                    target_lang: str | None = None) -> DataFrame:
     """Iterative sitemap-index expansion (the sitemapSearch loop,
     sitemaps.dart:267-283) over a table of already-fetched sitemap
     documents — same anti-join frontier shape as ``spider.bfs_frontier``.
@@ -140,8 +164,12 @@ def expand_sitemaps(fetched: DataFrame, seeds: DataFrame,
             .filter(is_plausible_sitemap(F.col(url_col), F.col(xml_col)))
         links = docs.select(
             F.col(url_col).alias("sitemap_url"),
-            F.explode(sitemap_links(F.col(xml_col), max_links)).alias("link"),
-        ).distinct().persist()
+            F.explode(sitemap_links(F.col(xml_col), max_links,
+                                    target_lang)).alias("link"),
+        ).distinct()
+        if target_lang:
+            links = links.filter(lang_filter(F.col("link"), target_lang))
+        links = links.persist()
         pg = links.filter(~F.col("link").rlike(DETECT_SITEMAP_LINK))
         pages = pg if pages is None else pages.unionByName(pg)
         nested = (links.filter(F.col("link").rlike(DETECT_SITEMAP_LINK))
