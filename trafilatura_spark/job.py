@@ -236,9 +236,33 @@ def main(argv: list[str] | None = None) -> int:
                    help="add a serialized string column to the output "
                         "(reference CLI -f json/csv analog; spans stay "
                         "the primary sink)")
+    p.add_argument("--mode", default="extract",
+                   choices=["extract", "discover-sitemaps", "discover-feeds"],
+                   help="extract (default), or link discovery over a "
+                        "fetched-documents parquet of (url, xml|content) "
+                        "— the CLI analogs of the reference's --sitemap / "
+                        "--feed modes (cli.dart)")
     args = p.parse_args(argv)
 
     spark = make_session()
+    if args.mode == "discover-sitemaps":
+        from .sources.discovery import expand_sitemaps
+        fetched = spark.read.parquet(args.input)
+        seeds = fetched.select("url")
+        pages = expand_sitemaps(fetched, seeds,
+                                target_lang=args.target_lang)
+        pages.write.mode("overwrite").parquet(args.output)
+        print({"mode": "discover-sitemaps", "links": pages.count()})
+        return 0
+    if args.mode == "discover-feeds":
+        from .sources.feeds import feed_links_df
+        fetched = spark.read.parquet(args.input)
+        content_col = "content" if "content" in fetched.columns else "xml"
+        links = feed_links_df(fetched, content_col=content_col,
+                              target_lang=args.target_lang)
+        links.write.mode("overwrite").parquet(args.output)
+        print({"mode": "discover-feeds", "links": links.count()})
+        return 0
     if args.input_format == "html-dir":
         docs = read_html_dir(spark, args.input)
     else:

@@ -143,3 +143,10 @@ def is_similar_domain(a: str, b: str, threshold: float = 0.5) -> bool:
     b_set = set(b)
     matches = sum(1 for ch in a if ch in b_set)
     return (2.0 * matches) / (len(a) + len(b)) >= threshold
+
+
+def reset_caches() -> None:
+    """Release per-worker memoization caches (meta.dart:12-21
+    resetCaches): token-hash / token-bit LRUs used by simhash."""
+    _hash_token.cache_clear()
+    _token_bits.cache_clear()
