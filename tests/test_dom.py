@@ -175,3 +175,14 @@ def test_parser_fuzz_no_crash():
         body = get_body(tree)
         assert body.tag == "body"
         body.text_content()  # must not raise either
+
+
+def test_text_content_document_order():
+    """Regression: a node's tail must come AFTER its subtree text
+    (was emitted before the children, scrambling nested inline text)."""
+    t = parse_html("<body><p><b><i>J</i>ane</b> Doe</p></body>")
+    body = get_body(t)
+    assert body.text_content() == "Jane Doe"
+    assert "".join(body.itertext()) == "Jane Doe"
+    t2 = parse_html("<body><div>a<span>b<em>c</em>d</span>e</div></body>")
+    assert get_body(t2).text_content() == "abcde"

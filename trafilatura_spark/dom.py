@@ -129,25 +129,38 @@ class Node:
 
     # -- text --------------------------------------------------------------
     def text_content(self) -> str:
-        """All text of self and descendants (lxml ``text_content`` semantics:
-        own tail NOT included, descendant tails included)."""
+        """All text of self and descendants in DOCUMENT ORDER (lxml
+        ``text_content`` semantics: own tail NOT included, descendant
+        tails included).  A node's tail comes after its whole subtree, so
+        it is pushed before the children on the work stack (plain strings
+        on the stack are emit-later markers)."""
         parts = [self.text]
-        stack = list(reversed(self.children))
+        stack: list = list(reversed(self.children))
         while stack:
             node = stack.pop()
+            if type(node) is str:
+                parts.append(node)
+                continue
             parts.append(node.text)
-            stack.extend(reversed(node.children))
-            parts.append(node.tail)
+            if node.tail:
+                stack.append(node.tail)
+            if node.children:
+                stack.extend(reversed(node.children))
         return "".join(parts)
 
     def itertext(self):
         yield self.text
-        stack = list(reversed(self.children))
+        stack: list = list(reversed(self.children))
         while stack:
             node = stack.pop()
+            if type(node) is str:
+                yield node
+                continue
             yield node.text
-            stack.extend(reversed(node.children))
-            yield node.tail
+            if node.tail:
+                stack.append(node.tail)
+            if node.children:
+                stack.extend(reversed(node.children))
 
     # -- surgery -----------------------------------------------------------
     def append(self, child: "Node") -> None:

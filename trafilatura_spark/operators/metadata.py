@@ -524,18 +524,25 @@ def extract_title(tree: Node) -> str | None:
 
 
 def _text_content_excluding(node: Node, excluded: set) -> str:
-    """text_content() as if the excluded subtrees had been drop_tree'd
-    (keep_tail semantics: an excluded node's tail stays in the flow)."""
+    """text_content() in document order as if the excluded subtrees had
+    been drop_tree'd (keep_tail semantics: an excluded node's tail stays
+    in the flow)."""
     parts = [node.text]
-    stack = list(reversed(node.children))
+    stack: list = list(reversed(node.children))
     while stack:
         n = stack.pop()
+        if type(n) is str:
+            parts.append(n)
+            continue
         if id(n) in excluded:
-            parts.append(n.tail)
+            if n.tail:
+                parts.append(n.tail)
             continue
         parts.append(n.text)
-        stack.extend(reversed(n.children))
-        parts.append(n.tail)
+        if n.tail:
+            stack.append(n.tail)
+        if n.children:
+            stack.extend(reversed(n.children))
     return "".join(parts)
 
 
