@@ -313,3 +313,56 @@ def test_url_lang_filter(spark):
     got = [r["k"] for r in df.select(
         lang_filter(F.col("url"), "de").alias("k")).collect()]
     assert got == [w for _, w in rows]
+
+
+def test_hreflang_attribute_order_and_quotes(spark):
+    """hreflang may precede or follow href, with either quote style
+    (the reference matches the whole tag then checks both attrs)."""
+    from pyspark.sql import functions as F
+    from trafilatura_spark.sources.discovery import sitemap_links
+    xml = ("<?xml version='1.0'?><urlset><url>"
+           "<loc>http://ex.org/en/</loc>"
+           '<xhtml:link rel="alternate" href="http://ex.org/de/" '
+           'hreflang="de"/>'
+           "<xhtml:link rel='alternate' hreflang='de-at' "
+           "href='http://ex.org/at/'/>"
+           "</url></urlset>")
+    df = spark.createDataFrame([(xml,)], ["xml"])
+    got = {r["l"] for r in df.select(
+        F.explode(sitemap_links(F.col("xml"), target_lang="de")).alias("l"))
+        .collect()}
+    assert got == {"http://ex.org/de/", "http://ex.org/at/"}
+
+
+def test_url_lang_filter_case_insensitive(spark):
+    from pyspark.sql import functions as F
+    from trafilatura_spark.sources.discovery import lang_filter
+    df = spark.createDataFrame([("https://ex.org/FR/page",),
+                                ("https://ex.org/DE/page",)], ["url"])
+    got = [r["k"] for r in df.select(
+        lang_filter(F.col("url"), "de").alias("k")).collect()]
+    assert got == [False, True]
+
+
+def test_expand_sitemaps_domain_gate_and_cleanurl(spark):
+    """handleLink parity: cross-domain links are dropped (unless
+    external=True or a whitelisted platform), tracking params stripped."""
+    from trafilatura_spark.sources.discovery import expand_sitemaps
+    xml = ("<?xml version='1.0'?><urlset>"
+           "<url><loc>https://ex.org/p?utm_source=tw&id=3</loc></url>"
+           "<url><loc>https://ads.tracker.net/x</loc></url>"
+           "<url><loc>https://sub.ex.org/q</loc></url>"
+           "<url><loc>https://someone.wordpress.com/post</loc></url>"
+           "</urlset>")
+    fetched = spark.createDataFrame([("https://ex.org/sitemap.xml", xml)],
+                                    ["url", "xml"])
+    seeds = spark.createDataFrame([("https://ex.org/sitemap.xml",)], ["url"])
+    got = {r["link"] for r in expand_sitemaps(fetched, seeds).collect()}
+    assert "https://ads.tracker.net/x" not in got
+    assert "https://sub.ex.org/q" in got
+    assert "https://someone.wordpress.com/post" in got  # whitelisted
+    assert any(u.startswith("https://ex.org/p") and "utm_source" not in u
+               for u in got)
+    ext = {r["link"] for r in
+           expand_sitemaps(fetched, seeds, external=True).collect()}
+    assert "https://ads.tracker.net/x" in ext

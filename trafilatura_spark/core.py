@@ -299,6 +299,10 @@ def extract(filecontent: str, output_format: str = "txt",
     from .operators.serialize import (render_csv, render_html, render_json,
                                       render_tei, render_xml)
     options = options or Options()
+    if output_format == "markdown" and not options.formatting:
+        # "Markdown always needs formatting" (settings.dart:172-174)
+        from dataclasses import replace
+        options = replace(options, formatting=True)
     res = bare_extraction(filecontent, options)
     if res.status in ("rejected", "error", "empty") or res.body is None:
         return None

@@ -103,7 +103,8 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
-                        band_size: int = 2) -> DataFrame:
+                        band_size: int = 2,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Band the signature, hash each band, group by (band, hash) and emit
     all in-bucket pairs.  Returns distinct (id_a < id_b) candidate pairs.
 
@@ -129,6 +130,13 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        # opt-in guard for corpus-wide boilerplate signatures: a bucket of
+        # n docs emits n*(n-1)/2 pairs, so one hot bucket can dominate the
+        # run.  Dropping oversize buckets is the standard LSH practice —
+        # NOTE this changes results (those docs lose their candidacy), so
+        # it is off by default and callers should surface the choice.
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     n = F.size("ids")
     pair_structs = F.flatten(F.transform(
         F.sequence(F.lit(1), n - 1),
@@ -147,7 +155,8 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
 
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 3,
-                  threshold: float = 0.0) -> DataFrame:
+                  threshold: float = 0.0,
+                  broadcast_candidates: bool = True) -> DataFrame:
     """Exact k-shingle Jaccard for candidate pairs (verification stage).
     ``round(.., 6)`` keeps float hashing stable across engines.
 
@@ -164,7 +173,12 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
         )).alias("r"),
     ).select("id_a", "id_b", F.col("r.doc_id").alias("_cand_id"),
              F.col("r.side").alias("side"))
-    cand = df.join(F.broadcast(roles), F.col(id_col) == F.col("_cand_id"))
+    # broadcast is right when LSH yields a modest candidate set (the
+    # normal case); for pathological volumes (hot boilerplate buckets)
+    # pass broadcast_candidates=False to fall back to a shuffle join,
+    # and/or cap buckets via lsh_candidate_pairs(max_bucket_size=...)
+    cand_side = F.broadcast(roles) if broadcast_candidates else roles
+    cand = df.join(cand_side, F.col(id_col) == F.col("_cand_id"))
     sets = cand.select(
         "id_a", "id_b", "side",
         F.array_distinct(word_shingles(text_col, k)).alias("sh"))

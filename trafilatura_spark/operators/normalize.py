@@ -74,7 +74,7 @@ def remove_empty_elements(tree: Node) -> Node:
     return tree
 
 
-def strip_double_tags(tree: Node) -> Node:
+def strip_double_tags(tree: Node, include_formatting: bool = False) -> Node:
     """Prevent nested head/code/p tags (xml_utils.dart:175-192): a
     same-tag descendant is merged into its parent's text flow unless the
     direct parent is a legitimate nesting container."""
@@ -83,7 +83,7 @@ def strip_double_tags(tree: Node) -> Node:
             for subelem in elem.find_all(tag):
                 parent = subelem.parent
                 if parent is not None and parent.tag not in NESTING_WHITELIST:
-                    merge_with_parent(subelem)
+                    merge_with_parent(subelem, include_formatting)
     return tree
 
 
@@ -91,6 +91,6 @@ def normalize_output_tree(body: Node,
                           include_formatting: bool = False) -> Node:
     """controlXmlOutput's normalization pair in reference order
     (xml_utils.dart:315-316)."""
-    strip_double_tags(body)
+    strip_double_tags(body, include_formatting)
     remove_empty_elements(body)
     return body

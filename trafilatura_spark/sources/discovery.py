@@ -111,8 +111,11 @@ def sitemap_links(xml_col: Column, max_links: int = 10_000,
     (extractSitemapLanglinks, sitemaps.dart:141-158)."""
     xml_links = F.regexp_extract_all(xml_col, F.lit(_SITEMAP_LOC), 1)
     if target_lang:
-        lang_pat = (rf'<xhtml:link[^>]*hreflang="(?:{target_lang}[^"]*'
-                    rf'|x-default)"[^>]*href="([^"]+)"')
+        # attribute-order-independent and quote-agnostic, mirroring the
+        # reference's two-step whole-tag match (hreflang may precede or
+        # follow href, single or double quotes)
+        lang_pat = (rf'<xhtml:link(?=[^>]*hreflang=["\'](?:{target_lang}'
+                    rf'[^"\']*|x-default)["\'])[^>]*href=["\']([^"\']+)["\']')
         lang_links = F.regexp_extract_all(xml_col, F.lit(lang_pat), 1)
         xml_links = F.when(F.size(lang_links) > 0, lang_links) \
                      .otherwise(xml_links)
@@ -124,7 +127,7 @@ def sitemap_links(xml_col: Column, max_links: int = 10_000,
 
 # sitemaps.dart:184-198 — URL-level language filter: drop links carrying an
 # explicit other-language marker
-_URL_LANG_MARKER = r"/[a-z]{2}(-[a-z]{2})?/|[?&]lang=([a-z]{2})"
+_URL_LANG_MARKER = r"(?i)/[a-z]{2}(-[a-z]{2})?/|[?&]lang=([a-z]{2})"
 
 
 def lang_filter(url_col: Column, target_lang: str) -> Column:
@@ -134,12 +137,48 @@ def lang_filter(url_col: Column, target_lang: str) -> Column:
     return (marker == "") | marker.contains(target_lang.lower())
 
 
+# sitemaps.dart:23-26 — blogging platforms exempt from the domain gate
+WHITELISTED_PLATFORMS = (r"(?:blogger|blogpost|ghost|hubspot|livejournal|"
+                         r"medium|typepad|squarespace|tumblr|weebly|wix|"
+                         r"wordpress)\.")
+
+_TRACKING_PARAM_PAT = (r"(?i)[?&](?:utm_source|utm_medium|utm_campaign|"
+                       r"utm_content|utm_term|fbclid|gclid|ref|source)"
+                       r"=[^&#]*")
+
+
+def clean_url_col(url: Column) -> Column:
+    """cleanUrl analog as a JVM expression (feeds.dart:166-182): strip
+    common tracking parameters, repair the separator, trim leftovers."""
+    stripped = F.regexp_replace(url, _TRACKING_PARAM_PAT, "")
+    fixed = F.regexp_replace(stripped, r"^([^?&#]*)&", "$1?")
+    return F.regexp_replace(fixed, r"[?&]$", "")
+
+
+def _similar_host(host_a: Column, host_b: Column) -> Column:
+    """Relational stand-in for isSimilarDomain on the sitemap frontier:
+    equal after www./extension strip, or subdomain-suffix relation, or a
+    whitelisted blogging platform.  (The reference's fuzzy char-overlap
+    formula lives in operators.deduplication.is_similar_domain for the
+    Python cascade paths; a per-char expression is not worth the cost on
+    a billion-link frontier.)"""
+    def strip(h: Column) -> Column:
+        no_www = F.regexp_replace(F.lower(h), r"^www\.", "")
+        return F.regexp_replace(no_www, r"\.[^.]+$", "")
+    a, b = strip(host_a), strip(host_b)
+    return ((a == b)
+            | F.lower(host_a).rlike(WHITELISTED_PLATFORMS)
+            | a.endswith(F.concat(F.lit("."), b))
+            | b.endswith(F.concat(F.lit("."), a)))
+
+
 def expand_sitemaps(fetched: DataFrame, seeds: DataFrame,
                     url_col: str = "url", xml_col: str = "xml",
                     max_sitemaps_seen: int = 10_000,
                     max_rounds: int = 10,
                     max_links: int = 10_000,
-                    target_lang: str | None = None) -> DataFrame:
+                    target_lang: str | None = None,
+                    external: bool = False) -> DataFrame:
     """Iterative sitemap-index expansion (the sitemapSearch loop,
     sitemaps.dart:267-283) over a table of already-fetched sitemap
     documents — same anti-join frontier shape as ``spider.bfs_frontier``.
@@ -166,9 +205,14 @@ def expand_sitemaps(fetched: DataFrame, seeds: DataFrame,
             F.col(url_col).alias("sitemap_url"),
             F.explode(sitemap_links(F.col(xml_col), max_links,
                                     target_lang)).alias("link"),
-        ).distinct()
+        ).withColumn("link", clean_url_col(F.col("link"))).distinct()
         if target_lang:
             links = links.filter(lang_filter(F.col("link"), target_lang))
+        if not external:
+            # handleLink's domain gate (sitemaps.dart:95-125)
+            links = links.filter(_similar_host(
+                F.parse_url(F.col("link"), F.lit("HOST")),
+                F.parse_url(F.col("sitemap_url"), F.lit("HOST"))))
         links = links.persist()
         pg = links.filter(~F.col("link").rlike(DETECT_SITEMAP_LINK))
         pages = pg if pages is None else pages.unionByName(pg)

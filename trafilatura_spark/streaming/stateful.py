@@ -28,6 +28,10 @@ FRONTIER_OUT_SCHEMA = T.StructType([
     T.StructField("accepted", T.BooleanType(), False),
 ])
 
+# NOTE: this schema replaced the round-1 (seen array<string>, emitted)
+# layout; applyInPandasWithState state schemas are not evolvable, so
+# streaming checkpoints written by the previous layout must be discarded
+# before restarting a query on this version.
 FRONTIER_STATE_SCHEMA = T.StructType([
     T.StructField("bloom", T.BinaryType(), True),
     T.StructField("emitted", T.IntegerType(), True),
