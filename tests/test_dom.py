@@ -186,3 +186,60 @@ def test_text_content_document_order():
     assert "".join(body.itertext()) == "Jane Doe"
     t2 = parse_html("<body><div>a<span>b<em>c</em>d</span>e</div></body>")
     assert get_body(t2).text_content() == "abcde"
+
+
+def test_unclosed_head_implies_body():
+    """html5 'in head' recovery: a non-head start tag (or non-whitespace
+    text) with <head> still open closes head and opens an implied body —
+    without this, pages with no </head>/<body> tags parse to an empty
+    body (utils.dart loadHtml relies on the html5 tree constructor)."""
+    t = parse_html("<html><head><title>t</title><div>article</div>")
+    body = get_body(t)
+    assert [c.tag for c in body.children] == ["div"]
+    assert body.text_content() == "article"
+    # text variant
+    t2 = parse_html("<html><head><meta charset='utf-8'>loose text<p>x</p>")
+    b2 = get_body(t2)
+    assert "loose text" in b2.text_content()
+    assert [c.tag for c in b2.children] == ["p"]
+    # head-allowed tags stay in head
+    t3 = parse_html("<html><head><script>s</script><style>c</style>"
+                    "<body><p>x</p></body></html>")
+    b3 = get_body(t3)
+    assert [c.tag for c in b3.children] == ["p"]
+
+
+def test_premature_html_end_tag_keeps_body():
+    """Stray </html> before <body> (seen in the wild:
+    '</head>\\n</html>\\n<body ...') must not orphan the document body —
+    html5 treats </body>/</html> as insertion-mode switches only."""
+    t = parse_html("<html><head><title>t</title></head></html>"
+                   "<body><p>content</p></body>")
+    body = get_body(t)
+    assert body.text_content() == "content"
+    # content after </body> still lands in body
+    t2 = parse_html("<html><body><p>a</p></body><div>after</div></html>")
+    assert get_body(t2).text_content() == "aafter"
+
+
+def test_content_before_html_reparented_into_body():
+    """Error output emitted before the doctype (PHP warnings etc.) is
+    body content under the html5 tree constructor; the dubious-HTML
+    gate (<2 body children) must see it."""
+    t = parse_html("<br/><b>Deprecated</b>: warning text\n"
+                   "<html><head></head><body><div><p>post</p></div></body></html>")
+    body = get_body(t)
+    tags = [c.tag for c in body.children]
+    assert tags[:2] == ["br", "b"]
+    assert tags[-1] == "div"
+    assert "warning text" in body.text_content()
+    assert "post" in body.text_content()
+
+
+def test_duplicate_html_body_merge_ignored():
+    """A second <html>/<body> start tag must not nest a new element
+    (html5 merges attributes into the open one)."""
+    t = parse_html("<html><body><p>a</p><body class='x'><html><p>b</p></body></html>")
+    body = get_body(t)
+    assert [n.tag for n in body.iterdesc("body", "html")] == []
+    assert get_body(t).text_content() == "ab"

@@ -391,3 +391,51 @@ def test_prune_patterns_css_selectors():
     res2 = bare_extraction(html, Options(with_metadata=False,
                                          prune_patterns=("div:::bad[",)))
     assert res2.status == "ok"
+
+
+def test_justext_own_tail_text():
+    """Non-leaf containers are classified on their *own* text (element
+    text + descendant tails outside nested containers) — articles written
+    as bare div text separated by <br> (world.kbs.co.kr shape) must reach
+    the justext fallback.  Documented waiver vs external.dart:179 (SURVEY
+    §2 row 2.7): the Dart port would classify the full subtree text and
+    duplicate nested containers' content; here each piece of text is
+    classified exactly once."""
+    from trafilatura_spark.dom import parse_html, get_body
+    from trafilatura_spark.operators.justext import classify_paragraphs
+
+    article = ("After heavy downpours on Monday the morning was met with "
+               "strong cold winds that brought early winter temperatures "
+               "across most of the country according to the weather agency.")
+    html = (f"<html><body><div class='wrap'>"
+            f"<div class='photo'><p>Photo caption</p></div>"
+            f"{article}<br/>More of the report follows after the break with "
+            f"further details on the forecast for the coming days.</div>"
+            f"</body></html>")
+    paras = classify_paragraphs(get_body(parse_html(html)))
+    good = [t for t, boiler in paras if not boiler]
+    assert any("After heavy downpours" in t for t in good)
+    # no duplication: the caption text appears in exactly one paragraph
+    caption_hits = sum("Photo caption" in t for t, _ in paras)
+    assert caption_hits == 1
+
+
+def test_justext_own_text_link_density():
+    """Own-text link density: a container whose own text is mostly link
+    text is boilerplate even when a nested container holds a long
+    article (the nested container is opaque to the parent)."""
+    from trafilatura_spark.dom import parse_html, get_body
+    from trafilatura_spark.operators.justext import classify_paragraphs
+
+    html = ("<html><body><div id='nav'>"
+            "<a href='/a'>Home sweet home page</a> <a href='/b'>About our "
+            "team members</a> <a href='/c'>Contact and imprint page</a>"
+            "<p>The actual article body lives here and it is long enough "
+            "to be counted as a good paragraph by the classifier because "
+            "it has many common stopwords in it.</p>"
+            "</div></body></html>")
+    paras = classify_paragraphs(get_body(parse_html(html)))
+    by_text = {t[:20]: boiler for t, boiler in paras}
+    # the p is good, the surrounding link-only own text is boilerplate
+    assert any("The actual article b" in k and not v for k, v in by_text.items())
+    assert any("Home sweet home page" in k and v for k, v in by_text.items())

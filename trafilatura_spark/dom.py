@@ -47,6 +47,13 @@ _IMPLIED_END = {
     "tfoot": frozenset(["thead", "tbody"]),
 }
 
+# Tags allowed inside <head> (html5 "in head" insertion mode); any other
+# start tag or non-whitespace text implicitly closes head and opens body.
+_HEAD_CONTENT = frozenset(
+    "head base basefont bgsound link meta title noscript noframes style "
+    "script template".split()
+)
+
 # Raw-text elements: HTMLParser handles script/style natively (CDATA mode).
 
 
@@ -277,10 +284,40 @@ class _TreeBuilder(HTMLParser):
 
     def _add_text(self, data: str) -> None:
         cur = self.stack[-1]
+        if cur.tag == "head" and data.strip():
+            # html5 "in head": non-whitespace text ends the head and is
+            # re-parented into an implied <body>
+            self.stack.pop()
+            parent = self.stack[-1]
+            cur = Node("body", parent=parent)
+            parent.children.append(cur)
+            self.stack.append(cur)
         if cur.children:
             cur.children[-1].tail += data
         else:
             cur.text += data
+
+    def _start_gate(self, tag: str) -> bool:
+        """html5 head/body insertion-mode recovery (the Dart ``html``
+        package implements the html5 tree-construction algorithm; pages
+        with no ``</head>``/``<body>`` tags rely on these rules — without
+        them whole documents nest inside ``<head>`` and extraction sees an
+        empty body).  Returns True when the start tag must be ignored
+        (duplicate ``<html>``/``<body>``: html5 merges attributes instead
+        of opening a second element)."""
+        stack = self.stack
+        if stack[-1].tag == "head" and tag not in _HEAD_CONTENT:
+            stack.pop()
+            if tag != "body" and tag != "html":
+                parent = stack[-1]
+                body = Node("body", parent=parent)
+                parent.children.append(body)
+                stack.append(body)
+        if tag == "html" or tag == "body":
+            for nd in stack:
+                if nd.tag == tag:
+                    return True
+        return False
 
     def _implied_close(self, tag: str) -> None:
         stack = self.stack
@@ -312,6 +349,8 @@ class _TreeBuilder(HTMLParser):
 
     # -- HTMLParser hooks ----------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
+        if self._start_gate(tag):
+            return
         self._implied_close(tag)
         amap = {}
         for k, v in attrs:
@@ -323,6 +362,8 @@ class _TreeBuilder(HTMLParser):
             self.stack.append(node)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
+        if self._start_gate(tag):
+            return
         self._implied_close(tag)
         amap = {}
         for k, v in attrs:
@@ -333,6 +374,12 @@ class _TreeBuilder(HTMLParser):
 
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_ELEMENTS:
+            return
+        if tag == "body" or tag == "html":
+            # html5: </body>/</html> only switch insertion modes — later
+            # content still belongs to body.  Pages emitting a premature
+            # </html> before <body> (seen in the wild) would otherwise
+            # orphan the whole document body.
             return
         for node in reversed(self.stack[1:]):
             if node.tag == tag:
@@ -370,6 +417,7 @@ class _FastBuilder:
     _add_text = _TreeBuilder._add_text
     _implied_close = _TreeBuilder._implied_close
     _close_to = _TreeBuilder._close_to
+    _start_gate = _TreeBuilder._start_gate
 
     def feed(self, s: str) -> None:
         from html import unescape
@@ -470,6 +518,8 @@ class _FastBuilder:
                 i = lt + 1
 
     def _handle_start(self, tag: str, amap: dict, self_closing: bool) -> None:
+        if self._start_gate(tag):
+            return
         self._implied_close(tag)
         node = Node(tag, amap, self.stack[-1])
         self.stack[-1].children.append(node)
@@ -478,6 +528,9 @@ class _FastBuilder:
 
     def _handle_end(self, tag: str) -> None:
         if tag in VOID_ELEMENTS:
+            return
+        if tag == "body" or tag == "html":
+            # html5: mode switch only — see _TreeBuilder.handle_endtag
             return
         stack = self.stack
         for i in range(len(stack) - 1, 0, -1):
@@ -551,10 +604,16 @@ def parse_html(html: str) -> Node:
             break
     if html_node is None:
         html_node = Node("html")
-        for child in root.children:
+        html_node.children = list(root.children)
+        for child in html_node.children:
             child.parent = html_node
-        html_node.children = root.children
         html_node.text = root.text
+        root.children = [html_node]
+        root.text = ""
+        html_node.parent = root
+        root_strays: list[Node] = []
+    else:
+        root_strays = [c for c in root.children if c is not html_node]
 
     head = None
     body = None
@@ -565,20 +624,31 @@ def parse_html(html: str) -> Node:
             body = child
     if body is None:
         body = Node("body")
-        strays = [c for c in html_node.children if c is not head and c.tag != "body"]
-        for c in strays:
-            c.parent = body
-        body.children = strays
-        html_node.children = ([head] if head is not None else []) + [body]
         body.parent = html_node
-        if head is None:
-            head = Node("head")
-            head.parent = html_node
-            html_node.children.insert(0, head)
-    elif head is None:
+        html_node.children.append(body)
+    if head is None:
         head = Node("head")
         head.parent = html_node
         html_node.children.insert(0, head)
+
+    # html5 recovery: element/text content outside <html>/<body> (e.g. PHP
+    # warnings emitted before the doctype, or markup between </head> and
+    # <body>) belongs to body — the html5 tree constructor reprocesses it
+    # in "in body" mode.  Reparent strays in document order ahead of the
+    # body's own children.
+    strays = root_strays + [c for c in html_node.children
+                            if c is not head and c is not body]
+    if strays:
+        strays[-1].tail = strays[-1].tail + body.text
+        lead = root.text + html_node.text
+        body.text = lead if lead.strip() else ""
+        for c in strays:
+            c.parent = body
+        body.children = strays + body.children
+        root.children = [html_node]
+        root.text = ""
+        html_node.children = [head, body]
+        html_node.text = ""
     return html_node
 
 

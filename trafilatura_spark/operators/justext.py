@@ -34,21 +34,66 @@ yours yourself yourselves
 """.split())
 
 
+_JT_TAGS = ("p", "div", "li", "td", "th", "item", "cell")
+_JT_TAGSET = frozenset(_JT_TAGS)
+
+
+def _own_scope(elem: Node) -> tuple[str, int]:
+    """(own text, link text length) of a container: its ``text`` plus every
+    descendant's text/tail reachable without entering a nested container —
+    nested containers are opaque (only their tails count; their content is
+    classified separately).  This is how text that lives as element *tails*
+    (bare ``<div>text<br>text…`` articles) reaches the classifier."""
+    parts: list[str] = [elem.text]
+    link_len = 0
+
+    def walk(node: Node, in_link: bool) -> None:
+        nonlocal link_len
+        for ch in node.children:
+            if ch.tag in _JT_TAGSET:
+                parts.append(ch.tail)
+                continue
+            is_link = in_link or ch.tag in ("a", "ref")
+            if ch.text:
+                parts.append(ch.text)
+                if is_link:
+                    link_len += len(ch.text)
+            walk(ch, is_link)
+            if ch.tail:
+                parts.append(ch.tail)
+                if in_link:
+                    link_len += len(ch.tail)
+
+    walk(elem, False)
+    return "".join(parts), link_len
+
+
 def classify_paragraphs(tree: Node, stoplist: frozenset = JT_STOPLIST) -> list[tuple[str, bool]]:
-    """(text, is_boilerplate) per paragraph-ish element (external.dart:175-196)."""
+    """(text, is_boilerplate) per paragraph-ish element (external.dart:175-196).
+
+    Deviation from the Dart port (documented waiver, SURVEY.md §2.7): the
+    reference classifies every container with its *full* subtree text, so a
+    good ``<div>`` duplicates the text of its good ``<p>`` children in the
+    output (external.dart:179).  Here leaf containers are classified with
+    their full text (identical to the reference for them) and non-leaf
+    containers with their *own* text only (text + tails outside nested
+    containers) — each piece of text is classified exactly once, and
+    tail-text articles (``<div>text<br>text…``) are still recovered."""
     out = []
-    tags = ("p", "div", "li", "td", "th", "item", "cell")
-    for elem in tree.iterdesc(*tags):
-        # leaf-level only: the Dart port classifies nested containers too and
-        # duplicates their children's text (external.dart:179); we don't.
-        if elem.find(*tags) is not None:
-            continue
-        text = trim(elem.text_content())
-        if not text:
-            continue
+    for elem in tree.iterdesc(*_JT_TAGS):
+        if elem.find(*_JT_TAGS) is None:
+            text = trim(elem.text_content())
+            if not text:
+                continue
+            link_density = calculate_link_density(elem)
+        else:
+            raw, link_len = _own_scope(elem)
+            text = trim(raw)
+            if not text:
+                continue
+            link_density = link_len / len(raw) if raw else 0.0
         words = _WS.split(text)
         stopword_count = sum(1 for w in words if w.lower() in stoplist)
-        link_density = calculate_link_density(elem)
         is_boilerplate = (
             link_density > 0.4
             or (len(words) < 10 and stopword_count / len(words) < 0.3)
