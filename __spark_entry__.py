@@ -348,7 +348,11 @@ def q_discovery_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("<?xml version='1.0'?><sitemapindex>"), "body",
                          F.lit("</sitemapindex>")).alias("xml"))
     )
-    fetched = children.unionByName(index)
+    # the expansion loop joins `fetched` once per frontier round; without a
+    # persist each round would re-run both groupBy aggregations above (at
+    # production scale `fetched` is the on-disk crawl store, so this is a
+    # bench-fixture concern only)
+    fetched = children.unionByName(index).persist()
     seeds = index.select("url")
     return expand_sitemaps(fetched, seeds).select("sitemap_url", "link")
 
