@@ -286,6 +286,33 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "phash")
 
 
+def q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF/layout parse (north-rule extraction tier; engine extension —
+    the reference is HTML-only): deterministic two-page PDFs built from
+    the documents table (Flate-compressed for even doc_ids), parsed back
+    to the standard span table by the pure-stdlib extractor.  Two narrow
+    Arrow-batched stages, no shuffle."""
+    import pandas as pd
+
+    from trafilatura_spark.sources.pdf import build_pdf, pdf_spans_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+
+    def gen(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype(str),
+                "pdf": [build_pdf(int(d), t)
+                        for d, t in zip(pdf["doc_id"], pdf["text"])]})
+
+    pdfs = docs.mapInPandas(gen, schema="doc_id string, pdf binary")
+    return pdf_spans_df(pdfs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("offset").cast("long").alias("offset"),
+        "kind", "text", "media_ref")
+
+
 def q_discovery_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap URL discovery (sitemaps.dart analog): per-source sitemap
     XML → regexp_extract_all <loc> entries, document order."""
@@ -507,6 +534,24 @@ SELECT * FROM (
     UNION ALL
     SELECT d.doc_id, 2 + g.i AS "offset", 'graphic',
            'figure ' || g.i, 'm-' || d.doc_id || '-' || g.i
+    FROM derived d, LATERAL (SELECT unnest(generate_series(0, d.m - 1)) AS i) g
+    WHERE d.m > 0
+    UNION ALL
+    SELECT doc_id, (m + 2)::BIGINT, 'p', para2, '' FROM derived
+) ORDER BY doc_id, "offset"
+"""
+
+_ORACLE_EXTRACT_PDF = f"""
+WITH {_PARTS}
+SELECT * FROM (
+    SELECT doc_id, 0::BIGINT AS "offset", 'head' AS kind, head AS text,
+           '' AS media_ref FROM derived
+    UNION ALL
+    SELECT doc_id, 1::BIGINT, 'p', para1, '' FROM derived
+    UNION ALL
+    SELECT d.doc_id, 2 + g.i AS "offset", 'graphic',
+           (16 * (g.i + 1)) || 'x' || (9 * (g.i + 1)),
+           'pdf:obj' || (8 + g.i)
     FROM derived d, LATERAL (SELECT unnest(generate_series(0, d.m - 1)) AS i) g
     WHERE d.m > 0
     UNION ALL
@@ -1039,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_recall": q_extract_recall,
         "extract_fallback_readability": q_extract_fallback_readability,
         "extract_fallback_justext": q_extract_fallback_justext,
+        "extract_pdf": q_extract_pdf,
     }
 
 
@@ -1076,4 +1122,5 @@ def oracle_sql() -> dict[str, str]:
         "extract_recall": _ORACLE_EXTRACT_SPANS,
         "extract_fallback_readability": _ORACLE_FALLBACK_READABILITY,
         "extract_fallback_justext": _ORACLE_FALLBACK_JUSTEXT,
+        "extract_pdf": _ORACLE_EXTRACT_PDF,
     }

@@ -1,0 +1,128 @@
+"""PDF/layout parse (sources/pdf.py): pure-stdlib extractor + deterministic
+generator.  Engine extension per the north rule's extraction tier (the
+reference is HTML-only), same output contract as the HTML cascade."""
+
+import zlib
+
+import pytest
+
+from trafilatura_spark.sources.corpus import doc_parts
+from trafilatura_spark.sources.pdf import (
+    build_pdf, extract_pdf_spans, _unescape_pdf_string)
+
+
+def _wrap_pdf(content: bytes, extra_objs: bytes = b"") -> bytes:
+    """One-page raw-stream PDF around a content stream."""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\n"
+        b"stream\n" + content + b"\nendstream\nendobj\n" + extra_objs +
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n")
+
+
+def test_roundtrip_matches_ground_truth():
+    text = ("stream join filter window sort merge the a big small fast "
+            "slow table row line value key hash part scan order group agg")
+    for doc_id in (0, 1, 2, 3, 4, 5):  # both parities x 0/1/2 images
+        spans = extract_pdf_spans(build_pdf(doc_id, text))
+        head, para1, para2, m = doc_parts(doc_id, text)
+        expect = ([("head", head), ("p", para1)]
+                  + [("graphic", f"{16*(i+1)}x{9*(i+1)}") for i in range(m)]
+                  + [("p", para2)])
+        assert [(s["kind"], s["text"]) for s in spans] == expect
+        assert [s["offset"] for s in spans] == list(range(len(expect)))
+        for i in range(m):
+            assert spans[2 + i]["media_ref"] == f"pdf:obj{8 + i}"
+
+
+def test_string_escapes_and_hex():
+    content = (rb"BT /F1 11 Tf 72 720 Td"
+               rb" (paren \( and \) and back\\slash and \101 octal) Tj"
+               b" T* <48656c6c6f> Tj ET")
+    spans = extract_pdf_spans(_wrap_pdf(content))
+    assert len(spans) == 1
+    assert spans[0]["text"] == \
+        "paren ( and ) and back\\slash and A octal Hello"
+
+
+def test_tj_array_and_quote_ops():
+    content = (b"BT /F1 11 Tf 72 720 Td"
+               b" [(frag) -120 (mented)] TJ T* (next line) Tj ET"
+               b" BT /F1 18 Tf (a heading) ' ET")
+    spans = extract_pdf_spans(_wrap_pdf(content))
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("p", "fragmented next line"), ("head", "a heading")]
+
+
+def test_flate_stream_with_binary_object_markers():
+    """Compressed payloads can contain 'endobj'-like byte sequences; the
+    /Length-based scanner must not truncate them (regression: regex
+    object splitting lost whole pages)."""
+    text = " ".join(f"word{i} the a of" for i in range(40))
+    for doc_id in (136, 436):  # historical offenders at sf0.01
+        spans = extract_pdf_spans(build_pdf(doc_id, text))
+        kinds = [s["kind"] for s in spans]
+        assert kinds[0] == "head" and kinds.count("p") == 2
+
+
+def test_malformed_inputs_yield_empty():
+    assert extract_pdf_spans(b"") == []
+    assert extract_pdf_spans(b"not a pdf at all") == []
+    assert extract_pdf_spans(b"%PDF-1.4\ngarbage with no objects") == []
+    # truncated mid-stream: no crash
+    pdf = build_pdf(2, "the quick brown fox jumps over a lazy dog again")
+    assert isinstance(extract_pdf_spans(pdf[:len(pdf) // 2]), list)
+
+
+def test_no_trailer_fallback_page_scan():
+    """Tolerant-scan recovery: without trailer/Root the /Type /Page
+    objects are used in object order."""
+    content = b"BT /F1 11 Tf (orphan page text here) Tj ET"
+    pdf = (b"%PDF-1.4\n"
+           b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\n"
+           b"stream\n" + content + b"\nendstream\nendobj\n")
+    spans = extract_pdf_spans(pdf)
+    assert [s["text"] for s in spans] == ["orphan page text here"]
+
+
+def test_opaque_filter_image_becomes_graphic_span():
+    """DCTDecode image XObjects are opaque bytes but still emit a graphic
+    span with dimensions + object ref (multimodal seam contract)."""
+    spans = extract_pdf_spans(build_pdf(2, "alpha beta gamma delta epsilon "
+                                           "zeta eta theta iota kappa"))
+    graphics = [s for s in spans if s["kind"] == "graphic"]
+    assert len(graphics) == 2
+    assert graphics[0]["text"] == "16x9"
+    assert graphics[0]["media_ref"] == "pdf:obj8"
+
+
+def test_unescape_octal_and_continuation():
+    assert _unescape_pdf_string(rb"\110\151") == "Hi"
+    assert _unescape_pdf_string(rb"a\zb") == "azb"  # unknown escape drops \
+
+
+def test_spark_pdf_spans_df(spark):
+    import pandas as pd
+
+    from trafilatura_spark.sources.pdf import pdf_spans_df
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").filter("doc_id < 50")
+
+    def gen(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype(str),
+                "pdf": [build_pdf(int(d), t)
+                        for d, t in zip(pdf["doc_id"], pdf["text"])]})
+
+    pdfs = docs.mapInPandas(gen, schema="doc_id string, pdf binary")
+    out = pdf_spans_df(pdfs)
+    rows = out.collect()
+    assert len(rows) >= 150  # >=3 spans per doc
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow: no shuffle in the PDF pipeline
