@@ -501,6 +501,25 @@ def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "neighbor_id", "cosine")
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: every 40th vector gets a
+    scaled copy injected (x2 — same direction, cosine 1.0), then the
+    LSH-bucketed pair finder must recover exactly the injected pairs plus
+    any organically colinear pairs, cosine >= 0.99."""
+    from trafilatura_spark.functions.similarity import embedding_near_dup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    injected = emb.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: (x * F.lit(2.0)).cast("float"))
+        .alias("embedding"))
+    pairs = embedding_near_dup_pairs(emb.unionByName(injected),
+                                     threshold=0.99,
+                                     n_tables=ANN_TABLES, n_bits=ANN_BITS)
+    return pairs.select("a", "b", "cosine")
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB, over pre-registered views of the same parquet tables)
 # ---------------------------------------------------------------------------
@@ -1044,6 +1063,59 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _dedup_embedding_sql() -> str:
+    return f"""
+WITH aug AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+    FROM embeddings WHERE vec_id % 40 = 0
+),
+planes AS (
+    SELECT t.t, j.j, d.d,
+           CASE WHEN ('0x' || substr(md5(t.t || '-' || j.j || '-' || d.d), 1, 1)
+                     )::INT < 8 THEN 1.0 ELSE -1.0 END AS coef
+    FROM (SELECT unnest(generate_series(0, {ANN_TABLES - 1})) AS t) t,
+         (SELECT unnest(generate_series(0, {ANN_BITS - 1})) AS j) j,
+         (SELECT unnest(generate_series(0, 63)) AS d) d
+),
+comps AS (
+    SELECT e.vec_id, x.ord - 1 AS d, (e.embedding::DOUBLE[])[x.ord] AS val
+    FROM aug e,
+         LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS ord) x
+),
+bitvals AS (
+    SELECT c.vec_id, p.t, p.j,
+           CASE WHEN sum(c.val * p.coef) > 0 THEN '1' ELSE '0' END AS bit
+    FROM comps c JOIN planes p ON c.d = p.d
+    GROUP BY 1, 2, 3
+),
+buckets AS (
+    SELECT vec_id, t, t || ':' || string_agg(bit, '' ORDER BY j) AS bucket
+    FROM bitvals GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+    FROM buckets x JOIN buckets y
+      ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+scored AS (
+    SELECT c.a, c.b,
+           round(list_dot_product(p.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(p.embedding::DOUBLE[],
+                                          p.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]))), 6)
+               AS cosine
+    FROM cand c
+    JOIN aug p ON c.a = p.vec_id
+    JOIN aug q ON c.b = q.vec_id
+)
+SELECT a, b, cosine FROM scored WHERE cosine >= 0.99
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1085,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_fallback_readability": q_extract_fallback_readability,
         "extract_fallback_justext": q_extract_fallback_justext,
         "extract_pdf": q_extract_pdf,
+        "dedup_embedding": q_dedup_embedding,
     }
 
 
@@ -1123,4 +1196,5 @@ def oracle_sql() -> dict[str, str]:
         "extract_fallback_readability": _ORACLE_FALLBACK_READABILITY,
         "extract_fallback_justext": _ORACLE_FALLBACK_JUSTEXT,
         "extract_pdf": _ORACLE_EXTRACT_PDF,
+        "dedup_embedding": _dedup_embedding_sql(),
     }

@@ -113,6 +113,44 @@ def lsh_bucket_table(df: DataFrame, id_col: str = "vec_id",
     )
 
 
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.99,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             n_tables: int = 8, n_bits: int = 4,
+                             dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    Candidate pairs come from the LSH bucket self-join — identical or
+    near-identical directions collide in every table — and only the
+    candidates get the exact cosine verify, so the quadratic cross
+    product never materializes.  At 10^12 vectors each bucket holds
+    ~N/2^n_bits rows per table; skewed buckets (embedding-space hubs)
+    are handled by AQE skew-join.  Output: (a, b, cosine) rounded to 6dp
+    for cross-engine float-hash stability."""
+    b = lsh_bucket_table(emb, id_col, vec_col, n_tables, n_bits, dim)
+    cand = (
+        b.alias("x").join(b.alias("y"), "bucket")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    vecs = emb.select(F.col(id_col).alias("id"),
+                      F.transform(vec_col, lambda x: x.cast("double"))
+                      .alias("v"))
+    joined = (
+        cand.join(vecs.select(F.col("id").alias("a"), F.col("v").alias("va")),
+                  "a")
+        .join(vecs.select(F.col("id").alias("b"), F.col("v").alias("vb")),
+              "b")
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va"))
+                                            * _norm(F.col("vb")))
+    return (
+        joined.select("a", "b", F.round(sim, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_tables: int = 16, n_bits: int = 4,
