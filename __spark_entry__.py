@@ -156,7 +156,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trafilatura_spark.functions.textstats import fingerprints
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return fingerprints(docs).select("doc_id", "fp_md5", "fp_simhash")
+    return fingerprints(docs).select("doc_id", "fp_md5", "fp_simhash",
+                                     "fp_rolling")
 
 
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,6 +208,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return quality_score(token_stats(docs)).select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
         "avg_token_len", "quality")
 
 
@@ -743,7 +745,13 @@ simh AS (
            sum(CASE WHEN s > 0 THEN (2 ** b)::BIGINT ELSE 0 END)::BIGINT AS fp_simhash
     FROM bits GROUP BY doc_id
 )
-SELECT d.doc_id, md5(d.text) AS fp_md5, simh.fp_simhash
+SELECT d.doc_id, md5(d.text) AS fp_md5, simh.fp_simhash,
+       list_reduce(
+           list_prepend(0::BIGINT,
+                        list_transform(string_split(d.text, ' '),
+                                       tok -> ('0x' || substr(md5(tok), 1, 8)
+                                              )::BIGINT)),
+           (a, b) -> (a * 31 + b) % 1000000007) AS fp_rolling
 FROM documents d JOIN simh USING (doc_id)
 """
 
@@ -804,6 +812,9 @@ WITH t AS (
     FROM documents
 )
 SELECT doc_id, n::BIGINT AS n_tokens,
+       len(regexp_extract_all(text,
+           '\'\'(?:[sdmt]|ll|ve|re)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'
+           ))::BIGINT AS n_tokens_bpe,
        round((length(text) - (n - 1)) / n::DOUBLE, 6) AS avg_token_len,
        round(least(n / 80.0, 1.0) * 0.4
              + (len(list_intersect(list_distinct(toks), {_EN_STOP}))::DOUBLE

@@ -54,11 +54,23 @@ def lang_id(df: DataFrame, text_col: str = "text",
         out_col, F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und")))
 
 
+# BPE-ish pre-tokenizer (GPT-2-style split classes: contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace) —
+# approximates LLM token counts without a merges table.  RE2- and
+# Java-regex compatible (no lookaround), so the DuckDB oracle reproduces
+# counts exactly.
+BPE_SPLIT_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """n_tokens (whitespace), n_chars, avg token length (6dp)."""
+    """n_tokens (whitespace), n_tokens_bpe (BPE-ish regex pieces),
+    n_chars, avg token length (6dp)."""
     toks = _tokens(text_col)
     return (
         df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_tokens_bpe",
+                    F.size(F.regexp_extract_all(text_col,
+                                                F.lit(BPE_SPLIT_RE), 0)))
         .withColumn("n_chars_calc", F.length(text_col))
         .withColumn(
             "avg_token_len",
@@ -80,12 +92,31 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality", F.round(score, 6))
 
 
+ROLLING_MOD = 1_000_000_007
+ROLLING_BASE = 31
+
+
+def rolling_hash(text_col: str = "text") -> Column:
+    """Order-sensitive polynomial (Rabin-Karp-style) token hash:
+    fold(acc*31 + md5_32(token)) mod 1e9+7 — unlike the bag-of-words
+    simhash, token ORDER changes the value.  Pure expression (one pass,
+    no shuffle); DuckDB mirrors it with list_reduce."""
+    return F.aggregate(
+        F.split(F.col(text_col), " "), F.lit(0).cast("long"),
+        lambda acc, tok: (acc * ROLLING_BASE
+                          + F.conv(F.substring(F.md5(tok), 1, 8), 16, 10)
+                          .cast("long")) % ROLLING_MOD)
+
+
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Exact (md5) + near-dup (simhash32) fingerprints as columns —
-    the relational contentFingerprint (deduplication.dart:219-221)."""
+    """Exact (md5) + near-dup (simhash32) + order-sensitive (rolling
+    polynomial) fingerprints as columns — the relational
+    contentFingerprint (deduplication.dart:219-221) plus the
+    training-pipeline rolling hash."""
     from .dedup import simhash32_table
     fps = simhash32_table(df, id_col="doc_id", text_col=text_col)
     return (
         df.withColumn("fp_md5", F.md5(F.col(text_col)))
+        .withColumn("fp_rolling", rolling_hash(text_col))
         .join(fps, "doc_id")
     )
