@@ -54,6 +54,12 @@ _HEAD_CONTENT = frozenset(
     "script template".split()
 )
 
+# start tags that may need implied-end handling (everything else skips the
+# _implied_close call entirely on the fast path)
+_NEEDS_IMPLIED = _P_CLOSERS | frozenset(_IMPLIED_END)
+# start tags subject to the duplicate-merge gate
+_GATE_TAGS = frozenset(("html", "body"))
+
 # Raw-text elements: HTMLParser handles script/style natively (CDATA mode).
 
 
@@ -518,13 +524,28 @@ class _FastBuilder:
                 i = lt + 1
 
     def _handle_start(self, tag: str, amap: dict, self_closing: bool) -> None:
-        if self._start_gate(tag):
-            return
-        self._implied_close(tag)
-        node = Node(tag, amap, self.stack[-1])
-        self.stack[-1].children.append(node)
+        # inlined _start_gate + implied-close precheck: this runs once per
+        # start tag (~320 per page); the common case (inline tag, not in
+        # head) must not pay two method calls
+        stack = self.stack
+        if stack[-1].tag == "head" and tag not in _HEAD_CONTENT:
+            stack.pop()
+            if tag != "body" and tag != "html":
+                parent = stack[-1]
+                body = Node("body", None, parent)
+                parent.children.append(body)
+                stack.append(body)
+        if tag in _GATE_TAGS:
+            for nd in stack:
+                if nd.tag == tag:
+                    return
+        if tag in _NEEDS_IMPLIED:
+            self._implied_close(tag)
+        parent = stack[-1]
+        node = Node(tag, amap, parent)
+        parent.children.append(node)
         if not self_closing and tag not in VOID_ELEMENTS:
-            self.stack.append(node)
+            stack.append(node)
 
     def _handle_end(self, tag: str) -> None:
         if tag in VOID_ELEMENTS:
