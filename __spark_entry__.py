@@ -435,6 +435,30 @@ def q_spider_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_robots(urls, rules)
 
 
+def q_spider_nav_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority crawl frontier (spider.dart:405-426 + _isNavigationPage,
+    batch form): doc_id%4 rotates URLs through content / category /
+    pagination / date-archive shapes; a per-host budget of 5 must admit
+    navigation pages first (they yield the most new links per fetch)."""
+    from trafilatura_spark.sources.spider import (is_navigation_page,
+                                                  per_domain_quota)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    path = (F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit("/posts/"), "doc_id"))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.concat(F.lit("/category/"), "doc_id"))
+            .when(F.col("doc_id") % 4 == 2,
+                  F.concat(F.lit("/page/"), "doc_id"))
+            .otherwise(F.concat(F.lit("/2024/"),
+                                F.lpad((F.col("doc_id") % 12 + 1), 2, "0"))))
+    urls = docs.select(
+        F.concat(F.lit("https://"), host, path).alias("url")).distinct()
+    kept = per_domain_quota(urls, quota=5, navigation_first=True)
+    return kept.select("url",
+                       is_navigation_page().cast("int").alias("is_nav"))
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Charikar simhash fingerprint (deduplication.dart
     142-159 via content_fingerprint) — the Python token-hash simhash
@@ -872,6 +896,39 @@ SELECT DISTINCT
 FROM documents
 """
 
+_ORACLE_NAV_PRIORITY = """
+WITH urls AS (
+    SELECT DISTINCT
+           'https://' || source || '.example.com' ||
+           CASE doc_id % 4
+                WHEN 0 THEN '/posts/' || doc_id
+                WHEN 1 THEN '/category/' || doc_id
+                WHEN 2 THEN '/page/' || doc_id
+                ELSE '/2024/' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0')
+           END AS url
+    FROM documents
+),
+flagged AS (
+    SELECT url,
+           CASE WHEN lower(url) LIKE '%/page/%'
+                  OR lower(url) LIKE '%/category/%'
+                  OR lower(url) LIKE '%/tag/%'
+                  OR lower(url) LIKE '%/author/%'
+                  OR lower(url) LIKE '%/archive%'
+                  OR regexp_matches(url, '/\\d{4}/\\d{2}/?$')
+                THEN 1 ELSE 0 END AS is_nav,
+           split_part(url, '/', 3) AS host
+    FROM urls
+),
+ranked AS (
+    SELECT url, is_nav,
+           row_number() OVER (PARTITION BY host
+                              ORDER BY is_nav DESC, url ASC) AS rn
+    FROM flagged
+)
+SELECT url, is_nav FROM ranked WHERE rn <= 5
+"""
+
 _ORACLE_ROBOTS = """
 SELECT DISTINCT
        'https://' || source || '.example.com' ||
@@ -1160,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery_sitemap_index": q_discovery_sitemap_index,
         "discovery_feeds": q_discovery_feeds,
         "spider_robots": q_spider_robots,
+        "spider_nav_priority": q_spider_nav_priority,
         "doc_fingerprint": q_doc_fingerprint,
         "serialize_csv": q_serialize_csv,
         "extract_default_gates": q_extract_default_gates,
@@ -1199,6 +1257,7 @@ def oracle_sql() -> dict[str, str]:
         "discovery_sitemap_index": _ORACLE_SITEMAP_INDEX,
         "discovery_feeds": _ORACLE_FEEDS,
         "spider_robots": _ORACLE_ROBOTS,
+        "spider_nav_priority": _ORACLE_NAV_PRIORITY,
         "doc_fingerprint": _ORACLE_DOC_FINGERPRINT,
         "serialize_csv": _ORACLE_SERIALIZE_CSV,
         "extract_default_gates": _ORACLE_DEFAULT_GATES,

@@ -366,3 +366,27 @@ def test_expand_sitemaps_domain_gate_and_cleanurl(spark):
     ext = {r["link"] for r in
            expand_sitemaps(fetched, seeds, external=True).collect()}
     assert "https://ads.tracker.net/x" in ext
+
+
+def test_navigation_priority_quota(spark):
+    """spider.dart:405-426 processLinks/appendleft analog: with a per-host
+    budget, navigation pages (pagination/category/tag/author/archive/date,
+    spider.dart:276-284) are admitted before content pages."""
+    from trafilatura_spark.sources.spider import (is_navigation_page,
+                                                  per_domain_quota)
+    urls = spark.createDataFrame(
+        [(f"https://h.example.com/posts/{i}",) for i in range(10)]
+        + [("https://h.example.com/category/news",),
+           ("https://h.example.com/page/2",),
+           ("https://h.example.com/2024/07/",),
+           ("https://h.example.com/tag/sports",)],
+        ["url"])
+    kept = per_domain_quota(urls, quota=6, navigation_first=True)
+    rows = {r.url for r in kept.collect()}
+    assert "https://h.example.com/category/news" in rows
+    assert "https://h.example.com/page/2" in rows
+    assert "https://h.example.com/2024/07/" in rows
+    assert "https://h.example.com/tag/sports" in rows
+    assert len(rows) == 6  # 4 nav + first 2 content by url order
+    flags = urls.select("url", is_navigation_page().alias("nav")).collect()
+    assert sum(r.nav for r in flags) == 4

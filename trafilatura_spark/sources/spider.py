@@ -58,14 +58,37 @@ def bfs_frontier(edges: DataFrame, seeds: DataFrame, max_hops: int = 3,
     return visited
 
 
+def is_navigation_page(url_col: str = "url"):
+    """Navigation-page predicate (spider.dart:276-284 _isNavigationPage):
+    pagination / category / tag / author / archive paths and
+    /YYYY/MM[/] date-archive endings.  Pure column expression."""
+    lower = F.lower(F.col(url_col))
+    return (lower.contains("/page/") | lower.contains("/category/")
+            | lower.contains("/tag/") | lower.contains("/author/")
+            | lower.contains("/archive")
+            | F.col(url_col).rlike(r"/\d{4}/\d{2}/?$"))
+
+
 def per_domain_quota(urls: DataFrame, url_col: str = "url",
-                     quota: int = 10) -> DataFrame:
+                     quota: int = 10,
+                     navigation_first: bool = False) -> DataFrame:
     """Politeness quota: keep at most ``quota`` URLs per host (the batch
     analog of the reference's per-domain round-robin,
-    cli_utils.dart:379-406)."""
+    cli_utils.dart:379-406).
+
+    ``navigation_first=True`` is the batch analog of the reference's
+    priority frontier (spider.dart:405-426 processLinks → addUrls
+    appendleft): navigation pages fill the per-host budget before
+    content pages — they yield the most new links per fetch, so a
+    budget-bounded wave discovers the site graph fastest."""
     from pyspark.sql import Window
     host = F.parse_url(F.col(url_col), F.lit("HOST"))
-    w = Window.partitionBy(host).orderBy(F.col(url_col))
+    if navigation_first:
+        order = [is_navigation_page(url_col).cast("int").desc(),
+                 F.col(url_col)]
+    else:
+        order = [F.col(url_col)]
+    w = Window.partitionBy(host).orderBy(*order)
     return (urls.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= quota).drop("_rn"))
 
