@@ -45,6 +45,11 @@ BAND_SIZE = 2
 SHINGLE_K = 3
 ANN_TABLES = 16
 ANN_BITS = 4
+# near-dup pair finding: cosine~1.0 pairs collide in EVERY table, so
+# recall needs few tables; more bits slash the candidate-pair volume
+# (bucket population ~N/2^bits per table drives the self-join size)
+DEDUP_EMB_TABLES = 4
+DEDUP_EMB_BITS = 8
 
 
 def _extract(spark: SparkSession, sf_dir: str, with_comments: bool = False,
@@ -542,7 +547,8 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("embedding"))
     pairs = embedding_near_dup_pairs(emb.unionByName(injected),
                                      threshold=0.99,
-                                     n_tables=ANN_TABLES, n_bits=ANN_BITS)
+                                     n_tables=DEDUP_EMB_TABLES,
+                                     n_bits=DEDUP_EMB_BITS)
     return pairs.select("a", "b", "cosine")
 
 
@@ -1144,8 +1150,8 @@ planes AS (
     SELECT t.t, j.j, d.d,
            CASE WHEN ('0x' || substr(md5(t.t || '-' || j.j || '-' || d.d), 1, 1)
                      )::INT < 8 THEN 1.0 ELSE -1.0 END AS coef
-    FROM (SELECT unnest(generate_series(0, {ANN_TABLES - 1})) AS t) t,
-         (SELECT unnest(generate_series(0, {ANN_BITS - 1})) AS j) j,
+    FROM (SELECT unnest(generate_series(0, {DEDUP_EMB_TABLES - 1})) AS t) t,
+         (SELECT unnest(generate_series(0, {DEDUP_EMB_BITS - 1})) AS j) j,
          (SELECT unnest(generate_series(0, 63)) AS d) d
 ),
 comps AS (
