@@ -126,3 +126,45 @@ def test_spark_pdf_spans_df(spark):
     assert len(rows) >= 150  # >=3 spans per doc
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # narrow: no shuffle in the PDF pipeline
+
+
+def test_pdf_job_end_to_end(spark, tmp_path):
+    """PDF corpus through the checkpointed job shell: build a (doc_id,
+    pdf) parquet, run run_extraction with make_pdf_batches, verify spans
+    + per-bucket progress metrics land."""
+    import pandas as pd
+
+    from trafilatura_spark.job import run_extraction
+    from trafilatura_spark.sources.pdf import make_pdf_batches
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").filter("doc_id < 40")
+
+    def gen(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype(str),
+                "pdf": [build_pdf(int(d), t)
+                        for d, t in zip(pdf["doc_id"], pdf["text"])]})
+
+    inp = str(tmp_path / "pdfs")
+    docs.mapInPandas(gen, schema="doc_id string, pdf binary") \
+        .write.parquet(inp)
+
+    out = str(tmp_path / "out")
+    prog = str(tmp_path / "prog")
+    summary = run_extraction(
+        spark, spark.read.parquet(inp), out, prog, run_id="pdfrun",
+        n_buckets=4, wave_size=2, batches_fn=make_pdf_batches())
+    assert summary["docs"] == 40
+    assert summary["processed_buckets"] == 4
+
+    res = spark.read.parquet(out)
+    assert res.filter("tier = 'pdf'").count() == 40
+    assert res.filter("status = 'ok'").count() == 40
+    one = res.filter("doc_id = '7'").collect()[0]
+    kinds = [s["kind"] for s in one["spans"]]
+    assert kinds[0] == "head" and kinds.count("p") == 2
+    progress = spark.read.parquet(prog)
+    assert progress.count() == 4
+    assert progress.agg({"docs": "sum"}).collect()[0][0] == 40

@@ -121,13 +121,17 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
                    options: Options | None = None, n_buckets: int = 16,
                    wave_size: int = 8, tasks_per_wave: int | None = None,
                    lineage: str | None = None,
-                   serialize: str | None = None) -> dict:
+                   serialize: str | None = None,
+                   batches_fn=None) -> dict:
     """Resumable batch extraction.  Returns run summary metrics.
 
     ``n_buckets`` is the checkpoint granularity (at 100 TB: hundreds —
     each bucket is one recoverable unit of work); ``wave_size`` buckets
     are processed per commit; ``tasks_per_wave`` controls the salted
     repartition width (default: cluster default parallelism).
+    ``batches_fn`` swaps the per-wave mapInPandas extractor (default:
+    the HTML cascade) for another EXTRACTED_SCHEMA producer — e.g.
+    sources.pdf.make_pdf_batches for PDF corpora.
     """
     options = options or Options()
     if lineage is None:
@@ -152,7 +156,8 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
     if tasks_per_wave is None:
         tasks_per_wave = spark.sparkContext.defaultParallelism
 
-    extract_fn = make_extract_batches(options)
+    extract_fn = batches_fn if batches_fn is not None \
+        else make_extract_batches(options)
     for i in range(0, len(pending), wave_size):
         wave = pending[i:i + wave_size]
         wave_df = (
@@ -214,7 +219,7 @@ def main(argv: list[str] | None = None) -> int:
                         "or a directory of raw HTML files with "
                         "--input-format html-dir")
     p.add_argument("--input-format", default="spans-parquet",
-                   choices=["spans-parquet", "html-dir"])
+                   choices=["spans-parquet", "html-dir", "pdf-parquet"])
     p.add_argument("--output", required=True)
     p.add_argument("--progress", required=True)
     p.add_argument("--run-id", default=f"run-{int(time.time())}")
@@ -263,8 +268,13 @@ def main(argv: list[str] | None = None) -> int:
         links.write.mode("overwrite").parquet(args.output)
         print({"mode": "discover-feeds", "links": links.count()})
         return 0
+    batches_fn = None
     if args.input_format == "html-dir":
         docs = read_html_dir(spark, args.input)
+    elif args.input_format == "pdf-parquet":
+        from .sources.pdf import make_pdf_batches
+        docs = spark.read.parquet(args.input)
+        batches_fn = make_pdf_batches()
     else:
         docs = spark.read.parquet(args.input)
     options = Options(fast=args.fast, focus=args.focus, lang=args.target_lang,
@@ -275,7 +285,8 @@ def main(argv: list[str] | None = None) -> int:
     summary = run_extraction(spark, docs, args.output, args.progress,
                              run_id=args.run_id, options=options,
                              n_buckets=args.buckets, wave_size=args.wave_size,
-                             lineage=args.input, serialize=args.serialize)
+                             lineage=args.input, serialize=args.serialize,
+                             batches_fn=batches_fn)
     print(summary)
     return 0
 

@@ -429,6 +429,38 @@ PDF_SPANS_SCHEMA = ("doc_id string, offset int, kind string, text string, "
                     "media_ref string")
 
 
+def make_pdf_batches(options=None, content_col: str = "pdf",
+                     id_col: str = "doc_id"):
+    """mapInPandas batches function emitting the extraction pipeline's
+    EXTRACTED_SCHEMA rows from a (doc_id, pdf binary) input — plugs PDF
+    corpora into the same checkpointed job shell
+    (job.run_extraction(batches_fn=...)): bucketing, salted waves,
+    observe() metrics and resume all apply unchanged; tier='pdf'."""
+    import pandas as pd
+
+    min_out = getattr(options, "min_output_size", 1) if options else 1
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
+                spans = extract_pdf_spans(bytes(blob)
+                                          if blob is not None else b"")
+                text = " ".join(s["text"] for s in spans
+                                if s["kind"] != "graphic")
+                status = "ok" if spans and len(text) >= min_out else "empty"
+                rows.append((str(doc_id),
+                             spans if status == "ok" else [],
+                             text if status == "ok" else None,
+                             None, status, "pdf" if spans else "none",
+                             len(text)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "spans", "text", "meta", "status",
+                               "tier", "len_text"])
+
+    return batches
+
+
 def pdf_spans_df(df, content_col: str = "pdf", id_col: str = "doc_id"):
     """Binary PDF column -> span table, one narrow Arrow-batched stage
     (same plan shape as the HTML extraction pipeline — no shuffle)."""
