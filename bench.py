@@ -182,6 +182,10 @@ def main() -> None:
     query_times: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
+        # isolate queries from each other's persisted fixtures (a prior
+        # query's cache occupying storage memory would skew later timings);
+        # within a query, run 2 keeps its own caches — that's steady state
+        spark.catalog.clearCache()
         best = None
         for _ in range(2):
             t0 = time.time()

@@ -243,3 +243,16 @@ def test_duplicate_html_body_merge_ignored():
     body = get_body(t)
     assert [n.tag for n in body.iterdesc("body", "html")] == []
     assert get_body(t).text_content() == "ab"
+
+
+def test_text_only_strays_reach_body():
+    """Loose TEXT outside body (no stray elements) is folded into body in
+    document order: after-</head> text, pre-<html> text, <html> lead."""
+    t = parse_html("<html><head><title>t</title></head>"
+                   "Hello world<body><p>x</p></body></html>")
+    assert get_body(t).text_content() == "Hello worldx"
+    t2 = parse_html("leading text<body><p>x</p></body>")
+    assert get_body(t2).text_content() == "leading textx"
+    # ordering with both pre-html strays and html lead text
+    t3 = parse_html("<b>warn</b><html>intro<head></head><body>x</body></html>")
+    assert get_body(t3).text_content() == "warnintrox"

@@ -168,3 +168,41 @@ def test_pdf_job_end_to_end(spark, tmp_path):
     progress = spark.read.parquet(prog)
     assert progress.count() == 4
     assert progress.agg({"docs": "sum"}).collect()[0][0] == 40
+
+
+def test_indirect_length_falls_back_to_endstream_scan():
+    """'/Length 50 0 R' (indirect reference, multi-digit object number)
+    must not be misread as a direct length of 5 via regex backtracking."""
+    content = b"BT /F1 11 Tf (indirect length page text) Tj ET"
+    pdf = (b"%PDF-1.4\n"
+           b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Length 50 0 R >>\n"
+           b"stream\n" + content + b"\nendstream\nendobj\n"
+           b"50 0 obj\n" + str(len(content)).encode() + b"\nendobj\n")
+    spans = extract_pdf_spans(pdf)
+    assert [s["text"] for s in spans] == ["indirect length page text"]
+
+
+def test_contents_array_form():
+    """/Contents [5 0 R 6 0 R] (pdfTeX shape): both streams contribute,
+    in array order."""
+    c1 = b"BT /F1 11 Tf (first stream) Tj ET"
+    c2 = b"BT /F1 11 Tf (second stream) Tj ET"
+    pdf = (b"%PDF-1.4\n"
+           b"3 0 obj\n<< /Type /Page /Contents [5 0 R 6 0 R] >>\nendobj\n"
+           b"5 0 obj\n<< /Length " + str(len(c1)).encode() + b" >>\n"
+           b"stream\n" + c1 + b"\nendstream\nendobj\n"
+           b"6 0 obj\n<< /Length " + str(len(c2)).encode() + b" >>\n"
+           b"stream\n" + c2 + b"\nendstream\nendobj\n")
+    spans = extract_pdf_spans(pdf)
+    assert [s["text"] for s in spans] == ["first stream", "second stream"]
+
+
+def test_invalid_non_octal_escape_does_not_nuke_document():
+    r"""'\8' is not octal; one bad escape must not discard the whole
+    document (tolerant recovery)."""
+    content = rb"BT /F1 11 Tf (foo\8bar) Tj T* (second line kept) Tj ET"
+    spans = extract_pdf_spans(_wrap_pdf(content))
+    assert len(spans) == 1
+    assert "second line kept" in spans[0]["text"]
+    assert "foo8bar" in spans[0]["text"]

@@ -229,3 +229,33 @@ def test_job_serialize_flag(spark, sf_dir, tmp_path):
     assert "serialized" in res.columns
     row = res.filter(F.col("status") == "ok").first()
     assert row["serialized"].count("\t") == 4
+
+
+def test_job_numeric_doc_id_bucket_consistency(spark, tmp_path):
+    """Numeric doc_id inputs must bucket identically on the input side
+    (wave filter) and the output side (bucket recomputed from the
+    stringified doc_id the extractor emits) — a mismatch writes rows
+    under not-yet-committed buckets that a resume would scrub."""
+    from pyspark.sql import functions as F
+
+    from trafilatura_spark.job import run_extraction
+    from trafilatura_spark.settings import Options
+    from trafilatura_spark.sources.corpus import synthesize_documents_df
+
+    docs = synthesize_documents_df(spark, "/root/testdata/sf0.001") \
+        .withColumn("doc_id", F.col("doc_id").cast("long")) \
+        .filter("doc_id < 60")
+    out = str(tmp_path / "out")
+    prog = str(tmp_path / "prog")
+    summary = run_extraction(
+        spark, docs, out, prog, run_id="numid",
+        options=Options(fast=True, with_metadata=False,
+                        min_extracted_size=5, min_output_size=1),
+        n_buckets=4, wave_size=2)
+    assert summary["docs"] == 60
+    progress = spark.read.parquet(prog)
+    # every doc accounted for in the per-bucket metrics (the broken
+    # hashing counted 0 docs per bucket)
+    assert progress.agg({"docs": "sum"}).collect()[0][0] == 60
+    res = spark.read.parquet(out)
+    assert res.count() == 60

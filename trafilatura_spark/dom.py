@@ -653,23 +653,37 @@ def parse_html(html: str) -> Node:
         html_node.children.insert(0, head)
 
     # html5 recovery: element/text content outside <html>/<body> (e.g. PHP
-    # warnings emitted before the doctype, or markup between </head> and
-    # <body>) belongs to body — the html5 tree constructor reprocesses it
-    # in "in body" mode.  Reparent strays in document order ahead of the
-    # body's own children.
-    strays = root_strays + [c for c in html_node.children
-                            if c is not head and c is not body]
-    if strays:
-        strays[-1].tail = strays[-1].tail + body.text
-        lead = root.text + html_node.text
-        body.text = lead if lead.strip() else ""
-        for c in strays:
-            c.parent = body
-        body.children = strays + body.children
+    # warnings emitted before the doctype, text after </head>, or markup
+    # between </head> and <body>) belongs to body — the html5 tree
+    # constructor reprocesses it in "in body" mode.  Reparent strays AND
+    # loose text in document order ahead of the body's own children:
+    # root.text, pre-<html> strays, <html> lead text, </head> tail text,
+    # html-level strays, then the body's original content.
+    html_strays = [c for c in html_node.children
+                   if c is not head and c is not body]
+    mid_text = html_node.text + head.tail
+    if root_strays or html_strays or (root.text + mid_text).strip():
+        lead = ""
+        last: Node | None = None
+        new_strays: list[Node] = []
+        for piece in (root.text, *root_strays, mid_text, *html_strays,
+                      body.text):
+            if isinstance(piece, str):
+                if last is None:
+                    lead += piece
+                else:
+                    last.tail = last.tail + piece
+            else:
+                piece.parent = body
+                new_strays.append(piece)
+                last = piece
+        body.text = lead if (lead.strip() or new_strays) else body.text
+        body.children = new_strays + body.children
         root.children = [html_node]
         root.text = ""
         html_node.children = [head, body]
         html_node.text = ""
+        head.tail = ""
     return html_node
 
 

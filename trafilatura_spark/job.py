@@ -140,7 +140,12 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
             lineage = ";".join(sorted(documents.inputFiles())[:20])
         except Exception:
             lineage = "unknown"
-    bucket_col = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
+    # hash the STRING form: the extractor output stringifies doc_id, and the
+    # output side recomputes the bucket from it — hashing a numeric input
+    # directly would bucket input and output rows differently (wrong wave
+    # metrics + torn-wave scrub deleting still-pending partitions)
+    bucket_col = F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
+                        F.lit(n_buckets)).cast("int")
     docs = documents.withColumn("bucket", bucket_col)
 
     done = _committed_buckets(spark, progress_path)
@@ -268,20 +273,20 @@ def main(argv: list[str] | None = None) -> int:
         links.write.mode("overwrite").parquet(args.output)
         print({"mode": "discover-feeds", "links": links.count()})
         return 0
+    options = Options(fast=args.fast, focus=args.focus, lang=args.target_lang,
+                      formatting=args.formatting, links=args.links,
+                      images=not args.no_images,
+                      comments=not args.no_comments,
+                      with_metadata=not args.no_metadata)
     batches_fn = None
     if args.input_format == "html-dir":
         docs = read_html_dir(spark, args.input)
     elif args.input_format == "pdf-parquet":
         from .sources.pdf import make_pdf_batches
         docs = spark.read.parquet(args.input)
-        batches_fn = make_pdf_batches()
+        batches_fn = make_pdf_batches(options)
     else:
         docs = spark.read.parquet(args.input)
-    options = Options(fast=args.fast, focus=args.focus, lang=args.target_lang,
-                      formatting=args.formatting, links=args.links,
-                      images=not args.no_images,
-                      comments=not args.no_comments,
-                      with_metadata=not args.no_metadata)
     summary = run_extraction(spark, docs, args.output, args.progress,
                              run_id=args.run_id, options=options,
                              n_buckets=args.buckets, wave_size=args.wave_size,

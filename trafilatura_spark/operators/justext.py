@@ -51,7 +51,10 @@ def _own_scope(elem: Node) -> tuple[str, int]:
         nonlocal link_len
         for ch in node.children:
             if ch.tag in _JT_TAGSET:
-                parts.append(ch.tail)
+                if ch.tail:
+                    parts.append(ch.tail)
+                    if in_link:
+                        link_len += len(ch.tail)
                 continue
             is_link = in_link or ch.tag in ("a", "ref")
             if ch.text:

@@ -92,6 +92,9 @@ def make_extract_batches(options: Options):
                     for s in spans
                 ]
                 html = assemble_html(span_dicts)
+                # stringify: numeric doc_id inputs must still produce the
+                # declared string column (and hash-bucket consistently)
+                doc_id = str(doc_id)
                 res = bare_extraction(html, opts, doc_id=doc_id)
                 rows.append(_result_row(doc_id, res))
             yield pd.DataFrame(

@@ -43,13 +43,16 @@ HEAD_FONT_SIZE = 14.0
 
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# (?!\d) blocks backtracking from defeating the indirect-reference
+# lookahead: '/Length 50 0 R' must NOT match with group='5'
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _NUM_REF_RE = re.compile(rb"/(Contents|Root|Pages)\s+(\d+)\s+\d+\s+R")
 _KIDS_RE = re.compile(rb"/Kids\s*\[((?:[^][]|\[[^]]*\])*)\]", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _XOBJ_MAP_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.S)
 _XOBJ_ENTRY_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
 _DIM_RE = re.compile(rb"/(Width|Height)\s+(\d+)")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^][]*)\]", re.S)
 
 # content-stream tokens: strings, hex strings, names, numbers, operators
 _TOKEN_RE = re.compile(
@@ -76,9 +79,9 @@ def _unescape_pdf_string(raw: bytes) -> str:
                 out += _ESC[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():
+            if b"0" <= nxt <= b"7":
                 j = i + 1
-                while j < min(i + 4, n) and raw[j:j + 1].isdigit():
+                while j < min(i + 4, n) and b"0" <= raw[j:j + 1] <= b"7":
                     j += 1
                 out.append(int(raw[i + 1:j], 8) & 0xFF)
                 i = j
@@ -181,11 +184,14 @@ def _page_text_ops(doc: _PdfDoc, page_obj: int):
     if xm:
         xobjects = {e.group(1): int(e.group(2))
                     for e in _XOBJ_ENTRY_RE.finditer(xm.group(1))}
-    cm = _NUM_REF_RE.search(body)
     content_objs = [int(m.group(2)) for m in _NUM_REF_RE.finditer(body)
                     if m.group(1) == b"Contents"]
-    if not content_objs and cm:
-        content_objs = [int(cm.group(2))]
+    if not content_objs:
+        # array form: /Contents [5 0 R 6 0 R] (pdfTeX and friends)
+        am = _CONTENTS_ARR_RE.search(body)
+        if am:
+            content_objs = [int(r.group(1))
+                            for r in _REF_RE.finditer(am.group(1))]
     for cnum in content_objs:
         raw = doc.streams.get(cnum)
         if raw is None:
