@@ -390,3 +390,38 @@ def test_navigation_priority_quota(spark):
     assert len(rows) == 6  # 4 nav + first 2 content by url order
     flags = urls.select("url", is_navigation_page().alias("nav")).collect()
     assert sum(r.nav for r in flags) == 4
+
+
+def test_hreflang_order_and_quote_agnostic(spark):
+    """hreflang may precede OR follow href, quotes may be single or
+    double, and x-default counts for any target language."""
+    from trafilatura_spark.sources.discovery import extract_hreflang_urls
+    xml = ('<urlset><url><loc>https://x.com/p</loc>'
+           '<xhtml:link rel="alternate" href="https://x.com/de/p" hreflang="de"/>'
+           "<xhtml:link rel='alternate' hreflang='fr' href='https://x.com/fr/p'/>"
+           '<xhtml:link rel="alternate" hreflang="x-default" href="https://x.com/p"/>'
+           '</url></urlset>')
+    df = spark.createDataFrame([("s", xml)], ["source", "xml"])
+    de = {r.url for r in extract_hreflang_urls(df, lang="de").collect()}
+    assert de == {"https://x.com/de/p", "https://x.com/p"}  # de + x-default
+    fr = {r.url for r in extract_hreflang_urls(df, lang="fr").collect()}
+    assert "https://x.com/fr/p" in fr
+
+
+def test_rss_cdata_and_atom_self_exclusion(spark):
+    """CDATA-wrapped RSS <link> bodies unwrap; Atom rel="self" (the
+    feed's own URL) is not an article link (feeds.dart:49,120)."""
+    from trafilatura_spark.sources.discovery import extract_feed_urls
+    rss = ('<rss><channel>'
+           '<link><![CDATA[https://ex.com/a]]></link>'
+           '<link>https://ex.com/b</link>'
+           '</channel></rss>')
+    atom = ('<feed><link rel="self" href="https://ex.com/feed.xml"/>'
+            '<link rel="alternate" href="https://ex.com/post"/></feed>')
+    df = spark.createDataFrame([("r", rss), ("a", atom)], ["source", "xml"])
+    urls = {r.url for r in extract_feed_urls(df).collect()}
+    assert "https://ex.com/a" in urls
+    assert "https://ex.com/b" in urls
+    assert "https://ex.com/post" in urls
+    assert "https://ex.com/feed.xml" not in urls
+    assert not any("CDATA" in u for u in urls)

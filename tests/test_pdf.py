@@ -206,3 +206,31 @@ def test_invalid_non_octal_escape_does_not_nuke_document():
     assert len(spans) == 1
     assert "second line kept" in spans[0]["text"]
     assert "foo8bar" in spans[0]["text"]
+
+
+def test_nested_pages_tree():
+    """Balanced /Pages trees (intermediate /Pages nodes in /Kids, pdfTeX
+    shape) must recurse to the leaf /Page objects in order."""
+    c1 = b"BT /F1 11 Tf (page one) Tj ET"
+    c2 = b"BT /F1 11 Tf (page two) Tj ET"
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [10 0 R 11 0 R] /Count 2 >>\nendobj\n"
+           b"10 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"11 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 10 0 R /Contents 5 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Type /Page /Parent 11 0 R /Contents 6 0 R >>\nendobj\n"
+           b"5 0 obj\n<< /Length " + str(len(c1)).encode() + b" >>\n"
+           b"stream\n" + c1 + b"\nendstream\nendobj\n"
+           b"6 0 obj\n<< /Length " + str(len(c2)).encode() + b" >>\n"
+           b"stream\n" + c2 + b"\nendstream\nendobj\n"
+           b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n")
+    spans = extract_pdf_spans(pdf)
+    assert [s["text"] for s in spans] == ["page one", "page two"]
+
+
+def test_backslash_eol_line_continuation():
+    """Backslash-EOL removes BOTH characters (PDF spec): words split
+    across content-stream lines must not grow an internal space."""
+    assert _unescape_pdf_string(b"long\\\nword") == "longword"
+    assert _unescape_pdf_string(b"long\\\r\nword") == "longword"

@@ -27,9 +27,16 @@ def _norm(a: Column) -> Column:
 
 
 def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Pre-normalize once so cosine becomes a dot product."""
+    """Pre-normalize once so cosine becomes a dot product.  The norm is
+    materialized as its own column first — embedding the aggregate inside
+    the per-element lambda would re-evaluate it once PER ELEMENT (O(d²)
+    per row; nested lambdas are not common-subexpression-eliminated)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return df.withColumn("_unit", F.transform(v, lambda x: x / _norm(v)))
+    return (df.withColumn("_v", v)
+            .withColumn("_n", _norm(F.col("_v")))
+            .withColumn("_unit",
+                        F.transform(F.col("_v"), lambda x: x / F.col("_n")))
+            .drop("_v", "_n"))
 
 
 def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,

@@ -265,11 +265,18 @@ def main(argv: list[str] | None = None) -> int:
         print({"mode": "discover-sitemaps", "links": pages.count()})
         return 0
     if args.mode == "discover-feeds":
+        from .sources.discovery import lang_filter
         from .sources.feeds import feed_links_df
         fetched = spark.read.parquet(args.input)
         content_col = "content" if "content" in fetched.columns else "xml"
         links = feed_links_df(fetched, content_col=content_col,
                               target_lang=args.target_lang)
+        if args.target_lang:
+            # the reference's feed path stores but never applies its lang
+            # arg (feeds.dart checkUrl); the CLI promises a filter, so
+            # apply the URL-language heuristic here (sitemaps.dart:184-198)
+            links = links.filter(lang_filter(F.col("link"),
+                                             args.target_lang))
         links.write.mode("overwrite").parquet(args.output)
         print({"mode": "discover-feeds", "links": links.count()})
         return 0

@@ -26,8 +26,10 @@ SITEMAP_FORMAT = r"^.{0,5}<\?xml|<sitemap|<urlset"
 _DETECT_TXT_LINKS = r"https?://[^\s<\"]+"
 # feeds.dart:39-63: RSS <link>…</link>, Atom <link … href="…">, and
 # JSON-feed "url": "…" entries
-_RSS_LINK = r"<link>(.*?)</link>"
-_ATOM_HREF = r'<link[^>]*?href="([^"]+)"'
+_RSS_LINK = r"<link>(?:\s*<!\[CDATA\[)?\s*(https?://.*?)\s*(?:\]\]>\s*)?</link>"
+# rel="self" is the feed's own URL, not an article link (feeds.dart:120)
+_ATOM_HREF = (r'<link(?![^>]*rel=["\']self["\'])'
+              r'[^>]*?href=["\']([^"\']+)["\']')
 _JSON_URL = r'"url"\s*:\s*"([^"]+)"'
 
 
@@ -78,9 +80,13 @@ def extract_hreflang_urls(df: DataFrame, xml_col: str = "xml",
                           id_col: str = "source",
                           lang: str | None = None) -> DataFrame:
     """hreflang alternate links from sitemap XML (sitemaps.dart:324-368);
-    optional language filter on the hreflang attribute."""
-    pat = (rf'<xhtml:link[^>]*hreflang="{lang}[^"]*"[^>]*href="([^"]+)"'
-           if lang else r'<xhtml:link[^>]*href="([^"]+)"')
+    optional language filter on the hreflang attribute.  Patterns are
+    attribute-order-independent and quote-agnostic (hreflang may precede
+    or follow href; x-default alternates count for any target lang),
+    mirroring sitemap_links."""
+    pat = (rf'<xhtml:link(?=[^>]*hreflang=["\'](?:{lang}[^"\']*|x-default)'
+           rf'["\'])[^>]*href=["\']([^"\']+)["\']'
+           if lang else r'<xhtml:link[^>]*href=["\']([^"\']+)["\']')
     return (
         df.select(F.col(id_col),
                   F.explode(F.regexp_extract_all(F.col(xml_col),
@@ -196,7 +202,10 @@ def expand_sitemaps(fetched: DataFrame, seeds: DataFrame,
     seen = frontier
     seen_count = frontier.count()
     pages = None
-    for _ in range(max_rounds):
+    # frames to release once their successors are materialized: unbounded
+    # per-round persists would pin every round's cache for the whole job
+    retired: list[DataFrame] = []
+    for rnd in range(max_rounds):
         if seen_count == 0:
             break
         docs = fetched.join(F.broadcast(frontier), url_col) \
@@ -213,22 +222,41 @@ def expand_sitemaps(fetched: DataFrame, seeds: DataFrame,
             links = links.filter(_similar_host(
                 F.parse_url(F.col("link"), F.lit("HOST")),
                 F.parse_url(F.col("sitemap_url"), F.lit("HOST"))))
-        links = links.persist()
+        links = links.persist()  # consumed by pg AND nested below
         pg = links.filter(~F.col("link").rlike(DETECT_SITEMAP_LINK))
         pages = pg if pages is None else pages.unionByName(pg)
         nested = (links.filter(F.col("link").rlike(DETECT_SITEMAP_LINK))
                   .select(F.col("link").alias(url_col))
                   .join(seen, url_col, "left_anti").distinct())
+        retired.append(links)
         budget = max_sitemaps_seen - seen_count
         if budget <= 0:
             break
         nested = nested.limit(budget).persist()
         n = nested.count()
         if n == 0:
+            nested.unpersist()
             break
+        retired.append(seen)
         seen = seen.unionByName(nested).persist()
         seen_count += n
+        retired.append(frontier)
         frontier = nested
+        if (rnd + 1) % 2 == 0:
+            # cut union lineage (same treatment as spider.bfs_frontier:
+            # deep crawls must not build unbounded plans) and release the
+            # superseded round frames
+            seen = seen.localCheckpoint()
+            pages = pages.localCheckpoint()
+            for df in retired:
+                df.unpersist()
+            retired = []
+    if pages is not None and retired:
+        # materialize before releasing the caches pages still references
+        pages = pages.localCheckpoint()
+    for df in retired:
+        df.unpersist()
+    frontier.unpersist()
     if pages is None:
         return spark.createDataFrame([], f"sitemap_url string, link string")
     return pages.distinct()

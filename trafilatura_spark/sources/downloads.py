@@ -56,13 +56,16 @@ class Response:
 
 
 def default_transport(method: str, url: str, headers: dict,
-                      timeout: int):
-    """stdlib urllib transport; returns (status, headers, bytes)."""
+                      timeout: int, max_bytes: int = MAX_FILE_SIZE + 1):
+    """stdlib urllib transport; returns (status, headers, bytes).
+    ``max_bytes`` bounds the read (one byte past the configured cap so the
+    caller's size gate can DETECT oversize instead of silently truncating
+    when config raises MAX_FILE_SIZE)."""
     import urllib.request
 
     req = urllib.request.Request(url, headers=headers, method=method)
     with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
-        body = b"" if method == "HEAD" else resp.read(MAX_FILE_SIZE + 1)
+        body = b"" if method == "HEAD" else resp.read(max_bytes)
         return resp.status, dict(resp.headers), body
 
 
@@ -79,7 +82,13 @@ def _send_request(url: str, transport, config: dict | None,
     timeout = int(config.get("DOWNLOAD_TIMEOUT", 30))
     max_size = int(config.get("MAX_FILE_SIZE", MAX_FILE_SIZE))
     try:
-        status, resp_headers, body = transport("GET", url, headers, timeout)
+        try:
+            status, resp_headers, body = transport("GET", url, headers,
+                                                   timeout, max_size + 1)
+        except TypeError:
+            # legacy 4-arg transports (pluggable test doubles)
+            status, resp_headers, body = transport("GET", url, headers,
+                                                   timeout)
         if body is not None and len(body) > max_size:
             return None
         resp = Response(bytes(body) if body is not None else None, int(status),

@@ -86,7 +86,14 @@ def _unescape_pdf_string(raw: bytes) -> str:
                 out.append(int(raw[i + 1:j], 8) & 0xFF)
                 i = j
                 continue
-            i += 1  # line continuation / unknown escape: drop backslash
+            if nxt in (b"\n", b"\r"):
+                # backslash-EOL line continuation: remove BOTH (PDF spec);
+                # \r\n counts as one EOL
+                i += 2
+                if nxt == b"\r" and raw[i:i + 1] == b"\n":
+                    i += 1
+                continue
+            i += 1  # unknown escape: drop backslash, keep the char
             continue
         out += c
         i += 1
@@ -165,9 +172,26 @@ def _page_order(doc: _PdfDoc) -> list[int]:
                 pages_obj = num
                 break
     if pages_obj is not None:
-        km = _KIDS_RE.search(doc.objects.get(pages_obj, b""))
-        if km:
-            candidates = [int(r.group(1)) for r in _REF_RE.finditer(km.group(1))]
+        # walk the page tree: /Kids may reference intermediate /Pages
+        # nodes (balanced trees from pdfTeX etc.) — recurse into those,
+        # keep leaf /Page objects, preserve document order
+        queue = [pages_obj]
+        seen = set()
+        while queue:
+            node = queue.pop(0)
+            if node in seen:
+                continue
+            seen.add(node)
+            km = _KIDS_RE.search(doc.objects.get(node, b""))
+            if not km:
+                continue
+            for r in _REF_RE.finditer(km.group(1)):
+                kid = int(r.group(1))
+                kid_body = doc.objects.get(kid, b"")
+                if b"/Pages" in kid_body or _KIDS_RE.search(kid_body):
+                    queue.append(kid)
+                else:
+                    candidates.append(kid)
     if not candidates:
         candidates = [num for num, body in sorted(doc.objects.items())
                       if b"/Type" in body and b"/Page" in body

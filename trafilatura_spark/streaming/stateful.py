@@ -76,18 +76,27 @@ def windowed_extraction_metrics(extracted_stream: DataFrame,
     )
 
 
+FRONTIER_QUOTA = 100
+
+
 def _frontier_fn(key, pdf_iter, state):
-    """Per-host frontier state: bounded Bloom seen-set + emitted quota."""
+    """Per-host frontier state: bounded Bloom seen-set + per-TRIGGER
+    politeness quota.  The quota counter resets every micro-batch call
+    (the reference's per-domain round-robin bounds each processing round,
+    cli_utils.dart:379-406) — only the dedup Bloom is lifetime state, so
+    a long-running crawl is rate-limited per trigger, not capped forever.
+    ``emitted`` persisted in state is the LAST trigger's count (metrics);
+    ``n_seen`` is the lifetime accepted total."""
     import pandas as pd
 
-    quota = 100
+    quota = FRONTIER_QUOTA
     if state.exists:
-        bloom_bytes, emitted, n_seen = state.get
+        bloom_bytes, _last_emitted, n_seen = state.get
         bloom = bytearray(bloom_bytes or bytes(_BLOOM_BITS // 8))
-        emitted = emitted or 0
         n_seen = n_seen or 0
     else:
-        bloom, emitted, n_seen = bytearray(_BLOOM_BITS // 8), 0, 0
+        bloom, n_seen = bytearray(_BLOOM_BITS // 8), 0
+    emitted = 0
     rows = []
     for pdf in pdf_iter:
         for url in pdf["url"]:
