@@ -1014,15 +1014,22 @@ _ORACLE_SERIALIZE_CSV = f"""
 WITH {_FINGERPRINT_CTE}
 SELECT c.doc_id,
        'https://' || d.source || '.example.com/posts/' || c.doc_id
+       || chr(9) || 'null'
        || chr(9) || fp.fingerprint
        || chr(9) || d.source || '.example.com'
        || chr(9) || 'doc ' || c.doc_id || ' title'
+       || chr(9) || 'null'
+       || chr(9) || '2024-' || lpad((c.doc_id % 12 + 1)::VARCHAR, 2, '0')
+       || '-' || lpad((c.doc_id % 28 + 1)::VARCHAR, 2, '0')
        || chr(9) || regexp_replace(c.head || ' ' || c.para1 || ' ' ||
               CASE c.m WHEN 0 THEN ''
                    WHEN 1 THEN '![figure 0](m-' || c.doc_id || '-0) '
                    ELSE '![figure 0](m-' || c.doc_id || '-0) ![figure 1](m-'
                         || c.doc_id || '-1) '
-              END || c.para2 || ' ', chr(9), ' ', 'g') AS serialized
+              END || c.para2 || ' ', chr(9), ' ', 'g')
+       || chr(9) || ''
+       || chr(9) || 'null'
+       || chr(9) || 'null' AS serialized
 FROM content c JOIN fp USING (doc_id) JOIN documents d ON d.doc_id = c.doc_id
 ORDER BY c.doc_id
 """

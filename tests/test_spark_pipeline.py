@@ -228,7 +228,9 @@ def test_job_serialize_flag(spark, sf_dir, tmp_path):
     res = spark.read.parquet(out)
     assert "serialized" in res.columns
     row = res.filter(F.col("status") == "ok").first()
-    assert row["serialized"].count("\t") == 4
+    # render_csv's 11-column layout (url, id, fingerprint, hostname,
+    # title, image, date, text, comments, license, pagetype) = 10 tabs
+    assert row["serialized"].count("\t") == 10
 
 
 def test_job_numeric_doc_id_bucket_consistency(spark, tmp_path):

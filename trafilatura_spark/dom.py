@@ -16,6 +16,7 @@ those terms.
 
 from __future__ import annotations
 
+import re as _re_mod
 from html.parser import HTMLParser
 
 VOID_ELEMENTS = frozenset(
@@ -59,6 +60,11 @@ _HEAD_CONTENT = frozenset(
 _NEEDS_IMPLIED = _P_CLOSERS | frozenset(_IMPLIED_END)
 # start tags subject to the duplicate-merge gate
 _GATE_TAGS = frozenset(("html", "body"))
+# raw-text end-tag scan: html5 requires a delimiter after the name
+_RAWTEXT_END = {
+    "script": _re_mod.compile(r"</script[\s/>]", _re_mod.I),
+    "style": _re_mod.compile(r"</style[\s/>]", _re_mod.I),
+}
 
 # Raw-text elements: HTMLParser handles script/style natively (CDATA mode).
 
@@ -261,14 +267,12 @@ def strip_tags(tree: Node, *tags: str) -> None:
     """Strip all matching descendant tags, keeping content
     (main_extractor.dart:40-56)."""
     want = set(tags)
-    # repeat until fixpoint since stripping can splice nested matches upward
-    while True:
-        victims = [n for n in tree.iterdesc() if n.tag in want]
-        if not victims:
-            return
-        for node in victims:
-            if node.parent is not None:
-                node.strip_self()
+    # one snapshot suffices: strip_self keeps descendants attached (so
+    # nested matches are already in the snapshot) and tag names never
+    # change — a fixpoint re-scan can't find anything new
+    for node in [n for n in tree.iterdesc() if n.tag in want]:
+        if node.parent is not None:
+            node.strip_self()
 
 
 def strip_elements(tree: Node, *tags: str, keep_tail: bool = True) -> None:
@@ -432,7 +436,6 @@ class _FastBuilder:
         attr_re = _FAST_ATTR_RE
         n = len(s)
         find = s.find
-        low = None
         i = 0
         while i < n:
             lt = find("<", i)
@@ -508,13 +511,17 @@ class _FastBuilder:
                 self._handle_start(tag, amap, self_closing)
                 i = gt + 1
                 if not self_closing and tag in ("script", "style"):
-                    if low is None:
-                        low = s.lower()
-                    end = low.find("</" + tag, i)
-                    if end < 0:
+                    # case-insensitive search on s itself: transferring
+                    # indices from s.lower() breaks when lower() changes
+                    # string length ('İ' → 2 chars); the [\s/>] delimiter
+                    # matches the html5 script-data end-tag rule, so
+                    # '</scripts>' inside code does NOT end the element
+                    end_m = _RAWTEXT_END[tag].search(s, i)
+                    if end_m is None:
                         self._add_text(s[i:])
                         self._handle_end(tag)
                         break
+                    end = end_m.start()
                     self._add_text(s[i:end])
                     gt = find(">", end)
                     self._handle_end(tag)
@@ -590,7 +597,6 @@ def _scan_tag_end(s: str, start: int, n: int) -> int:
     return -1
 
 
-import re as _re_mod
 
 _FAST_NAME_RE = _re_mod.compile(r"([a-zA-Z][^\s/>]*)")
 _FAST_ATTR_RE = _re_mod.compile(

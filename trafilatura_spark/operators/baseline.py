@@ -48,7 +48,7 @@ def baseline(tree: Node) -> tuple[Node, str, int]:
         except (ValueError, TypeError):
             continue
         json_body = data.get("articleBody") if isinstance(data, dict) else None
-        if json_body:
+        if json_body and isinstance(json_body, str):
             if "<p>" in json_body:
                 parsed = parse_html(json_body)
                 text = trim(get_body(parsed).text_content())
@@ -72,16 +72,19 @@ def baseline(tree: Node) -> tuple[Node, str, int]:
     if postbody.children:
         return postbody, temp_text, len(temp_text)
 
-    # tier 3: distinct paragraph-ish scrape (baseline.dart:90-109)
+    # tier 3: distinct paragraph-ish scrape (baseline.dart:90-109).
+    # TAG-BY-TAG, not document order: the reference exhausts all
+    # blockquotes, then all codes, then all p, … — span order must match.
     results: set[str] = set()
     temp_text = ""
     postbody = Node("body")
-    for elem in tree.iterdesc("blockquote", "code", "p", "pre", "q", "quote"):
-        entry = trim(elem.text_content())
-        if entry not in results:
-            postbody.append(_new_p(entry))
-            temp_text = entry if not temp_text else f"{temp_text} {entry}"
-            results.add(entry)
+    for tag in ("blockquote", "code", "p", "pre", "q", "quote"):
+        for elem in tree.iterdesc(tag):
+            entry = trim(elem.text_content())
+            if entry not in results:
+                postbody.append(_new_p(entry))
+                temp_text = entry if not temp_text else f"{temp_text} {entry}"
+                results.add(entry)
     if len(temp_text) > 100:
         return postbody, temp_text, len(temp_text)
 

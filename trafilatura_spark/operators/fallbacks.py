@@ -88,10 +88,12 @@ def compare_extraction(cleaned_tree: Node, backup_tree: Node, body: Node,
             and len(temppost_algo.find_all("h2", "h3", "h4")) > 0:
         use_readability = True
 
+    # apply decision with the UNSANITIZED readability output: the justext
+    # trigger and the 4x guard below compare against the raw algo length;
+    # sanitization only happens at the end (external.dart:85-112 — the
+    # reference's `useReadability && !jtResult` post-pass)
     if use_readability:
-        sanitized_body, sanitized_text, sanitized_len = \
-            sanitize_readability_tree(temppost_algo.copy(), options)
-        body, text, len_text = sanitized_body, sanitized_text, sanitized_len
+        body, text, len_text = temppost_algo, algo_text, len_algo
         tier = "readability"
 
     # justext rescue (external.dart:93-104)
@@ -101,5 +103,16 @@ def compare_extraction(cleaned_tree: Node, backup_tree: Node, body: Node,
         if text2 and not len_text > 4 * len_text2:
             body, text, len_text = body2, text2, len_text2
             tier = "justext"
+
+    # post-processing: clean + convert the kept readability tree into the
+    # internal vocabulary.  The reference only sanitizes when
+    # `useReadability && !jtResult`; when justext produced text but the 4x
+    # guard kept the readability body, it returns the RAW tree — here the
+    # span sink needs the internal vocabulary, so the kept readability
+    # body is always sanitized (documented deviation; decision flow and
+    # lengths above are reference-exact).
+    if tier == "readability":
+        body, text, len_text = \
+            sanitize_readability_tree(temppost_algo.copy(), options)
 
     return body, text, len_text, tier

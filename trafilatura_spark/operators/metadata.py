@@ -331,7 +331,8 @@ def _process_json_parent(parent: list, meta: dict) -> dict:
         if not isinstance(content, dict):
             continue
         publisher = content.get("publisher")
-        if isinstance(publisher, dict) and publisher.get("name"):
+        if isinstance(publisher, dict) and \
+                isinstance(publisher.get("name"), str) and publisher["name"]:
             meta["sitename"] = publisher["name"]
         ctype = content.get("@type")
         if not ctype:
@@ -341,10 +342,16 @@ def _process_json_parent(parent: list, meta: dict) -> dict:
         if not isinstance(ctype, str):
             continue
         ctype = ctype.lower()
+        # pagetype applies to ANY og-type schema (webpage/website/faq…),
+        # not just articles — set before branching
+        # (json_metadata.dart:167-169)
+        if meta["pagetype"] is None and ctype in JSON_OGTYPE_SCHEMA:
+            meta["pagetype"] = ctype
         if ctype in JSON_PUBLISHER_SCHEMA:
             name = content.get("name") or content.get("legalName") \
                 or (content.get("alternateName"))
-            if _json_plausible_sitename(meta, name, ctype):
+            if isinstance(name, str) and \
+                    _json_plausible_sitename(meta, name, ctype):
                 meta["sitename"] = name
         elif ctype == "person":
             name = content.get("name")
@@ -374,7 +381,7 @@ def _process_json_parent(parent: list, meta: dict) -> dict:
                         elif all(a in author for a in ("givenName", "familyName")):
                             author_name = " ".join(
                                 str(author[a]) for a in _AUTHOR_ATTRS if a in author)
-                        if author_name:
+                        if author_name and isinstance(author_name, str):
                             meta["author"] = normalize_authors(meta["author"], author_name)
             if not meta["categories"] and "articleSection" in content:
                 section = content["articleSection"]
@@ -383,12 +390,12 @@ def _process_json_parent(parent: list, meta: dict) -> dict:
                 elif isinstance(section, list):
                     meta["categories"] = [s for s in section if isinstance(s, str) and s]
             if meta["title"] is None:
-                if "name" in content and ctype == "article":
-                    meta["title"] = content.get("name")
-                elif "headline" in content:
-                    meta["title"] = content.get("headline")
-            if meta["pagetype"] is None:
-                meta["pagetype"] = ctype
+                # string-typed only: a list/dict here would violate the
+                # Spark META_TYPE schema and fail the whole Arrow batch
+                if ctype == "article" and isinstance(content.get("name"), str):
+                    meta["title"] = content["name"]
+                elif isinstance(content.get("headline"), str):
+                    meta["title"] = content["headline"]
     return meta
 
 

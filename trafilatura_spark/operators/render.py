@@ -126,7 +126,8 @@ def render_txt(body: Node, include_formatting: bool = False) -> str:
                     parts.append("\n")
                 else:
                     parts.append("\n")
-                return_early = False
+                # (reference adds a second trailing \n here too; sanitize's
+                # blank-line drop makes the outputs identical either way)
             elif tag in ("cell", "item"):
                 pass
             else:

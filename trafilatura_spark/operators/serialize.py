@@ -290,7 +290,15 @@ def serialize_column(extracted, fmt: str = "json"):
     """
     from pyspark.sql import functions as F
 
+    # per-document comment text, as render_json/render_csv receive it
+    comments = F.array_join(
+        F.transform(F.filter("spans", lambda s: s["kind"] == "comment"),
+                    lambda s: s["text"]), " ")
+
     if fmt == "json":
+        # same record layout as render_json (buildJsonOutput,
+        # xml_utils.dart:195-229) so row-wise and DataFrame-wise
+        # serializations agree field-for-field
         return extracted.withColumn(
             "serialized",
             F.to_json(F.struct(
@@ -301,16 +309,33 @@ def serialize_column(extracted, fmt: str = "json"):
                 F.col("meta.description").alias("description"),
                 F.col("meta.sitename").alias("sitename"),
                 F.col("meta.date").alias("date"),
+                F.col("meta.categories").alias("categories"),
+                F.col("meta.tags").alias("tags"),
                 F.col("meta.fingerprint").alias("fingerprint"),
+                F.col("meta.id").alias("id"),
+                F.col("meta.license").alias("license"),
+                comments.alias("comments"),
                 F.col("text"))))
     if fmt == "csv":
+        # same 11-column layout as render_csv (xmltocsv,
+        # xml_utils.dart:564-595): url, id, fingerprint, hostname, title,
+        # image, date, text, comments, license, pagetype
+        def fld(col):
+            return F.coalesce(
+                F.translate(F.regexp_replace(col, "\t", "    "), "\n", " "),
+                F.lit("null"))
         return extracted.withColumn(
             "serialized",
             F.concat_ws("\t",
-                        F.coalesce(F.col("meta.url"), F.lit("null")),
-                        F.coalesce(F.col("meta.fingerprint"), F.lit("null")),
-                        F.coalesce(F.col("meta.hostname"), F.lit("null")),
-                        F.coalesce(F.col("meta.title"), F.lit("null")),
-                        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
-                                         "[\t\n]", " ")))
+                        fld(F.col("meta.url")),
+                        fld(F.col("meta.id")),
+                        fld(F.col("meta.fingerprint")),
+                        fld(F.col("meta.hostname")),
+                        fld(F.col("meta.title")),
+                        fld(F.col("meta.image")),
+                        fld(F.col("meta.date")),
+                        fld(F.col("text")),
+                        fld(comments),
+                        fld(F.col("meta.license")),
+                        fld(F.col("meta.pagetype"))))
     raise ValueError(f"unsupported DataFrame serialization: {fmt}")
