@@ -201,22 +201,26 @@ def main() -> None:
     scaling = None
     if os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING") != "1":
         lo, hi = max(CPUS // 4, 1), CPUS
+        # two samples per level: the hi level gets probe + the suite's own
+        # extraction run; the lo level gets two probes (fresh JVMs, minutes
+        # apart) — this box's rate swings ±30% run-to-run, and best
+        # steady-state per level is the documented protocol
         rates = {}
-        for c in (lo, hi):
+        for c in (lo, hi, lo):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scale", str(c)],
                 capture_output=True, text=True, timeout=1800,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             for line in out.stdout.splitlines():
                 if line.startswith("SCALING_RESULT "):
-                    rates[c] = json.loads(line[len("SCALING_RESULT "):])
+                    res = json.loads(line[len("SCALING_RESULT "):])
+                    if c not in rates or res["docs_per_sec"] > \
+                            rates[c]["docs_per_sec"]:
+                        rates[c] = res
         if lo in rates and hi in rates:
             r_lo = rates[lo]["docs_per_sec"]
             r_hi = rates[hi]["docs_per_sec"]
             if hi == CPUS:
-                # the suite's own extraction run is the same job at `hi`;
-                # this box's all-core rate swings ±30% run-to-run, so take
-                # the best observed steady state for both levels alike
                 r_hi = max(r_hi, extraction["docs_per_sec"])
             eff = round((r_hi / r_lo) / (hi / lo), 3)
             hw = _mp_control(lo, hi)
