@@ -147,17 +147,18 @@ def _pin_cpus(n: int) -> None:
         pass
 
 
-def scaling_probe(cpus: int) -> None:
+def scaling_probe(cpus: int, reps: int = 4) -> None:
     _pin_cpus(cpus)
     spark = _make_session(cpus)
-    res = _extraction_run(spark, cpus, REPLICATE)
+    res = _extraction_run(spark, cpus, REPLICATE, reps=reps)
     spark.stop()
     print("SCALING_RESULT " + json.dumps(res))
 
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scale":
-        scaling_probe(int(sys.argv[2]))
+        scaling_probe(int(sys.argv[2]),
+                      reps=int(sys.argv[3]) if len(sys.argv) > 3 else 4)
         return
 
     spark = _make_session(CPUS)
@@ -206,9 +207,12 @@ def main() -> None:
         # apart) — this box's rate swings ±30% run-to-run, and best
         # steady-state per level is the documented protocol
         rates = {}
-        for c in (lo, hi, lo):
+        # lo probes run 3 reps each (6 timed passes over two JVMs instead
+        # of 4 over one) so the second sample costs ~no extra wall time
+        for c, reps in ((lo, 3), (hi, 4), (lo, 3)):
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scale", str(c)],
+                [sys.executable, os.path.abspath(__file__), "--scale",
+                 str(c), str(reps)],
                 capture_output=True, text=True, timeout=1800,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             for line in out.stdout.splitlines():
