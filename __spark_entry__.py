@@ -385,10 +385,14 @@ def q_discovery_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the expansion loop joins `fetched` once per frontier round; without a
     # persist each round would re-run both groupBy aggregations above (at
     # production scale `fetched` is the on-disk crawl store, so this is a
-    # bench-fixture concern only)
+    # bench-fixture concern only).  The result is materialized with
+    # localCheckpoint so the fixture cache can be released before
+    # returning — otherwise it would leak into every later timed query.
     fetched = children.unionByName(index).persist()
-    seeds = index.select("url")
-    return expand_sitemaps(fetched, seeds).select("sitemap_url", "link")
+    pages = expand_sitemaps(fetched, seeds := index.select("url")) \
+        .select("sitemap_url", "link").localCheckpoint()
+    fetched.unpersist()
+    return pages
 
 
 def q_discovery_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -84,6 +84,14 @@ def _mp_control(n_lo: int, n_hi: int) -> float | None:
 
     import duckdb
 
+    # the control propagates _CONTROL_HTMLS via fork-copied module state;
+    # under spawn/forkserver children would see an empty list and report
+    # garbage rates — skip honestly instead (scaling records hw=None)
+    try:
+        mp = mp.get_context("fork")
+    except ValueError:
+        return None
+
     from trafilatura_spark.sources.corpus import assemble_html, build_input_spans
     rows = duckdb.sql(
         f"select doc_id, text, lang, source from "
@@ -210,11 +218,16 @@ def main() -> None:
         # lo probes run 3 reps each (6 timed passes over two JVMs instead
         # of 4 over one) so the second sample costs ~no extra wall time
         for c, reps in ((lo, 3), (hi, 4), (lo, 3)):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scale",
-                 str(c), str(reps)],
-                capture_output=True, text=True, timeout=1800,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--scale",
+                     str(c), str(reps)],
+                    capture_output=True, text=True, timeout=1800,
+                    cwd=os.path.dirname(os.path.abspath(__file__)))
+            except subprocess.TimeoutExpired:
+                # never discard the completed suite measurements over a
+                # hung probe — emit the result with whatever samples exist
+                continue
             for line in out.stdout.splitlines():
                 if line.startswith("SCALING_RESULT "):
                     res = json.loads(line[len("SCALING_RESULT "):])

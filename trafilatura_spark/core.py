@@ -28,8 +28,6 @@ from .operators.render import emit_spans, render_txt
 from .operators.selectors import select_comment_elements
 from .settings import Options
 
-_LANG_ATTR_RE = None
-
 
 @dataclass
 class ExtractionResult:
@@ -78,9 +76,16 @@ def load_html(content: str) -> Node | None:
 
 
 def check_html_lang(tree: Node, target: str, strict: bool = False) -> bool:
-    """Meta/og-locale/html@lang language gate (utils.dart:417-449)."""
+    """Meta/og-locale/html@lang language gate (utils.dart:417-449).
+
+    The target is normalized to its lowercase primary subtag ('en-US',
+    'EN' → 'en') — the document side already extracts two-letter
+    lowercase tokens, so an unnormalized target would reject every
+    document carrying a language header."""
     import re as _re
     lang_re = _re.compile(r"([a-z]{2})")
+    m = lang_re.match(target.lower())
+    target = m.group(1) if m else target.lower()
     for want_attr, want_val in (("http-equiv", "content-language"),
                                 ("property", "og:locale")):
         elems = [e for e in tree.iterdesc("meta")
@@ -103,6 +108,38 @@ def check_html_lang(tree: Node, target: str, strict: bool = False) -> bool:
                     return True
             return False
     return True
+
+
+def _prune_duplicate_elements(bodies: list[Node], options: Options) -> None:
+    """Drop span-emitting elements whose rendered text repeats beyond
+    ``max_repetitions`` (count tested before increment — the
+    duplicateTest semantics, deduplication.dart:335-349).  Walk order and
+    the text keys mirror ``emit_spans`` exactly, and one shared counter
+    spans body + comments, so the pruned tree yields the same span list
+    the old span-level filter produced — but every sink (spans, txt,
+    serializations, fingerprint) now sees the same content."""
+    from .operators.render import _CONTAINERS, render_inline
+
+    counts: dict[str, int] = {}
+
+    def walk(node: Node) -> None:
+        for child in list(node.children):
+            kind = child.tag
+            if kind in _CONTAINERS or (kind == "quote" and child.children):
+                walk(child)
+                continue
+            if kind == "graphic":
+                text = child.attrs.get("alt") or child.attrs.get("title") or ""
+            else:
+                text = render_inline(child, options.formatting)
+            if len(text) > options.min_duplcheck_size:
+                seen = counts.get(text, 0) + 1
+                counts[text] = seen
+                if seen - 1 > options.max_repetitions:
+                    child.drop_tree(keep_tail=False)
+
+    for body in bodies:
+        walk(body)
 
 
 def trafilatura_sequence(converted_tree: Node, cleaned_backup: Node,
@@ -234,30 +271,28 @@ def bare_extraction(filecontent: str, options: Options | None = None,
         result.body = postbody
         result.commentsbody = commentsbody \
             if options.comments and commentsbody.children else None
-        result.spans = emit_spans(
-            postbody,
-            commentsbody if options.comments and commentsbody.children else None,
-            include_formatting=options.formatting,
-        )
+        included_comments = commentsbody \
+            if options.comments and commentsbody.children else None
         if options.dedup:
             # deterministic per-document duplicateTest
             # (deduplication.dart:335-349): the reference tests the cached
             # count BEFORE incrementing, so max_repetitions+1 copies are
-            # kept and occurrences beyond that are dropped.  The
-            # reference's cross-document LRU is order-dependent and lives
-            # as a relational stage instead (functions/dedup.py).
-            counts: dict = {}
-            kept = []
-            for s in result.spans:
-                if len(s["text"]) > options.min_duplcheck_size:
-                    seen = counts.get(s["text"], 0) + 1
-                    counts[s["text"]] = seen
-                    if seen - 1 > options.max_repetitions:
-                        continue
-                kept.append(s)
-            for i, s in enumerate(kept):
-                s["offset"] = i
-            result.spans = kept
+            # kept and occurrences beyond that are dropped.  Duplicates are
+            # pruned from the TREE (as the reference does) so the span
+            # table, txt/csv/json renderings and the fingerprint all agree.
+            # The reference's cross-document LRU is order-dependent and
+            # lives as a relational stage instead (functions/dedup.py).
+            _prune_duplicate_elements(
+                [postbody] + ([included_comments] if included_comments
+                              is not None else []),
+                options)
+            if included_comments is not None and not included_comments.children:
+                included_comments = None
+        result.spans = emit_spans(
+            postbody,
+            included_comments,
+            include_formatting=options.formatting,
+        )
         result.text = render_txt(postbody, options.formatting)
         result.comments_text = render_txt(commentsbody, options.formatting) \
             if commentsbody.children else ""

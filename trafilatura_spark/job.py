@@ -87,7 +87,7 @@ def read_html_dir(spark: SparkSession, input_path: str,
 
 _PROGRESS_SCHEMA = ("run_id string, bucket int, docs long, fallback_docs long, "
                     "empty_docs long, error_docs long, fallback_rate double, "
-                    "empty_rate double, lineage string")
+                    "empty_rate double, lineage string, n_buckets int")
 
 
 def _scrub_uncommitted(spark: SparkSession, output_path: str,
@@ -108,12 +108,33 @@ def _scrub_uncommitted(spark: SparkSession, output_path: str,
     return removed
 
 
-def _committed_buckets(spark: SparkSession, progress_path: str) -> set[int]:
-    try:
-        pdf = spark.read.parquet(progress_path).select("bucket").distinct()
-        return {r["bucket"] for r in pdf.collect()}
-    except Exception:
+def _progress_exists(spark: SparkSession, progress_path: str) -> bool:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(progress_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def _committed_buckets(spark: SparkSession, progress_path: str,
+                       n_buckets: int) -> set[int]:
+    """Committed buckets from the progress table.  ONLY a genuinely
+    absent path counts as a fresh run — any other read failure must
+    propagate: treating a transient progress-read error as 'nothing
+    committed' would let the torn-wave scrub delete committed output.
+    A recorded n_buckets different from the current run is a hard error
+    (the doc-to-bucket mapping would no longer match the checkpoint)."""
+    if not _progress_exists(spark, progress_path):
         return set()
+    pdf = spark.read.parquet(progress_path)
+    if "n_buckets" in pdf.columns:
+        prior = {r["n_buckets"] for r in
+                 pdf.select("n_buckets").distinct().collect()}
+        if prior and prior != {n_buckets}:
+            raise ValueError(
+                f"progress table at {progress_path} was written with "
+                f"n_buckets={sorted(prior)}; resuming with "
+                f"n_buckets={n_buckets} would corrupt the checkpoint")
+    return {r["bucket"] for r in pdf.select("bucket").distinct().collect()}
 
 
 def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
@@ -148,7 +169,7 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
                         F.lit(n_buckets)).cast("int")
     docs = documents.withColumn("bucket", bucket_col)
 
-    done = _committed_buckets(spark, progress_path)
+    done = _committed_buckets(spark, progress_path, n_buckets)
     pending = [b for b in range(n_buckets) if b not in done]
     # unconditional: a crash during the FIRST wave leaves orphan output
     # partitions with an empty progress table; fs.exists() makes this a
@@ -205,7 +226,7 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
                          int(vals[f"empty_{b}"] or 0), int(vals[f"err_{b}"] or 0),
                          (vals[f"fb_{b}"] or 0) / n_docs if n_docs else 0.0,
                          (vals[f"empty_{b}"] or 0) / n_docs if n_docs else 0.0,
-                         lineage))
+                         lineage, n_buckets))
         wave_metrics = (
             spark.createDataFrame(rows, schema=_PROGRESS_SCHEMA)
             .withColumn("committed_at", F.current_timestamp())
@@ -226,7 +247,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input-format", default="spans-parquet",
                    choices=["spans-parquet", "html-dir", "pdf-parquet"])
     p.add_argument("--output", required=True)
-    p.add_argument("--progress", required=True)
+    p.add_argument("--progress", default=None,
+                   help="progress/checkpoint table path (required for "
+                        "--mode extract; unused by the discovery modes)")
     p.add_argument("--run-id", default=f"run-{int(time.time())}")
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--wave-size", type=int, default=16)
@@ -280,6 +303,8 @@ def main(argv: list[str] | None = None) -> int:
         links.write.mode("overwrite").parquet(args.output)
         print({"mode": "discover-feeds", "links": links.count()})
         return 0
+    if not args.progress:
+        p.error("--progress is required for --mode extract")
     options = Options(fast=args.fast, focus=args.focus, lang=args.target_lang,
                       formatting=args.formatting, links=args.links,
                       images=not args.no_images,
