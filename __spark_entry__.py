@@ -182,24 +182,10 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def synthesize_documents_df_from(spark: SparkSession, base: DataFrame) -> DataFrame:
     """Synthesize spans from an arbitrary (doc_id,text,lang,source) frame,
-    tolerating repeated doc_ids (for the segment-dedup corpus)."""
-    import pandas as pd
-    from trafilatura_spark.sources.corpus import (
-        DOCUMENTS_SCHEMA, build_input_spans)
-
-    def gen(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, text, lang, source in zip(
-                    pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]):
-                spans = build_input_spans(int(doc_id), text, lang, source)
-                rows.append((str(int(doc_id)),
-                             [(s["kind"], s["text"], s["media_ref"],
-                               s["offset"]) for s in spans]))
-            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
-
-    return base.select("doc_id", "text", "lang", "source") \
-        .mapInPandas(gen, DOCUMENTS_SCHEMA)
+    tolerating repeated doc_ids (for the segment-dedup corpus) — thin
+    alias over the shared corpus synthesis stage."""
+    from trafilatura_spark.sources.corpus import synthesize_spans_from
+    return synthesize_spans_from(base)
 
 
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

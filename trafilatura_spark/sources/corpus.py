@@ -254,6 +254,20 @@ def synthesize_documents_df(spark, sf_dir: str, with_comments: bool = False,
         from pyspark.sql import functions as F
         base = base.repartition(partitions, F.xxhash64("doc_id"))
 
+    return synthesize_spans_from(base, with_comments=with_comments,
+                                 template=template,
+                                 boiler_repeat=boiler_repeat)
+
+
+def synthesize_spans_from(base, with_comments: bool = False,
+                          template: str = "article",
+                          boiler_repeat: int = 1):
+    """Interleaved spans from an arbitrary (doc_id, text, lang, source)
+    frame (repeated doc_ids allowed — e.g. the segment-dedup corpus).
+    The shared Arrow-vectorized synthesis stage behind
+    synthesize_documents_df."""
+    import pandas as pd
+
     def gen(batches):
         for pdf in batches:
             rows = []
@@ -268,4 +282,5 @@ def synthesize_documents_df(spark, sf_dir: str, with_comments: bool = False,
                                s["offset"]) for s in spans]))
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 
-    return base.mapInPandas(gen, DOCUMENTS_SCHEMA)
+    return base.select("doc_id", "text", "lang", "source") \
+        .mapInPandas(gen, DOCUMENTS_SCHEMA)
