@@ -473,6 +473,56 @@ def q_serialize_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"), "serialized")
 
 
+def q_extract_links_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Option matrix — links=True (htmlprocessing.dart:506-559 convertTags
+    ref branch + the pinned mixed-inline waiver, SURVEY §2.6): an inline
+    anchor inside para1 must surface as ' [more N](https://r.example.com/N)'
+    appended to the paragraph text, with surrounding text preserved."""
+    opts = Options(fast=True, comments=False, with_metadata=True,
+                   links=True, **RELAXED)
+    docs = synthesize_documents_df(spark, sf_dir, template="links")
+    return _spans_flat(extract_documents(docs, opts))
+
+
+def q_extract_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Option matrix — formatting=True (xml_utils.dart:395-450 markdown
+    markers): h1 head gains '# ', a bold first word gains '**..**'."""
+    opts = Options(fast=True, comments=False, with_metadata=True,
+                   formatting=True, **RELAXED)
+    docs = synthesize_documents_df(spark, sf_dir, template="formatting")
+    return _spans_flat(extract_documents(docs, opts))
+
+
+def q_extract_comments_off(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Option matrix — comments=False over a corpus WITH comment sections:
+    the commentlist block must vanish entirely (no comment spans, body
+    spans unchanged)."""
+    opts = Options(fast=True, comments=False, with_metadata=True, **RELAXED)
+    docs = synthesize_documents_df(spark, sf_dir, with_comments=True)
+    return _spans_flat(extract_documents(docs, opts))
+
+
+def q_extract_no_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Option matrix — images=False (the reference DEFAULT,
+    settings.dart:138): graphic spans are dropped and offsets close up."""
+    opts = Options(fast=True, comments=False, with_metadata=True,
+                   images=False, **RELAXED)
+    docs = synthesize_documents_df(spark, sf_dir)
+    return _spans_flat(extract_documents(docs, opts))
+
+
+def q_serialize_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stage XML serialization (determineReturnString xml branch,
+    core.dart:25-49 + buildXmlOutput xml_utils.dart:289-345): the
+    extraction mapInPandas renders the output tree to the `<doc>` string
+    in the same Arrow stage — exercises the job's --serialize xml sink."""
+    opts = Options(fast=True, comments=False, with_metadata=True, **RELAXED)
+    docs = synthesize_documents_df(spark, sf_dir)
+    ex = extract_documents(docs, opts, serialize="xml")
+    return ex.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     "serialized")
+
+
 def q_extract_default_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEFAULT-threshold behavior (no relaxed sizes): docs above
     min_extracted_size come out single-copy via the main pass; docs below
@@ -508,6 +558,9 @@ def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trafilatura_spark.functions.similarity import cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # brute-force top-k broadcasts the QUERY side and scans the corpus
+    # once — right for small query sets (here 2% of vectors); for
+    # query-set ≈ corpus use ann_lsh_topk (q_embedding_ann) instead
     tk = cosine_topk(emb, queries, k=5)
     return tk.select("query_id", F.col("rank").cast("long").alias("rank"),
                      "neighbor_id", "cosine")
@@ -1024,6 +1077,80 @@ FROM content c JOIN fp USING (doc_id) JOIN documents d ON d.doc_id = c.doc_id
 ORDER BY c.doc_id
 """
 
+_ORACLE_LINKS_MODE = f"""
+WITH {_PARTS}
+SELECT * FROM (
+    SELECT doc_id, 0::BIGINT AS "offset", 'head' AS kind, head AS text,
+           '' AS media_ref FROM derived
+    UNION ALL
+    SELECT doc_id, 1::BIGINT, 'p',
+           para1 || ' [more ' || doc_id || '](https://r.example.com/'
+           || doc_id || ')', '' FROM derived
+    UNION ALL
+    SELECT doc_id, 2::BIGINT, 'p', para2, '' FROM derived
+) ORDER BY doc_id, "offset"
+"""
+
+_ORACLE_FORMATTING = f"""
+WITH {_PARTS},
+fmt AS (
+    SELECT p.doc_id,
+           array_to_string(p.w[1:3], ' ') AS head,
+           p.w[4] AS w1,
+           array_to_string(p.w[5:3 + (p.n - 2) // 2], ' ') AS rest1,
+           array_to_string(p.w[4 + (p.n - 2) // 2:p.n], ' ') AS para2
+    FROM parts p
+)
+SELECT * FROM (
+    SELECT doc_id, 0::BIGINT AS "offset", 'head' AS kind,
+           '# ' || head AS text, '' AS media_ref FROM fmt
+    UNION ALL
+    SELECT doc_id, 1::BIGINT, 'p', '**' || w1 || '** ' || rest1, '' FROM fmt
+    UNION ALL
+    SELECT doc_id, 2::BIGINT, 'p', para2, '' FROM fmt
+) ORDER BY doc_id, "offset"
+"""
+
+_ORACLE_NO_IMAGES = f"""
+WITH {_PARTS}
+SELECT * FROM (
+    SELECT doc_id, 0::BIGINT AS "offset", 'head' AS kind, head AS text,
+           '' AS media_ref FROM derived
+    UNION ALL
+    SELECT doc_id, 1::BIGINT, 'p', para1, '' FROM derived
+    UNION ALL
+    SELECT doc_id, 2::BIGINT, 'p', para2, '' FROM derived
+) ORDER BY doc_id, "offset"
+"""
+
+_ORACLE_SERIALIZE_XML = f"""
+WITH {_FINGERPRINT_CTE}
+SELECT c.doc_id,
+       '<doc sitename="' || upper(substr(d.source, 1, 1)) || substr(d.source, 2)
+       || '" title="doc ' || c.doc_id || ' title"'
+       || ' author="Author ' || (c.doc_id % 7) || '"'
+       || ' date="2024-' || lpad((c.doc_id % 12 + 1)::VARCHAR, 2, '0')
+       || '-' || lpad((c.doc_id % 28 + 1)::VARCHAR, 2, '0') || '"'
+       || ' url="https://' || d.source || '.example.com/posts/' || c.doc_id
+       || '"'
+       || ' hostname="' || d.source || '.example.com"'
+       || ' description="synthetic article ' || c.doc_id || '"'
+       || ' fingerprint="' || fp.fingerprint || '">'
+       || '<main><head rend="h1">' || c.head || '</head>'
+       || '<p>' || c.para1 || '</p>'
+       || CASE c.m WHEN 0 THEN ''
+              WHEN 1 THEN '<graphic src="m-' || c.doc_id
+                          || '-0" alt="figure 0"/>'
+              ELSE '<graphic src="m-' || c.doc_id || '-0" alt="figure 0"/>'
+                   || '<graphic src="m-' || c.doc_id
+                   || '-1" alt="figure 1"/>'
+          END
+       || '<p>' || c.para2 || '</p></main><comments></comments></doc>'
+       AS serialized
+FROM content c JOIN fp USING (doc_id) JOIN documents d ON d.doc_id = c.doc_id
+ORDER BY c.doc_id
+"""
+
 _ORACLE_DEFAULT_GATES = f"""
 WITH {_PARTS},
 elig AS (
@@ -1223,6 +1350,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spider_nav_priority": q_spider_nav_priority,
         "doc_fingerprint": q_doc_fingerprint,
         "serialize_csv": q_serialize_csv,
+        "serialize_xml": q_serialize_xml,
+        "extract_links_mode": q_extract_links_mode,
+        "extract_formatting": q_extract_formatting,
+        "extract_comments_off": q_extract_comments_off,
+        "extract_no_images": q_extract_no_images,
         "extract_default_gates": q_extract_default_gates,
         "extract_precision": q_extract_precision,
         "extract_recall": q_extract_recall,
@@ -1263,6 +1395,13 @@ def oracle_sql() -> dict[str, str]:
         "spider_nav_priority": _ORACLE_NAV_PRIORITY,
         "doc_fingerprint": _ORACLE_DOC_FINGERPRINT,
         "serialize_csv": _ORACLE_SERIALIZE_CSV,
+        "serialize_xml": _ORACLE_SERIALIZE_XML,
+        "extract_links_mode": _ORACLE_LINKS_MODE,
+        "extract_formatting": _ORACLE_FORMATTING,
+        # comments=False over a with-comments corpus must equal the plain
+        # body span table; images=False additionally drops graphic rows
+        "extract_comments_off": _ORACLE_EXTRACT_SPANS,
+        "extract_no_images": _ORACLE_NO_IMAGES,
         "extract_default_gates": _ORACLE_DEFAULT_GATES,
         "extract_precision": _ORACLE_EXTRACT_SPANS,
         "extract_recall": _ORACLE_EXTRACT_SPANS,

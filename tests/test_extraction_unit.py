@@ -439,3 +439,62 @@ def test_justext_own_text_link_density():
     # the p is good, the surrounding link-only own text is boilerplate
     assert any("The actual article b" in k and not v for k, v in by_text.items())
     assert any("Home sweet home page" in k and v for k, v in by_text.items())
+
+
+def test_prune_patterns_xpath_expressions():
+    """XPath prune expressions (upstream trafilatura's prune_xpath
+    dialect: //tag[@attr="v"], contains(), unions) work via
+    dom.xpath_to_css; out-of-subset expressions are skipped like any
+    invalid selector (core.dart:236-243 try/skip)."""
+    from trafilatura_spark.core import bare_extraction
+    from trafilatura_spark.settings import Options
+    html = _page(
+        f'<article><p>{LONG_P1}</p>'
+        f'<div class="promo-box"><p>Buy our product now with this special '
+        f'limited offer available only today for readers right here.</p></div>'
+        f'<div id="ad-slot-3"><p>An advertisement block that should be '
+        f'removable by a contains() id expression too.</p></div>'
+        f'<aside role="complementary"><p>Sidebar content to drop with an '
+        f'attribute-presence predicate in the expression.</p></aside>'
+        f"<p>{LONG_P2}</p></article>")
+    res = bare_extraction(html, Options(with_metadata=False,
+        prune_patterns=('//div[@class="promo-box"]',
+                        '//*[contains(@id, "ad-slot")]',
+                        "//aside[@role]")))
+    assert res.status == "ok"
+    joined = " ".join(s["text"] for s in res.spans)
+    assert "Buy our product" not in joined
+    assert "advertisement" not in joined
+    assert "Sidebar content" not in joined
+    assert LONG_P1[:30] in joined
+    # union syntax
+    res2 = bare_extraction(html, Options(with_metadata=False,
+        prune_patterns=('//div[@class="promo-box"] | //aside',)))
+    j2 = " ".join(s["text"] for s in res2.spans)
+    assert "Buy our product" not in j2 and "Sidebar content" not in j2
+    assert "advertisement" in j2  # not pruned by this pattern
+    # positional predicate: out of subset -> skipped, page still extracts
+    res3 = bare_extraction(html, Options(with_metadata=False,
+                                         prune_patterns=("//div[1]",)))
+    assert res3.status == "ok"
+    assert any("Buy our product" in s["text"] for s in res3.spans)
+
+
+def test_xpath_to_css_translation_table():
+    from trafilatura_spark.dom import xpath_to_css
+    import pytest as _pytest
+    table = {
+        '//div[@class="ad"]': 'div[class="ad"]',
+        '//*[contains(@id, "promo")]': '*[id*="promo"]',
+        './/aside[@role]//p': 'aside[role] p',
+        '//div[@class="a"][@id="b"]': 'div[class="a"][id="b"]',
+        "//nav | //footer": "nav, footer",
+        '//div[starts-with(@class, "share")]': 'div[class^="share"]',
+        "//table//tr/td": "table tr > td",
+    }
+    for xp, css in table.items():
+        assert xpath_to_css(xp) == css
+    for bad in ("//div[1]", "//div/following-sibling::p",
+                "/html/body/div", '//div[text()="x"]', "//"):
+        with _pytest.raises(ValueError):
+            xpath_to_css(bad)

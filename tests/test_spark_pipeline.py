@@ -261,3 +261,101 @@ def test_job_numeric_doc_id_bucket_consistency(spark, tmp_path):
     assert progress.agg({"docs": "sum"}).collect()[0][0] == 60
     res = spark.read.parquet(out)
     assert res.count() == 60
+
+
+def test_job_serialize_tree_formats(spark, sf_dir, tmp_path):
+    """--serialize xml/xmltei/html/txt/markdown render from the extraction
+    tree inside the Arrow stage (determineReturnString dispatch,
+    core.dart:25-105); exactness of the xml string is oracle-gated
+    (serialize_xml) — this checks the job sink wiring per format."""
+    docs = synthesize_documents_df(spark, sf_dir).filter(
+        F.col("doc_id").cast("long") < 24)
+    shapes = {
+        "xml": lambda s: s.startswith("<doc ") and "<main>" in s,
+        "xmltei": lambda s: s.startswith("<TEI ") and "<teiHeader>" in s,
+        "html": lambda s: s.startswith("<html><head>"),
+        "txt": lambda s: s.startswith("---\ntitle: doc "),
+        "markdown": lambda s: "\n# " in s or s.split("---\n")[-1].startswith("# "),
+    }
+    for fmt, ok in shapes.items():
+        out, prog = str(tmp_path / f"o-{fmt}"), str(tmp_path / f"p-{fmt}")
+        run_extraction(spark, docs, out, prog, f"fmt-{fmt}", RELAXED,
+                       n_buckets=2, wave_size=2, serialize=fmt)
+        res = spark.read.parquet(out)
+        assert "serialized" in res.columns, fmt
+        row = res.filter(F.col("status") == "ok").first()
+        assert ok(row["serialized"]), (fmt, row["serialized"][:200])
+
+
+def test_job_serialize_tree_format_rejects_custom_batches(spark, sf_dir,
+                                                          tmp_path):
+    """Tree formats need the extraction tree — unavailable from custom
+    batch producers (e.g. the PDF extractor), so the job refuses."""
+    import pytest as _pytest
+
+    docs = synthesize_documents_df(spark, sf_dir)
+    with _pytest.raises(ValueError, match="serialize"):
+        run_extraction(spark, docs, str(tmp_path / "o"), str(tmp_path / "p"),
+                       "bad", RELAXED, serialize="xml",
+                       batches_fn=lambda it: it)
+
+
+def test_job_cli_serialize_formats(spark, sf_dir, tmp_path):
+    """CLI e2e: the reference's 7-format -f dispatch through job.main
+    (cli analog of core.dart:25-105) — every format produces a serialized
+    column over a spans-parquet input."""
+    import json as _json
+
+    from trafilatura_spark.job import main as job_main
+
+    inp = str(tmp_path / "docs")
+    synthesize_documents_df(spark, sf_dir).filter(
+        F.col("doc_id").cast("long") < 16).write.parquet(inp)
+    checks = {
+        "json": lambda s: _json.loads(s)["title"].startswith("doc "),
+        "csv": lambda s: s.count("\t") == 10,
+        "txt": lambda s: s.startswith("---\ntitle: doc "),
+        "markdown": lambda s: "# " in s,
+        "xml": lambda s: s.startswith("<doc "),
+        "xmltei": lambda s: s.startswith("<TEI "),
+        "html": lambda s: s.startswith("<html>"),
+    }
+    for fmt, ok in checks.items():
+        out, prog = str(tmp_path / f"co-{fmt}"), str(tmp_path / f"cp-{fmt}")
+        rc = job_main(["--input", inp, "--output", out, "--progress", prog,
+                       "--run-id", f"cli-{fmt}", "--buckets", "2",
+                       "--wave-size", "2", "--fast", "--no-comments",
+                       "--serialize", fmt])
+        assert rc == 0
+        row = (spark.read.parquet(out)
+               .filter(F.col("status") == "ok").first())
+        assert ok(row["serialized"]), (fmt, row["serialized"][:200])
+
+
+def test_job_large_wave_metrics_and_resume(spark, sf_dir, tmp_path):
+    """wave_size above _OBSERVE_BUCKET_CAP switches per-bucket metrics to
+    the wave-total observe + pruned re-read path; per-bucket progress
+    rows and resume behavior must be identical."""
+    out, prog = str(tmp_path / "lo"), str(tmp_path / "lp")
+    docs = synthesize_documents_df(spark, sf_dir)
+    n_docs = docs.count()
+    s1 = run_extraction(spark, docs, out, prog, "big1", RELAXED,
+                        n_buckets=64, wave_size=64)
+    assert s1["waves"] == 1
+    assert s1["processed_buckets"] == 64
+    assert s1["docs"] == n_docs
+    progress = spark.read.parquet(prog)
+    assert progress.count() == 64
+    assert progress.agg({"docs": "sum"}).collect()[0][0] == n_docs
+    # per-bucket split must match a direct groupBy of the output
+    direct = {r["bucket"]: r["n"] for r in
+              spark.read.parquet(out).groupBy("bucket")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    via_progress = {r["bucket"]: r["docs"] for r in progress.collect()}
+    for b in range(64):
+        assert via_progress.get(b, 0) == direct.get(b, 0), b
+    # resume: nothing left
+    s2 = run_extraction(spark, docs, out, prog, "big2", RELAXED,
+                        n_buckets=64, wave_size=64)
+    assert s2["processed_buckets"] == 0
+    assert spark.read.parquet(out).count() == n_docs

@@ -203,8 +203,11 @@ def bare_extraction(filecontent: str, options: Options | None = None,
             # user pruning before any cleaning (core.dart:232-244
             # pruneXpath — the reference hands the expressions to
             # querySelectorAll, so they are CSS selectors; invalid ones
-            # are skipped).  Bare-word patterns additionally fall back to
-            # class/id substring matching (engine extension, pinned by
+            # are skipped).  XPath-syntax expressions (//div[@class="ad"],
+            # upstream trafilatura's prune_xpath dialect) are translated
+            # by dom.xpath_to_css so ported configs work unchanged.
+            # Bare-word patterns additionally fall back to class/id
+            # substring matching (engine extension, pinned by
             # test_prune_patterns_option).
             from .dom import css_select
             for pattern in options.prune_patterns:

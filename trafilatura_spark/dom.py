@@ -737,6 +737,12 @@ def _parse_simple(simple: str):
                 v = v.strip("\"'")
                 checks.append(
                     lambda n, k=k.strip(), v=v: v in n.attrs.get(k, ""))
+            elif "^=" in inner:
+                k, _, v = inner.partition("^=")
+                v = v.strip("\"'")
+                checks.append(
+                    lambda n, k=k.strip(), v=v:
+                        n.attrs.get(k, "").startswith(v) and v != "")
             elif "~=" in inner:
                 k, _, v = inner.partition("~=")
                 v = v.strip("\"'")
@@ -753,11 +759,90 @@ def _parse_simple(simple: str):
     return lambda n: all(c(n) for c in checks)
 
 
+_XPATH_PRED = _re_mod.compile(
+    r"""\[\s*(?:
+        contains\(\s*@([-\w]+)\s*,\s*(['"])(.*?)\2\s*\)      # contains(@a,"v")
+      | starts-with\(\s*@([-\w]+)\s*,\s*(['"])(.*?)\5\s*\)   # starts-with
+      | @([-\w]+)\s*=\s*(['"])(.*?)\8                        # @a="v"
+      | @([-\w]+)                                            # @a
+    )\s*\]""", _re_mod.VERBOSE)
+
+
+def xpath_to_css(expr: str) -> str:
+    """Translate the XPath subset real trafilatura prune configs use
+    (``//div[@class="ad"]``, ``//*[contains(@id, "promo")]``,
+    ``.//aside[@role]//p``, unions with ``|``) into the CSS dialect of
+    :func:`css_select`.  Raises ValueError on anything outside the subset
+    (positional predicates, axes, functions) — callers skip, mirroring
+    the reference's try/skip on invalid selectors (core.dart:236-243).
+
+    The reference feeds prune expressions straight to querySelectorAll,
+    so XPath-syntax entries from a ported trafilatura config are
+    silently dropped there; upstream trafilatura (Python, prune_xpath)
+    accepts them — this follows upstream so configs port unchanged."""
+    groups = []
+    for branch in expr.split("|"):
+        s = branch.strip()
+        if not s:
+            continue
+        if s.startswith(".//"):
+            s = s[3:]
+        elif s.startswith("//"):
+            s = s[2:]
+        elif s.startswith("/") or s.startswith("./"):
+            # absolute-from-root / explicit-child leading steps don't
+            # occur in prune configs; out of subset
+            raise ValueError(f"unsupported xpath: {branch!r}")
+        # scan steps left-to-right: '//' = descendant, '/' = child;
+        # predicates in the supported subset never contain '/'
+        css = ""
+        i = 0
+        rest = s
+        while rest:
+            if rest.startswith("//"):
+                css += " "
+                rest = rest[2:]
+            elif rest.startswith("/"):
+                css += " > "
+                rest = rest[1:]
+            elif i > 0 and not css.endswith((" ", ">")):
+                raise ValueError(f"unsupported xpath: {branch!r}")
+            m = _re_mod.match(r"(\*|[a-zA-Z][-\w]*)", rest)
+            if not m:
+                raise ValueError(f"unsupported xpath: {branch!r}")
+            part = m.group(1)
+            rest = rest[m.end():]
+            while rest.startswith("["):
+                pm = _XPATH_PRED.match(rest)
+                if not pm:
+                    raise ValueError(f"unsupported xpath: {branch!r}")
+                if pm.group(1):          # contains()
+                    part += f'[{pm.group(1)}*="{pm.group(3)}"]'
+                elif pm.group(4):        # starts-with()
+                    part += f'[{pm.group(4)}^="{pm.group(6)}"]'
+                elif pm.group(7):        # @a="v"
+                    part += f'[{pm.group(7)}="{pm.group(9)}"]'
+                else:                    # @a
+                    part += f"[{pm.group(10)}]"
+                rest = rest[pm.end():]
+            css += part
+            i += 1
+        if not css:
+            raise ValueError(f"unsupported xpath: {branch!r}")
+        groups.append(css)
+    if not groups:
+        raise ValueError(f"unsupported xpath: {expr!r}")
+    return ", ".join(groups)
+
+
 def css_select(root: "Node", selector: str) -> list["Node"]:
     """querySelectorAll subset: comma groups, descendant and child
-    combinators, compound tag/.class/#id/[attr(=|~=|*=)val] selectors.
-    Raises ValueError on syntax it doesn't support (callers mirror the
-    reference's try/skip behavior)."""
+    combinators, compound tag/.class/#id/[attr(=|~=|*=|^=)val] selectors.
+    XPath-syntax selectors (leading ``//`` or ``.//``) are translated via
+    :func:`xpath_to_css` first.  Raises ValueError on syntax it doesn't
+    support (callers mirror the reference's try/skip behavior)."""
+    if selector.lstrip().startswith((".//", "//")) or "|" in selector:
+        selector = xpath_to_css(selector)
     out: list[Node] = []
     seen: set[int] = set()
     for group in selector.split(","):

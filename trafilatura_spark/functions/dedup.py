@@ -199,12 +199,21 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 def near_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", n_hashes: int = 8,
                          band_size: int = 2, k: int = 3,
-                         threshold: float = 0.5) -> DataFrame:
+                         threshold: float = 0.5,
+                         max_bucket_size: int | None = None,
+                         broadcast_candidates: bool = True) -> DataFrame:
     """MinHash→LSH→exact-Jaccard pipeline: the scale path for near-dup
-    detection (candidates only from shared bands, then verified)."""
+    detection (candidates only from shared bands, then verified).
+
+    ``max_bucket_size`` drops hot LSH buckets (boilerplate bands that
+    would explode into quadratic pair volume); ``broadcast_candidates=
+    False`` switches the verify join to shuffle for pathological
+    candidate volumes — both forwarded to the component stages."""
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, k)
-    pairs = lsh_candidate_pairs(sigs, id_col, band_size)
-    return jaccard_pairs(df, pairs, id_col, text_col, k, threshold)
+    pairs = lsh_candidate_pairs(sigs, id_col, band_size,
+                                max_bucket_size=max_bucket_size)
+    return jaccard_pairs(df, pairs, id_col, text_col, k, threshold,
+                         broadcast_candidates=broadcast_candidates)
 
 
 def token_hashes(text_col: str) -> Column:

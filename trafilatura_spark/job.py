@@ -33,7 +33,8 @@ import time
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from .operators.pipeline import extract_documents, extraction_metrics  # noqa: F401
-from .operators.pipeline import make_extract_batches, EXTRACTED_SCHEMA
+from .operators.pipeline import (EXTRACTED_SCHEMA, extracted_schema,  # noqa: F401
+                                 make_extract_batches)
 from .settings import Options
 
 
@@ -84,6 +85,10 @@ def read_html_dir(spark: SparkSession, input_path: str,
 
     return binary.mapInPandas(to_docs, DOCUMENTS_SCHEMA)
 
+
+# above this many buckets per wave, per-bucket observe() expressions are
+# replaced by wave totals + a pruned re-read (see run_extraction)
+_OBSERVE_BUCKET_CAP = 32
 
 _PROGRESS_SCHEMA = ("run_id string, bucket int, docs long, fallback_docs long, "
                     "empty_docs long, error_docs long, fallback_rate double, "
@@ -182,8 +187,16 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
     if tasks_per_wave is None:
         tasks_per_wave = spark.sparkContext.defaultParallelism
 
+    from .operators.serialize import TREE_FORMATS
+    in_stage_fmt = serialize if serialize in TREE_FORMATS else None
+    if in_stage_fmt and batches_fn is not None:
+        raise ValueError(
+            f"--serialize {serialize} re-renders from the extraction tree "
+            "and is only available with the default HTML extractor; "
+            "custom batch producers support json/csv (column-derived)")
     extract_fn = batches_fn if batches_fn is not None \
-        else make_extract_batches(options)
+        else make_extract_batches(options, serialize=in_stage_fmt)
+    schema = extracted_schema(in_stage_fmt)
     for i in range(0, len(pending), wave_size):
         wave = pending[i:i + wave_size]
         wave_df = (
@@ -192,40 +205,73 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
             .repartition(tasks_per_wave, F.xxhash64("doc_id"))
         )
         extracted = (
-            wave_df.mapInPandas(extract_fn, EXTRACTED_SCHEMA)
+            wave_df.mapInPandas(extract_fn, schema)
             .withColumn("bucket", bucket_col)
         )
-        if serialize:
+        if serialize and not in_stage_fmt:
+            # json/csv derive from the output columns JVM-side
             from .operators.serialize import serialize_column
             extracted = serialize_column(extracted, serialize)
         # per-bucket metrics ride the write itself as observe() accumulator
         # expressions (4 per bucket in the wave) — ONE pass over the data;
-        # the old shape re-read the just-written output, a full second scan
-        # of everything written at 100 TB
+        # naive re-reads of the whole output table would be a full second
+        # scan of everything written at 100 TB.  Above _OBSERVE_BUCKET_CAP
+        # buckets the per-task accumulator payload (4×wave named sums on
+        # every task result) outweighs a second look at the wave itself,
+        # so large waves observe 4 wave totals and split per bucket via a
+        # partition-pruned (bucket ∈ wave only) + column-pruned
+        # (status/tier only) read of the freshly written partitions.
         obs = Observation(f"wave-{i // wave_size}")
         fallback = F.col("tier").isin("baseline", "readability", "justext")
-        exprs = []
-        for b in wave:
-            hit = F.col("bucket") == b
-            exprs += [
-                F.sum(hit.cast("long")).alias(f"docs_{b}"),
-                F.sum((hit & fallback).cast("long")).alias(f"fb_{b}"),
-                F.sum((hit & (F.col("status") == "empty")).cast("long")
-                      ).alias(f"empty_{b}"),
-                F.sum((hit & (F.col("status") == "error")).cast("long")
-                      ).alias(f"err_{b}"),
+        per_bucket_obs = len(wave) <= _OBSERVE_BUCKET_CAP
+        if per_bucket_obs:
+            exprs = []
+            for b in wave:
+                hit = F.col("bucket") == b
+                exprs += [
+                    F.sum(hit.cast("long")).alias(f"docs_{b}"),
+                    F.sum((hit & fallback).cast("long")).alias(f"fb_{b}"),
+                    F.sum((hit & (F.col("status") == "empty")).cast("long")
+                          ).alias(f"empty_{b}"),
+                    F.sum((hit & (F.col("status") == "error")).cast("long")
+                          ).alias(f"err_{b}"),
+                ]
+        else:
+            exprs = [
+                F.count(F.lit(1)).alias("docs"),
+                F.sum(fallback.cast("long")).alias("fb"),
+                F.sum((F.col("status") == "empty").cast("long")).alias("empty"),
+                F.sum((F.col("status") == "error").cast("long")).alias("err"),
             ]
         observed = extracted.observe(obs, *exprs)
         observed.write.mode("append").partitionBy("bucket").parquet(output_path)
 
         vals = obs.get
+        if per_bucket_obs:
+            counts = {b: (int(vals[f"docs_{b}"] or 0), int(vals[f"fb_{b}"] or 0),
+                          int(vals[f"empty_{b}"] or 0), int(vals[f"err_{b}"] or 0))
+                      for b in wave}
+        else:
+            split = (
+                spark.read.parquet(output_path)
+                .filter(F.col("bucket").isin(wave))
+                .groupBy("bucket").agg(
+                    F.count(F.lit(1)).alias("docs"),
+                    F.sum(fallback.cast("long")).alias("fb"),
+                    F.sum((F.col("status") == "empty").cast("long")
+                          ).alias("empty"),
+                    F.sum((F.col("status") == "error").cast("long")
+                          ).alias("err"))
+                .collect())
+            counts = {r["bucket"]: (int(r["docs"]), int(r["fb"] or 0),
+                                    int(r["empty"] or 0), int(r["err"] or 0))
+                      for r in split}
         rows = []
         for b in wave:
-            n_docs = int(vals[f"docs_{b}"] or 0)
-            rows.append((run_id, b, n_docs, int(vals[f"fb_{b}"] or 0),
-                         int(vals[f"empty_{b}"] or 0), int(vals[f"err_{b}"] or 0),
-                         (vals[f"fb_{b}"] or 0) / n_docs if n_docs else 0.0,
-                         (vals[f"empty_{b}"] or 0) / n_docs if n_docs else 0.0,
+            n_docs, n_fb, n_empty, n_err = counts.get(b, (0, 0, 0, 0))
+            rows.append((run_id, b, n_docs, n_fb, n_empty, n_err,
+                         n_fb / n_docs if n_docs else 0.0,
+                         n_empty / n_docs if n_docs else 0.0,
                          lineage, n_buckets))
         wave_metrics = (
             spark.createDataFrame(rows, schema=_PROGRESS_SCHEMA)
@@ -265,10 +311,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="drop graphic spans (reference default)")
     p.add_argument("--no-comments", action="store_true")
     p.add_argument("--no-metadata", action="store_true")
-    p.add_argument("--serialize", default=None, choices=["json", "csv"],
-                   help="add a serialized string column to the output "
-                        "(reference CLI -f json/csv analog; spans stay "
-                        "the primary sink)")
+    p.add_argument("--serialize", default=None,
+                   choices=["json", "csv", "txt", "markdown", "xml",
+                            "xmltei", "html"],
+                   help="add a serialized string column to the output — "
+                        "the reference CLI's 7-format -f dispatch "
+                        "(core.dart:25-105; spans stay the primary sink). "
+                        "json/csv derive JVM-side from the output columns; "
+                        "txt/markdown/xml/xmltei/html render from the "
+                        "extraction tree inside the Arrow stage")
     p.add_argument("--mode", default="extract",
                    choices=["extract", "discover-sitemaps", "discover-feeds"],
                    help="extract (default), or link discovery over a "

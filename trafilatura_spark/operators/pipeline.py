@@ -56,6 +56,15 @@ EXTRACTED_SCHEMA = T.StructType([
 _META_FIELDS = [f.name for f in META_TYPE.fields]
 
 
+def extracted_schema(serialize: str | None = None) -> T.StructType:
+    """EXTRACTED_SCHEMA, plus a trailing ``serialized`` string column when
+    an in-stage output format is requested."""
+    if serialize is None:
+        return EXTRACTED_SCHEMA
+    return T.StructType(EXTRACTED_SCHEMA.fields
+                        + [T.StructField("serialized", T.StringType(), True)])
+
+
 def _result_row(doc_id: str, res) -> tuple:
     meta_row = None
     if res.meta is not None:
@@ -71,14 +80,25 @@ def _result_row(doc_id: str, res) -> tuple:
     )
 
 
-def make_extract_batches(options: Options):
+def make_extract_batches(options: Options, serialize: str | None = None):
     """Build the mapInPandas generator.  ``options`` is closure-captured:
     it ships once per task with the serialized function (the Spark analog
-    of the reference's Extractor record, settings.dart:65-217)."""
+    of the reference's Extractor record, settings.dart:65-217).
+
+    ``serialize`` renders each document's output tree to one of the
+    reference's string formats (determineReturnString, core.dart:25-105)
+    inside the SAME Arrow stage — the tree is already in hand here, so
+    xml/xmltei/html/txt/markdown cost one extra string build per doc,
+    no second pass and no extra shuffle."""
     opt_dict = asdict(options)
+    columns = ["doc_id", "spans", "text", "meta", "status", "tier",
+               "len_text"] + (["serialized"] if serialize else [])
 
     def extract_batches(batches):
         import pandas as pd
+
+        from .serialize import determine_return_string
+        from ..dom import Node
 
         opts = Options(**opt_dict)
         for pdf in batches:
@@ -96,10 +116,17 @@ def make_extract_batches(options: Options):
                 # declared string column (and hash-bucket consistently)
                 doc_id = str(doc_id)
                 res = bare_extraction(html, opts, doc_id=doc_id)
-                rows.append(_result_row(doc_id, res))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "spans", "text", "meta", "status",
-                               "tier", "len_text"])
+                row = _result_row(doc_id, res)
+                if serialize:
+                    rendered = determine_return_string(
+                        res.body if res.body is not None else Node("body"),
+                        res.meta, serialize,
+                        comments_body=res.commentsbody,
+                        formatting=opts.formatting,
+                        with_metadata=opts.with_metadata)
+                    row = row + (rendered,)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=columns)
 
     return extract_batches
 
@@ -112,13 +139,16 @@ def salted_repartition(df: DataFrame, num_partitions: int,
 
 
 def extract_documents(df: DataFrame, options: Options | None = None,
-                      num_partitions: int | None = None) -> DataFrame:
+                      num_partitions: int | None = None,
+                      serialize: str | None = None) -> DataFrame:
     """documents(doc_id, spans) → extracted(doc_id, spans, text, meta, status,
-    tier, len_text).  One narrow Arrow stage; optional pre-salting."""
+    tier, len_text[, serialized]).  One narrow Arrow stage; optional
+    pre-salting; optional in-stage output-format rendering."""
     options = options or Options()
     if num_partitions:
         df = salted_repartition(df, num_partitions)
-    return df.mapInPandas(make_extract_batches(options), EXTRACTED_SCHEMA)
+    return df.mapInPandas(make_extract_batches(options, serialize=serialize),
+                          extracted_schema(serialize))
 
 
 def extraction_metrics(extracted: DataFrame) -> DataFrame:

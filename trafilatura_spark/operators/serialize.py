@@ -280,6 +280,88 @@ def render_tei(body: Node, meta: dict | None = None,
     return "".join(parts)
 
 
+# -- format dispatch ----------------------------------------------------------
+
+TREE_FORMATS = frozenset({"xml", "xmltei", "html", "txt", "markdown"})
+ALL_FORMATS = frozenset(TREE_FORMATS | {"json", "csv"})
+
+_FRONT_MATTER_FIELDS = ("title", "author", "url", "hostname", "description",
+                        "sitename", "date", "categories", "tags",
+                        "fingerprint", "id", "license")
+
+
+def _prune_empty_elements(body: Node) -> Node:
+    """The xml-format empty-element sweep (determineReturnString,
+    core.dart:29-47): drop childless empty-text elements other than
+    graphic, unless the parent is code."""
+    out = body.copy()
+    for node in list(out.find_all()):
+        if (node.tag != "graphic" and not node.children
+                and not node.text.strip() and node.parent is not None
+                and node.parent.tag != "code"):
+            node.drop_tree(keep_tail=True)
+    return out
+
+
+def determine_return_string(body: Node, meta: dict | None, fmt: str,
+                            comments_body: Node | None = None,
+                            formatting: bool = False,
+                            with_metadata: bool = True) -> str:
+    """Per-document output-format dispatch (determineReturnString,
+    core.dart:25-105): xml/xmltei get the empty-element sweep then the
+    tree serializer; txt/markdown get a YAML-ish front-matter block when
+    metadata is on, body text, then comments; trailing trim + NFC
+    normalization (normalizeUnicode — identity in the Dart port,
+    utils.dart:262)."""
+    import unicodedata
+
+    from .render import render_txt
+
+    meta = meta or {}
+    if fmt in ("xml", "xmltei"):
+        pruned = _prune_empty_elements(body)
+        if fmt == "xmltei":
+            out = render_tei(pruned, meta if with_metadata else None,
+                             comments_body)
+        else:
+            out = render_xml(pruned, meta if with_metadata else None,
+                             comments_body)
+    elif fmt == "csv":
+        text = render_txt(body, include_formatting=formatting)
+        comments = (render_txt(comments_body, include_formatting=formatting)
+                    if comments_body is not None else "")
+        out = render_csv(meta, text, comments)
+    elif fmt == "json":
+        text = render_txt(body, include_formatting=formatting)
+        comments = (render_txt(comments_body, include_formatting=formatting)
+                    if comments_body is not None else "")
+        out = render_json(meta if with_metadata else {}, text, comments)
+    elif fmt == "html":
+        out = render_html(body, meta.get("title") if with_metadata else None)
+    elif fmt in ("txt", "markdown"):
+        parts = []
+        if with_metadata:
+            lines = ["---"]
+            for name in _FRONT_MATTER_FIELDS:
+                val = meta.get(name)
+                if isinstance(val, list):
+                    val = ", ".join(val)
+                if val:
+                    lines.append(f"{name}: {val}")
+            lines.append("---")
+            parts.append("\n".join(lines) + "\n")
+        include_formatting = formatting or fmt == "markdown"
+        parts.append(render_txt(body, include_formatting=include_formatting))
+        if comments_body is not None and comments_body.children:
+            parts.append("\n")
+            parts.append(render_txt(comments_body,
+                                    include_formatting=include_formatting))
+        out = "".join(parts).strip()
+    else:
+        raise ValueError(f"unsupported output format: {fmt}")
+    return unicodedata.normalize("NFC", out)
+
+
 # -- Spark form ---------------------------------------------------------------
 
 def serialize_column(extracted, fmt: str = "json"):

@@ -170,6 +170,35 @@ def build_input_spans(doc_id: int, text: str, lang: str, source: str,
         )
         return spans
 
+    if template == "links":
+        # option-matrix family (links=True): para1 carries one inline
+        # anchor; expected span text appends ' [more {id}](https://r.
+        # example.com/{id})' when links are kept, plain ' more {id}'
+        # when stripped (htmlprocessing convertTags ref handling)
+        op, cl = _CONTAINERS[doc_id % 4]
+        html(
+            f'<!DOCTYPE html><html lang="{lang}">{_head_section(doc_id, lang, source)}'
+            f"<body>{_NAV}{op}<h1>{head}</h1>"
+            f'<p>{para1} <a href="https://r.example.com/{doc_id}">'
+            f"more {doc_id}</a></p>"
+            f"<p>{para2}</p>{cl}{_FOOTER}</body></html>"
+        )
+        return spans
+
+    if template == "formatting":
+        # option-matrix family (formatting=True): para1's first word is
+        # bold; expected span text '**w1** rest' with formatting on,
+        # 'w1 rest' off; the h1 head gains the '# ' marker
+        w1, _, rest1 = para1.partition(" ")
+        op, cl = _CONTAINERS[doc_id % 4]
+        html(
+            f'<!DOCTYPE html><html lang="{lang}">{_head_section(doc_id, lang, source)}'
+            f"<body>{_NAV}{op}<h1>{head}</h1>"
+            f"<p><b>{w1}</b> {rest1}</p>"
+            f"<p>{para2}</p>{cl}{_FOOTER}</body></html>"
+        )
+        return spans
+
     if template == "bare":
         html(
             f'<!DOCTYPE html><html lang="{lang}">{_head_section(doc_id, lang, source)}'

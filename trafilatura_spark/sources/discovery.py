@@ -190,17 +190,27 @@ def expand_sitemaps(fetched: DataFrame, seeds: DataFrame,
     documents — same anti-join frontier shape as ``spider.bfs_frontier``.
 
     ``fetched`` is (url, xml): the batch analog of the reference's
-    fetch() — at scale this is the crawl store, so each round is one
-    join + one regex scan, no Python in the loop.  <loc> links that are
-    themselves sitemaps (DETECT_SITEMAP_LINK) become the next frontier
-    (bounded by ``max_sitemaps_seen`` total, mirroring maxSitemapsSeen);
-    the rest accumulate as page URLs.  Returns distinct page URLs with
-    the sitemap URL they came from.
+    fetch() — at scale this is the crawl store.  The store is scanned
+    ONCE: the plausible-sitemap subset (a sliver of a real crawl store,
+    where page documents vastly outnumber sitemaps) is projected to two
+    columns and cached before the loop, so each of the up-to-
+    ``max_rounds`` rounds joins the broadcast frontier against that
+    cached subset instead of rescanning the full store.  <loc> links
+    that are themselves sitemaps (DETECT_SITEMAP_LINK) become the next
+    frontier (bounded by ``max_sitemaps_seen`` total, mirroring
+    maxSitemapsSeen); the rest accumulate as page URLs.  Returns
+    distinct page URLs with the sitemap URL they came from.
     """
     spark = fetched.sparkSession
     frontier = seeds.select(url_col).distinct().persist()
     seen = frontier
     seen_count = frontier.count()
+    # one scan of the crawl store up front: plausibility-filter + 2-col
+    # projection, persisted (MEMORY_AND_DISK, releasable) — the filter is
+    # idempotent per round, so hoisting it preserves semantics exactly
+    store = (fetched.select(url_col, xml_col)
+             .filter(is_plausible_sitemap(F.col(url_col), F.col(xml_col)))
+             .persist())
     pages = None
     # frames to release once their successors are materialized: unbounded
     # per-round persists would pin every round's cache for the whole job
@@ -208,8 +218,7 @@ def expand_sitemaps(fetched: DataFrame, seeds: DataFrame,
     for rnd in range(max_rounds):
         if seen_count == 0:
             break
-        docs = fetched.join(F.broadcast(frontier), url_col) \
-            .filter(is_plausible_sitemap(F.col(url_col), F.col(xml_col)))
+        docs = store.join(F.broadcast(frontier), url_col)
         links = docs.select(
             F.col(url_col).alias("sitemap_url"),
             F.explode(sitemap_links(F.col(xml_col), max_links,
@@ -251,14 +260,16 @@ def expand_sitemaps(fetched: DataFrame, seeds: DataFrame,
             for df in retired:
                 df.unpersist()
             retired = []
-    if pages is not None and retired:
+    if pages is not None:
         # materialize before releasing the caches pages still references
+        # (the cached store subset among them)
         pages = pages.localCheckpoint()
     for df in retired:
         df.unpersist()
+    store.unpersist()
     frontier.unpersist()
     if pages is None:
-        return spark.createDataFrame([], f"sitemap_url string, link string")
+        return spark.createDataFrame([], "sitemap_url string, link string")
     return pages.distinct()
 
 
