@@ -511,6 +511,22 @@ def q_extract_no_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spans_flat(extract_documents(docs, opts))
 
 
+def q_extract_gate_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STOCK size gates probed exactly at the boundaries, ±1 char, with NO
+    eligibility carve-outs (core.dart:299-301 + main_extractor.dart:612-629
+    recoverWildText + baseline.dart:35-68): doc_id%8 rotates payload
+    lengths 124/125/249/250/251 (plain <p>: duplication-sum and
+    min_extracted_size=250 edges) and 199/200/201 (JSON-LD articleBody:
+    min_output_size=200 edge on the baseline tier)."""
+    opts = Options(fast=True, comments=False, with_metadata=True)
+    docs = synthesize_documents_df(spark, sf_dir, template="gates")
+    ex = extract_documents(docs, opts)
+    return ex.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "status", "tier",
+        F.array_join(F.transform("spans", lambda s: s["text"]),
+                     "|").alias("texts"))
+
+
 def q_serialize_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-stage XML serialization (determineReturnString xml branch,
     core.dart:25-49 + buildXmlOutput xml_utils.dart:289-345): the
@@ -1123,6 +1139,32 @@ SELECT * FROM (
 ) ORDER BY doc_id, "offset"
 """
 
+_ORACLE_GATE_BOUNDARIES = """
+WITH pay AS (
+    SELECT doc_id, doc_id % 8 AS r,
+           CASE doc_id % 8
+               WHEN 0 THEN 124 WHEN 1 THEN 125 WHEN 2 THEN 249
+               WHEN 3 THEN 250 WHEN 4 THEN 251 WHEN 5 THEN 199
+               WHEN 6 THEN 200 ELSE 201 END AS L
+    FROM documents
+),
+txt AS (
+    SELECT doc_id, r, L,
+           CASE WHEN L % 5 = 0
+                THEN repeat('gate ', L // 5 - 1) || 'gates'
+                ELSE repeat('gate ', L // 5) || repeat('g', L % 5)
+           END AS p
+    FROM pay
+)
+SELECT doc_id,
+       CASE WHEN r IN (0, 5) THEN 'empty' ELSE 'ok' END AS status,
+       CASE WHEN r IN (0, 5, 6, 7) THEN 'baseline' ELSE 'main' END AS tier,
+       CASE WHEN r IN (0, 5) THEN ''
+            WHEN r IN (1, 2) THEN p || '|' || p
+            ELSE p END AS texts
+FROM txt ORDER BY doc_id
+"""
+
 _ORACLE_SERIALIZE_XML = f"""
 WITH {_FINGERPRINT_CTE}
 SELECT c.doc_id,
@@ -1355,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_formatting": q_extract_formatting,
         "extract_comments_off": q_extract_comments_off,
         "extract_no_images": q_extract_no_images,
+        "extract_gate_boundaries": q_extract_gate_boundaries,
         "extract_default_gates": q_extract_default_gates,
         "extract_precision": q_extract_precision,
         "extract_recall": q_extract_recall,
@@ -1402,6 +1445,7 @@ def oracle_sql() -> dict[str, str]:
         # body span table; images=False additionally drops graphic rows
         "extract_comments_off": _ORACLE_EXTRACT_SPANS,
         "extract_no_images": _ORACLE_NO_IMAGES,
+        "extract_gate_boundaries": _ORACLE_GATE_BOUNDARIES,
         "extract_default_gates": _ORACLE_DEFAULT_GATES,
         "extract_precision": _ORACLE_EXTRACT_SPANS,
         "extract_recall": _ORACLE_EXTRACT_SPANS,

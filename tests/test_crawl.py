@@ -1,0 +1,122 @@
+"""End-to-end crawl driver loop (sources/crawl.py): a fake transport
+serves a 3-host fixture site; the loop must respect robots.txt, stay
+on-site, resolve relative links, walk 2 hops, and feed extraction."""
+
+from pyspark.sql import functions as F
+
+from trafilatura_spark.sources.crawl import (crawl_and_extract, crawl_site,
+                                             fetch_robots_rules)
+
+ARTICLE = ("This is a long enough synthetic article paragraph that easily "
+           "clears the relaxed extraction thresholds used by the test and "
+           "contains plenty of ordinary words for the classifier to like.")
+
+
+def _page(body: str) -> bytes:
+    return (f'<!DOCTYPE html><html lang="en"><head><title>t</title></head>'
+            f"<body>{body}</body></html>").encode()
+
+
+SITE = {
+    # host a: nav page, article, a robots-blocked page, an off-site link,
+    # relative + protocol-relative link forms
+    "https://a.test/robots.txt": b"User-agent: *\nDisallow: /blocked/\n",
+    "https://a.test/": _page(
+        '<a href="/page/1">archive</a>'
+        '<a href="/blocked/secret">secret</a>'
+        '<a href="https://d.test/offsite">offsite</a>'
+        '<a href="mailto:x@y">mail</a>'
+        f'<div class="post-content"><p>{ARTICLE}</p></div>'),
+    "https://a.test/page/1": _page(
+        '<a href="article2.html">a2</a>'
+        '<a href="//a.test/article3">a3</a>'
+        f"<p>{ARTICLE}</p>"),
+    "https://a.test/page/article2.html": _page(
+        f'<div class="post-content"><p>{ARTICLE} article two body.</p></div>'),
+    "https://a.test/article3": _page(
+        f'<div class="post-content"><p>{ARTICLE} article three body.</p></div>'),
+    "https://a.test/blocked/secret": _page("<p>should never be fetched</p>"),
+    # host b: 2-deep chain — /b2 at hop 1, /b3 at hop 2
+    "https://b.test/": _page(
+        f'<a href="/b2">next</a><p>{ARTICLE}</p>'),
+    "https://b.test/b2": _page(
+        f'<a href="/b3">deeper</a><p>{ARTICLE} level two.</p>'),
+    "https://b.test/b3": _page(
+        f'<a href="/b4">deepest</a><p>{ARTICLE} level three.</p>'),
+    "https://b.test/b4": _page("<p>beyond the hop limit</p>"),
+    # host c: no robots.txt (404 -> default allow), self-contained
+    "https://c.test/": _page(f"<article><p>{ARTICLE} from c.</p></article>"),
+}
+
+
+def _make_transport(site):
+    # a nested closure is cloudpickled BY VALUE, so executors don't need
+    # the test module on their import path
+    def transport(method, url, headers, timeout, max_bytes=None):
+        body = site.get(url)
+        if body is None:
+            return 404, {}, b"not found"
+        return 200, {}, b"" if method == "HEAD" else body
+    return transport
+
+
+fake_transport = _make_transport(SITE)
+
+
+SEEDS = ["https://a.test/", "https://b.test/", "https://c.test/"]
+
+
+def test_fetch_robots_rules(spark):
+    rules = fetch_robots_rules(spark, ["a.test", "c.test"],
+                               transport=fake_transport).collect()
+    assert {(r["host"], r["allow"], r["path"]) for r in rules} == \
+        {("a.test", False, "/blocked/")}
+
+
+def test_crawl_site_two_hops(spark):
+    pages = crawl_site(spark, SEEDS, transport=fake_transport, max_hops=2)
+    got = {r["url"]: r["hop"] for r in pages.collect()}
+    # hop 0: the three homepages
+    assert got["https://a.test/"] == 0
+    assert got["https://b.test/"] == 0
+    assert got["https://c.test/"] == 0
+    # hop 1: on-site discovered links (relative forms resolved)
+    assert got["https://a.test/page/1"] == 1
+    assert got["https://b.test/b2"] == 1
+    # hop 2: nav-page children and the b-chain
+    assert got["https://a.test/page/article2.html"] == 2
+    assert got["https://a.test/article3"] == 2
+    assert got["https://b.test/b3"] == 2
+    # robots: /blocked/ never fetched even though the transport serves it
+    assert "https://a.test/blocked/secret" not in got
+    # focused crawl: off-site link never fetched
+    assert not any(u.startswith("https://d.test") for u in got)
+    # hop limit: /b4 (3 hops deep) not fetched
+    assert "https://b.test/b4" not in got
+    # every fetched page carries decoded html
+    assert pages.filter(F.col("html").isNull()).count() == 0
+
+
+def test_crawl_respects_per_host_quota(spark):
+    pages = crawl_site(spark, SEEDS, transport=fake_transport, max_hops=2,
+                       per_host_quota=1)
+    # quota 1 per hop per host -> at most max_hops+1 pages per host
+    counts = (pages.groupBy(F.parse_url(F.col("url"), F.lit("HOST")))
+              .count().collect())
+    assert all(r["count"] <= 3 for r in counts)
+
+
+def test_crawl_and_extract(spark):
+    from trafilatura_spark.settings import Options
+    ex = crawl_and_extract(
+        spark, SEEDS, transport=fake_transport, max_hops=2,
+        options=Options(fast=True, comments=False, with_metadata=False,
+                        min_extracted_size=5, min_output_size=1))
+    rows = {r["doc_id"]: r for r in ex.collect()}
+    assert rows["https://a.test/page/article2.html"]["status"] == "ok"
+    assert any("article two body" in s["text"]
+               for s in rows["https://a.test/page/article2.html"]["spans"])
+    assert rows["https://c.test/"]["status"] == "ok"
+    # extraction drops the nav links from the article pages
+    assert not any(s["text"] == "secret"
+                   for s in rows["https://a.test/"]["spans"])

@@ -286,10 +286,11 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="trafilatura-spark batch extraction")
-    p.add_argument("--input", required=True,
+    p.add_argument("--input", default=None,
                    help="parquet/iceberg path of documents(doc_id, spans), "
                         "or a directory of raw HTML files with "
-                        "--input-format html-dir")
+                        "--input-format html-dir (required for every mode "
+                        "except crawl)")
     p.add_argument("--input-format", default="spans-parquet",
                    choices=["spans-parquet", "html-dir", "pdf-parquet"])
     p.add_argument("--output", required=True)
@@ -321,13 +322,23 @@ def main(argv: list[str] | None = None) -> int:
                         "txt/markdown/xml/xmltei/html render from the "
                         "extraction tree inside the Arrow stage")
     p.add_argument("--mode", default="extract",
-                   choices=["extract", "discover-sitemaps", "discover-feeds"],
-                   help="extract (default), or link discovery over a "
+                   choices=["extract", "discover-sitemaps", "discover-feeds",
+                            "crawl"],
+                   help="extract (default); link discovery over a "
                         "fetched-documents parquet of (url, xml|content) "
                         "— the CLI analogs of the reference's --sitemap / "
-                        "--feed modes (cli.dart)")
+                        "--feed modes (cli.dart); or crawl: live BFS from "
+                        "--seeds through --max-hops, robots-gated, then "
+                        "extraction (downloadQueueProcessing analog, "
+                        "cli_utils.dart:379-406)")
+    p.add_argument("--seeds", default=None,
+                   help="comma-separated seed URLs (--mode crawl)")
+    p.add_argument("--max-hops", type=int, default=2)
+    p.add_argument("--per-host-quota", type=int, default=10)
     args = p.parse_args(argv)
 
+    if args.mode != "crawl" and not args.input:
+        p.error(f"--input is required for --mode {args.mode}")
     spark = make_session()
     if args.mode == "discover-sitemaps":
         from .sources.discovery import expand_sitemaps
@@ -354,13 +365,23 @@ def main(argv: list[str] | None = None) -> int:
         links.write.mode("overwrite").parquet(args.output)
         print({"mode": "discover-feeds", "links": links.count()})
         return 0
-    if not args.progress:
-        p.error("--progress is required for --mode extract")
     options = Options(fast=args.fast, focus=args.focus, lang=args.target_lang,
                       formatting=args.formatting, links=args.links,
                       images=not args.no_images,
                       comments=not args.no_comments,
                       with_metadata=not args.no_metadata)
+    if args.mode == "crawl":
+        if not args.seeds:
+            p.error("--seeds is required for --mode crawl")
+        from .sources.crawl import crawl_and_extract
+        ex = crawl_and_extract(spark, args.seeds.split(","),
+                               options=options, max_hops=args.max_hops,
+                               per_host_quota=args.per_host_quota)
+        ex.write.mode("overwrite").parquet(args.output)
+        print({"mode": "crawl", "docs": ex.count()})
+        return 0
+    if not args.progress:
+        p.error("--progress is required for --mode extract")
     batches_fn = None
     if args.input_format == "html-dir":
         docs = read_html_dir(spark, args.input)

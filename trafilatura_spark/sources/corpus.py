@@ -101,6 +101,22 @@ def _head_section(doc_id: int, lang: str, source: str) -> str:
     )
 
 
+def gate_payload(length: int) -> str:
+    """Deterministic word-ish text of EXACTLY ``length`` chars (no
+    trailing space — trim would change the length): 'gate ' repeated,
+    closed by 'gates' or a 'g'-run remainder word."""
+    if length % 5 == 0:
+        return "gate " * (length // 5 - 1) + "gates"
+    return "gate " * (length // 5) + "g" * (length % 5)
+
+
+# boundary-value probes for the STOCK size gates (settings.dart /
+# settings.py: min_extracted_size=250, min_output_size=200), one class
+# per doc_id % 8 — see build_input_spans(template="gates")
+GATE_PLAIN_LENGTHS = (124, 125, 249, 250, 251)   # single-<p> page payload
+GATE_JSONLD_LENGTHS = (199, 200, 201)            # JSON-LD articleBody
+
+
 def comment_items(doc_id: int, text: str) -> list[str]:
     """doc_id % 2 + 1 deterministic comment texts built from the tail words."""
     words = text.split(" ")
@@ -168,6 +184,36 @@ def build_input_spans(doc_id: int, text: str, lang: str, source: str,
             f'<body>{_NAV}<div id="page"><table>{cellpart}</table></div>'
             f"{_FOOTER}</body></html>"
         )
+        return spans
+
+    if template == "gates":
+        # boundary-value family for the STOCK size gates, exact to ±1
+        # char (no eligibility carve-outs).  doc_id % 8 selects the class:
+        #   r<5  — single <p> of exactly GATE_PLAIN_LENGTHS[r] chars:
+        #          L>=250 single-copy main; 125<=L<250 wild-text
+        #          duplication (2L>=250) main; L=124 -> 2L=248 -> baseline
+        #          -> under min_output_size -> empty
+        #   r>=5 — tiny visible <p> + JSON-LD articleBody of exactly
+        #          GATE_JSONLD_LENGTHS[r-5] chars: baseline tier-1 route,
+        #          ok iff M >= min_output_size (200)
+        r = doc_id % 8
+        if r < len(GATE_PLAIN_LENGTHS):
+            p = gate_payload(GATE_PLAIN_LENGTHS[r])
+            html(
+                f'<!DOCTYPE html><html lang="{lang}">{_head_section(doc_id, lang, source)}'
+                f'<body>{_NAV}<div class="post-content"><p>{p}</p></div>'
+                f"{_FOOTER}</body></html>"
+            )
+        else:
+            body = gate_payload(GATE_JSONLD_LENGTHS[r - len(GATE_PLAIN_LENGTHS)])
+            html(
+                f'<!DOCTYPE html><html lang="{lang}">{_head_section(doc_id, lang, source)}'
+                f'<body>{_NAV}'
+                f'<script type="application/ld+json">'
+                f'{{"@type": "Article", "articleBody": "{body}"}}</script>'
+                f'<div class="post-content"><p>gate note</p></div>'
+                f"{_FOOTER}</body></html>"
+            )
         return spans
 
     if template == "links":

@@ -1,0 +1,158 @@
+"""End-to-end crawl driver: seeds → robots → fetch → discover → extract.
+
+The batch re-expression of the reference's live download loop
+(cli_utils.dart:379-406 downloadQueueProcessing + spider.dart:529-571
+focusedCrawler): instead of a sequential per-domain round-robin with
+sleeps, each BFS hop is one wave of DataFrame algebra —
+
+    frontier --robots gate--> --per-host quota--> --per-host-partitioned
+    fetch (politeness: one task per host serializes its requests, optional
+    inter-request sleep)--> pages --JVM-side href scrape + same-site
+    filter--> next frontier (anti-join visited)
+
+and the fetched pages feed the standard extraction operator.  The
+transport is pluggable (tests drive a fake site; production uses the
+stdlib transport from sources.downloads), so the whole loop runs under
+pytest without a network.
+
+At scale each hop is: one broadcast-able robots join, one window quota,
+one narrow Arrow fetch stage partitioned by host, one regex scan for
+links — no Python in the relational steps, no collect() of page content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .discovery import filter_known
+from .downloads import default_transport, fetch_binary_documents
+from .spider import filter_robots, per_domain_quota, robots_rules_df
+
+# href scrape (spider.dart:405-426 processLinks link lifting; quote-agnostic)
+_HREF_PAT = r"""<a\s[^>]*href=["']([^"'#]+)["']"""
+
+
+def _resolve_links(pages: DataFrame, html_col: str = "html",
+                   url_col: str = "url") -> DataFrame:
+    """(url, html) → one row per absolute same-site link.
+
+    JVM-side: regexp_extract_all lifts hrefs, parse_url supplies the
+    page's scheme/host for relative resolution (fix_relative_urls
+    semantics, feeds.dart:137-159, as column expressions); protocol-
+    relative gets https:, absolute paths get scheme://host, bare
+    relatives resolve against the page directory.  Off-site links are
+    dropped (focused-crawler behavior, spider.dart:418-423)."""
+    scheme = F.coalesce(F.parse_url(F.col(url_col), F.lit("PROTOCOL")),
+                        F.lit("https"))
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    base = F.concat(scheme, F.lit("://"), host)
+    # page directory for bare-relative links: strip after the last '/'
+    page_dir = F.regexp_replace(F.col(url_col), r"[^/]*$", "")
+    raw = pages.select(
+        F.col(url_col).alias("src"), base.alias("_base"),
+        page_dir.alias("_dir"), host.alias("_host"),
+        F.explode(F.regexp_extract_all(F.col(html_col), F.lit(_HREF_PAT), 1)
+                  ).alias("_l"))
+    resolved = F.when(F.col("_l").rlike("^https?://"), F.col("_l")) \
+        .when(F.col("_l").startswith("//"),
+              F.concat(F.lit("https:"), F.col("_l"))) \
+        .when(F.col("_l").startswith("/"),
+              F.concat(F.col("_base"), F.col("_l"))) \
+        .when(F.col("_l").rlike("^[a-zA-Z]+:"), F.lit(None)) \
+        .otherwise(F.concat(F.col("_dir"), F.col("_l")))
+    return (raw.withColumn("url", resolved)
+            .filter(F.col("url").isNotNull())
+            .filter(F.parse_url(F.col("url"), F.lit("HOST")) == F.col("_host"))
+            .select("src", "url").distinct())
+
+
+def fetch_robots_rules(spark: SparkSession, hosts: list[str],
+                       transport=default_transport,
+                       config: dict | None = None) -> DataFrame:
+    """Fetch https://{host}/robots.txt per host and parse into the
+    (host, allow, path) rule table filter_robots consumes."""
+    urls = spark.createDataFrame([(h, f"https://{h}/robots.txt")
+                                  for h in hosts], "host string, url string")
+    fetched = fetch_binary_documents(urls, transport=transport, config=config)
+    robots = (urls.join(fetched, "url", "left")
+              .select("host",
+                      F.when(F.col("status") == 200,
+                             F.col("content").cast("string"))
+                      .alias("robotstxt")))
+    return robots_rules_df(robots)
+
+
+def crawl_site(spark: SparkSession, seeds: list[str],
+               transport=default_transport, max_hops: int = 2,
+               per_host_quota: int = 10, config: dict | None = None,
+               partitions: int | None = None,
+               respect_robots: bool = True) -> DataFrame:
+    """BFS crawl from seed URLs through ``max_hops`` hops; returns the
+    fetched-pages table (url, hop, status, html).
+
+    One wave per hop: robots row-filter → navigation-first per-host
+    quota (spider.dart:405-426 priority frontier) → per-host-partitioned
+    fetch → href scrape for the next frontier (anti-join visited).
+    Lineage is cut per hop (fetch output is materialized by the
+    localCheckpoint) so deep crawls don't build unbounded plans."""
+    from urllib.parse import urlparse
+
+    hosts = sorted({urlparse(s).netloc for s in seeds})
+    rules = (fetch_robots_rules(spark, hosts, transport, config)
+             if respect_robots else None)
+
+    frontier = spark.createDataFrame([(s,) for s in seeds], "url string") \
+        .distinct()
+    visited = frontier
+    pages = None
+    for hop in range(max_hops + 1):
+        if rules is not None:
+            frontier = filter_robots(frontier, rules)
+        frontier = per_domain_quota(frontier, quota=per_host_quota,
+                                    navigation_first=True)
+        fetched = fetch_binary_documents(frontier, transport=transport,
+                                         config=config,
+                                         partitions=partitions)
+        hop_pages = (fetched
+                     .withColumn("hop", F.lit(hop))
+                     .withColumn("html", F.when(F.col("status") == 200,
+                                                F.col("content")
+                                                .cast("string")))
+                     .drop("content")
+                     .localCheckpoint())
+        pages = hop_pages if pages is None else pages.unionByName(hop_pages)
+        if hop == max_hops:
+            break
+        links = _resolve_links(hop_pages.filter(F.col("html").isNotNull()))
+        frontier = filter_known(links.select("url").distinct(), visited)
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier).localCheckpoint()
+    return pages
+
+
+def crawl_and_extract(spark: SparkSession, seeds: list[str],
+                      transport=default_transport, options=None,
+                      max_hops: int = 2, per_host_quota: int = 10,
+                      config: dict | None = None,
+                      partitions: int | None = None) -> DataFrame:
+    """The one-call analog of the reference CLI's crawl entry point
+    (cli_utils.dart:379-406): crawl, then run the standard extraction
+    operator over every fetched page (doc_id = url)."""
+    from ..operators.pipeline import extract_documents
+    from .corpus import DOCUMENTS_SCHEMA
+
+    pages = crawl_site(spark, seeds, transport=transport, max_hops=max_hops,
+                       per_host_quota=per_host_quota, config=config,
+                       partitions=partitions)
+    ok = pages.filter(F.col("html").isNotNull())
+
+    def to_docs(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = [(url, [("html", html, "", 0)])
+                    for url, html in zip(pdf["url"], pdf["html"])]
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    docs = ok.select("url", "html").mapInPandas(to_docs, DOCUMENTS_SCHEMA)
+    return extract_documents(docs, options)

@@ -174,11 +174,26 @@ def fetch_binary_documents(urls_df, url_col: str = "url",
         df = df.repartition(partitions,
                             F.parse_url(F.col(url_col), F.lit("HOST")))
 
+    # politeness: the reference sleeps between consecutive fetches of one
+    # domain (cli_utils.dart:379-406 rate limiting); with host-partitioned
+    # input each task owns its hosts, so an in-task sleep between
+    # same-host requests is the faithful batch analog
+    sleep_time = float((config or {}).get("SLEEP_TIME", 0))
+
     def batches(it):
+        import time as _time
+        from urllib.parse import urlparse
+
         import pandas as pd
+        last_host = None
         for pdf in it:
             rows = []
             for url in pdf[url_col]:
+                if sleep_time > 0:
+                    host = urlparse(url).netloc
+                    if host == last_host:
+                        _time.sleep(sleep_time)
+                    last_host = host
                 resp = _send_request(url, transport, config)
                 if resp is None:
                     rows.append((url, None, None))
