@@ -454,6 +454,31 @@ def q_spider_nav_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                        is_navigation_page().cast("int").alias("is_nav"))
 
 
+def q_crawl_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl link lifting + resolution (spider.dart:376-426 extractLinks
+    / processLinks, relationally — sources/crawl.resolve_links): pages
+    built from documents carry one link of each href form — absolute
+    path, bare relative, protocol-relative, off-site absolute, mailto,
+    fragment — and the operator must resolve the first three against the
+    page URL (JVM-side regexp + parse_url) and drop the rest
+    (focused-crawler same-site gate)."""
+    from trafilatura_spark.sources.crawl import resolve_links
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("https://"), "source", F.lit(".example.com/a"),
+                 "doc_id", F.lit("/index.html")).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="/p/'), "doc_id", F.lit('">l</a>'),
+            F.lit('<a href="rel'), "doc_id", F.lit('.html">l</a>'),
+            F.lit("<a href='//"), "source", F.lit(".example.com/pp/"),
+            "doc_id", F.lit("'>l</a>"),
+            F.lit('<a href="https://offsite.example.net/x'), "doc_id",
+            F.lit('">l</a>'),
+            F.lit('<a href="mailto:a@b.c">m</a><a href="#top">t</a>'),
+            F.lit("</body></html>")).alias("html"))
+    return resolve_links(pages).select("src", "url")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Charikar simhash fingerprint (deduplication.dart
     142-159 via content_fingerprint) — the Python token-hash simhash
@@ -535,6 +560,20 @@ def q_serialize_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     opts = Options(fast=True, comments=False, with_metadata=True, **RELAXED)
     docs = synthesize_documents_df(spark, sf_dir)
     ex = extract_documents(docs, opts, serialize="xml")
+    return ex.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     "serialized")
+
+
+def q_serialize_tei(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stage TEI serialization (determineReturnString xmltei branch,
+    core.dart:25-49 + writeTeiTree/writeFullHeader
+    xml_utils.dart:598-813): full header field set (titleStmt,
+    publicationStmt, notesStmt fingerprint, sourceDesc sigle + biblFull,
+    profileDesc abstract, encodingDesc application block) plus the
+    checkTei body transform (body-level head → ab type=header)."""
+    opts = Options(fast=True, comments=False, with_metadata=True, **RELAXED)
+    docs = synthesize_documents_df(spark, sf_dir)
+    ex = extract_documents(docs, opts, serialize="xmltei")
     return ex.select(F.col("doc_id").cast("long").alias("doc_id"),
                      "serialized")
 
@@ -961,6 +1000,25 @@ SELECT DISTINCT
 FROM documents
 """
 
+_ORACLE_CRAWL_LINKS = """
+WITH p AS (
+    SELECT doc_id,
+           'https://' || source || '.example.com' AS base,
+           'https://' || source || '.example.com/a' || doc_id AS dir0
+    FROM documents
+)
+SELECT src, url FROM (
+    SELECT dir0 || '/index.html' AS src,
+           base || '/p/' || doc_id AS url FROM p
+    UNION ALL
+    SELECT dir0 || '/index.html',
+           dir0 || '/rel' || doc_id || '.html' FROM p
+    UNION ALL
+    SELECT dir0 || '/index.html',
+           base || '/pp/' || doc_id FROM p
+)
+"""
+
 _ORACLE_NAV_PRIORITY = """
 WITH urls AS (
     SELECT DISTINCT
@@ -1193,6 +1251,55 @@ FROM content c JOIN fp USING (doc_id) JOIN documents d ON d.doc_id = c.doc_id
 ORDER BY c.doc_id
 """
 
+_ORACLE_SERIALIZE_TEI = f"""
+WITH {_FINGERPRINT_CTE}
+SELECT c.doc_id,
+       '<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader><fileDesc>'
+       || '<titleStmt><title type="main">doc ' || c.doc_id || ' title</title>'
+       || '<author>Author ' || (c.doc_id % 7) || '</author></titleStmt>'
+       || '<publicationStmt><p/></publicationStmt>'
+       || '<notesStmt><note type="fingerprint">' || fp.fingerprint
+       || '</note></notesStmt><sourceDesc>'
+       || '<bibl>doc ' || c.doc_id || ' title, ' || s.sitename || ', '
+       || s.dt || '</bibl>'
+       || '<bibl type="sigle">' || s.sitename || ', ' || s.dt || '</bibl>'
+       || '<biblFull><titleStmt><title type="main">doc ' || c.doc_id
+       || ' title</title><author>Author ' || (c.doc_id % 7)
+       || '</author></titleStmt><publicationStmt>'
+       || '<publisher>' || s.sitename || ' (' || s.host || ')</publisher>'
+       || '<ptr type="URL" target="https://' || s.host || '/posts/'
+       || c.doc_id || '"/>'
+       || '<date>' || s.dt || '</date></publicationStmt></biblFull>'
+       || '</sourceDesc></fileDesc><profileDesc>'
+       || '<abstract><p>synthetic article ' || c.doc_id || '</p></abstract>'
+       || '<creation><date type="download"></date></creation></profileDesc>'
+       || '<encodingDesc><appInfo>'
+       || '<application version="0.1" ident="Trafilatura">'
+       || '<label>Trafilatura</label>'
+       || '<ptr target="https://github.com/adbar/trafilatura"/>'
+       || '</application></appInfo></encodingDesc></teiHeader>'
+       || '<text><body><div type="entry">'
+       || '<ab type="header">' || c.head || '</ab>'
+       || '<p>' || c.para1 || '</p>'
+       || CASE c.m WHEN 0 THEN ''
+              WHEN 1 THEN '<graphic src="m-' || c.doc_id
+                          || '-0" alt="figure 0"/>'
+              ELSE '<graphic src="m-' || c.doc_id || '-0" alt="figure 0"/>'
+                   || '<graphic src="m-' || c.doc_id
+                   || '-1" alt="figure 1"/>'
+          END
+       || '<p>' || c.para2 || '</p></div></body></text></TEI>'
+       AS serialized
+FROM content c JOIN fp USING (doc_id)
+JOIN (SELECT doc_id,
+             upper(substr(source, 1, 1)) || substr(source, 2) AS sitename,
+             source || '.example.com' AS host,
+             '2024-' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '-'
+             || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') AS dt
+      FROM documents) s ON s.doc_id = c.doc_id
+ORDER BY c.doc_id
+"""
+
 _ORACLE_DEFAULT_GATES = f"""
 WITH {_PARTS},
 elig AS (
@@ -1390,9 +1497,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery_feeds": q_discovery_feeds,
         "spider_robots": q_spider_robots,
         "spider_nav_priority": q_spider_nav_priority,
+        "crawl_links": q_crawl_links,
         "doc_fingerprint": q_doc_fingerprint,
         "serialize_csv": q_serialize_csv,
         "serialize_xml": q_serialize_xml,
+        "serialize_tei": q_serialize_tei,
         "extract_links_mode": q_extract_links_mode,
         "extract_formatting": q_extract_formatting,
         "extract_comments_off": q_extract_comments_off,
@@ -1436,9 +1545,11 @@ def oracle_sql() -> dict[str, str]:
         "discovery_feeds": _ORACLE_FEEDS,
         "spider_robots": _ORACLE_ROBOTS,
         "spider_nav_priority": _ORACLE_NAV_PRIORITY,
+        "crawl_links": _ORACLE_CRAWL_LINKS,
         "doc_fingerprint": _ORACLE_DOC_FINGERPRINT,
         "serialize_csv": _ORACLE_SERIALIZE_CSV,
         "serialize_xml": _ORACLE_SERIALIZE_XML,
+        "serialize_tei": _ORACLE_SERIALIZE_TEI,
         "extract_links_mode": _ORACLE_LINKS_MODE,
         "extract_formatting": _ORACLE_FORMATTING,
         # comments=False over a with-comments corpus must equal the plain

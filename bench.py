@@ -13,10 +13,12 @@ Scaling protocol (the north rule's two-cluster-size criterion, evidenced
 on one box — see BENCH.md): the same extraction job runs at local[N] and
 local[4N] over the same synthesized corpus, in THREE interleaved
 (lo, hi) sample windows; per probe we warm up, then take the best
-steady-state rate of 3 timed repetitions.  Efficiency is computed
-per paired window (so host-wide swings hit both levels of a pair) and
-the headline number is the best window, with all windows + median +
-spread reported for the variance bound.
+steady-state rate of 3 timed repetitions.  The headline efficiency is
+computed from the per-level MEDIAN rate across the three windows —
+robust to a single disturbed probe, while a host-wide swing still
+cancels because both levels' medians move together.  Per-window paired
+efficiencies (which cancel host-wide swings exactly but are fragile to
+single-probe noise) are reported alongside as the variance bound.
 
 During every lo-level probe, antagonist spinner processes keep the
 non-probe cores busy.  Rationale: this box boosts per-core clocks when
@@ -310,20 +312,27 @@ def main() -> None:
                         / (hi / lo), 3)})
         if windows:
             effs = sorted(w["efficiency"] for w in windows)
-            best = max(windows, key=lambda w: w["efficiency"])
+            med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+            # headline = per-level MEDIAN rate across windows: robust to a
+            # single disturbed probe (which per-window pairing is not — one
+            # slow lo probe yields a >1 "efficiency" for its window, one
+            # slow hi probe an understated one); a host-WIDE swing still
+            # cancels because both levels' medians move together
+            med_lo = med([w["docs_per_sec_lo"] for w in windows])
+            med_hi = med([w["docs_per_sec_hi"] for w in windows])
+            eff = round((med_hi / med_lo) / (hi / lo), 3)
             hw = _mp_control(lo, hi)
             scaling = {"cpus_lo": lo, "cpus_hi": hi,
-                       "docs_per_sec_lo": best["docs_per_sec_lo"],
-                       "docs_per_sec_hi": best["docs_per_sec_hi"],
-                       "efficiency": best["efficiency"],
-                       "efficiency_median": effs[len(effs) // 2],
-                       "efficiency_windows": [w["efficiency"]
-                                              for w in windows],
+                       "docs_per_sec_lo": med_lo,
+                       "docs_per_sec_hi": med_hi,
+                       "efficiency": eff,
+                       "efficiency_best_window": effs[-1],
+                       "efficiency_window_median": effs[len(effs) // 2],
+                       "efficiency_windows": windows,
                        "efficiency_spread": round(effs[-1] - effs[0], 3),
                        "hw_control_efficiency": hw,
                        "normalized_efficiency":
-                           round(min(best["efficiency"] / hw, 1.0), 3)
-                           if hw else None}
+                           round(min(eff / hw, 1.0), 3) if hw else None}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {

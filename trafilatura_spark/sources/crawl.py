@@ -32,8 +32,8 @@ from .spider import filter_robots, per_domain_quota, robots_rules_df
 _HREF_PAT = r"""<a\s[^>]*href=["']([^"'#]+)["']"""
 
 
-def _resolve_links(pages: DataFrame, html_col: str = "html",
-                   url_col: str = "url") -> DataFrame:
+def resolve_links(pages: DataFrame, html_col: str = "html",
+                  url_col: str = "url") -> DataFrame:
     """(url, html) → one row per absolute same-site link.
 
     JVM-side: regexp_extract_all lifts hrefs, parse_url supplies the
@@ -123,7 +123,7 @@ def crawl_site(spark: SparkSession, seeds: list[str],
         pages = hop_pages if pages is None else pages.unionByName(hop_pages)
         if hop == max_hops:
             break
-        links = _resolve_links(hop_pages.filter(F.col("html").isNotNull()))
+        links = resolve_links(hop_pages.filter(F.col("html").isNotNull()))
         frontier = filter_known(links.select("url").distinct(), visited)
         if frontier.isEmpty():
             break
