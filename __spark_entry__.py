@@ -578,6 +578,18 @@ def q_serialize_tei(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "serialized")
 
 
+def q_serialize_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stage HTML serialization (determineReturnString html branch +
+    buildHtmlOutput, htmlprocessing.dart:585-640): reverse tag
+    conversion (head rend=h1 → h1, graphic → img) inside a minimal
+    html/head/title/body document."""
+    opts = Options(fast=True, comments=False, with_metadata=True, **RELAXED)
+    docs = synthesize_documents_df(spark, sf_dir)
+    ex = extract_documents(docs, opts, serialize="html")
+    return ex.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     "serialized")
+
+
 def q_extract_default_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEFAULT-threshold behavior (no relaxed sizes): docs above
     min_extracted_size come out single-copy via the main pass; docs below
@@ -1300,6 +1312,23 @@ JOIN (SELECT doc_id,
 ORDER BY c.doc_id
 """
 
+_ORACLE_SERIALIZE_HTML = f"""
+WITH {_FINGERPRINT_CTE}
+SELECT c.doc_id,
+       '<html><head><title>doc ' || c.doc_id || ' title</title></head>'
+       || '<body><h1>' || c.head || '</h1>'
+       || '<p>' || c.para1 || '</p>'
+       || CASE c.m WHEN 0 THEN ''
+              WHEN 1 THEN '<img src="m-' || c.doc_id
+                          || '-0" alt="figure 0"/>'
+              ELSE '<img src="m-' || c.doc_id || '-0" alt="figure 0"/>'
+                   || '<img src="m-' || c.doc_id || '-1" alt="figure 1"/>'
+          END
+       || '<p>' || c.para2 || '</p></body></html>' AS serialized
+FROM content c
+ORDER BY c.doc_id
+"""
+
 _ORACLE_DEFAULT_GATES = f"""
 WITH {_PARTS},
 elig AS (
@@ -1502,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serialize_csv": q_serialize_csv,
         "serialize_xml": q_serialize_xml,
         "serialize_tei": q_serialize_tei,
+        "serialize_html": q_serialize_html,
         "extract_links_mode": q_extract_links_mode,
         "extract_formatting": q_extract_formatting,
         "extract_comments_off": q_extract_comments_off,
@@ -1550,6 +1580,7 @@ def oracle_sql() -> dict[str, str]:
         "serialize_csv": _ORACLE_SERIALIZE_CSV,
         "serialize_xml": _ORACLE_SERIALIZE_XML,
         "serialize_tei": _ORACLE_SERIALIZE_TEI,
+        "serialize_html": _ORACLE_SERIALIZE_HTML,
         "extract_links_mode": _ORACLE_LINKS_MODE,
         "extract_formatting": _ORACLE_FORMATTING,
         # comments=False over a with-comments corpus must equal the plain
