@@ -479,6 +479,37 @@ def q_crawl_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_links(pages).select("src", "url")
 
 
+def q_streaming_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming UrlStore frontier (cli_utils.dart:43-114 as
+    `applyInPandasWithState`, streaming/stateful.py): URL events with
+    by-construction duplicates (doc_id%40) stream through the
+    Bloom-seen-set dedup under an availableNow trigger; exactly one
+    occurrence per distinct (host, url) must come out accepted.  The
+    output multiset is order-independent (duplicates are identical
+    rows), so the hash compare is exact despite the streaming engine's
+    free batch ordering; the per-trigger politeness quota (100) never
+    binds at ≤40 distinct URLs per host."""
+    import tempfile
+
+    from trafilatura_spark.streaming.stateful import (URL_EVENT_SCHEMA,
+                                                      dedup_urls_stateful)
+    base = tempfile.mkdtemp(prefix="sg_frontier_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    events = docs.select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("https://"), "source", F.lit(".example.com/posts/"),
+                 (F.col("doc_id") % 40)).alias("url"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("event_time"))
+    events.coalesce(1).write.parquet(base + "/in")
+    stream = spark.readStream.schema(URL_EVENT_SCHEMA).parquet(base + "/in")
+    q = (dedup_urls_stateful(stream)
+         .writeStream.format("parquet").option("path", base + "/out")
+         .option("checkpointLocation", base + "/chk")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.read.parquet(base + "/out").select("host", "url", "accepted")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Charikar simhash fingerprint (deduplication.dart
     142-159 via content_fingerprint) — the Python token-hash simhash
@@ -1031,6 +1062,20 @@ SELECT src, url FROM (
 )
 """
 
+_ORACLE_STREAMING_FRONTIER = """
+WITH u AS (
+    SELECT source || '.example.com' AS host,
+           'https://' || source || '.example.com/posts/' || (doc_id % 40)
+           AS url
+    FROM documents
+),
+r AS (
+    SELECT host, url, row_number() OVER (PARTITION BY host, url) AS rn
+    FROM u
+)
+SELECT host, url, (rn = 1) AS accepted FROM r
+"""
+
 _ORACLE_NAV_PRIORITY = """
 WITH urls AS (
     SELECT DISTINCT
@@ -1527,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spider_robots": q_spider_robots,
         "spider_nav_priority": q_spider_nav_priority,
         "crawl_links": q_crawl_links,
+        "streaming_frontier": q_streaming_frontier,
         "doc_fingerprint": q_doc_fingerprint,
         "serialize_csv": q_serialize_csv,
         "serialize_xml": q_serialize_xml,
@@ -1576,6 +1622,7 @@ def oracle_sql() -> dict[str, str]:
         "spider_robots": _ORACLE_ROBOTS,
         "spider_nav_priority": _ORACLE_NAV_PRIORITY,
         "crawl_links": _ORACLE_CRAWL_LINKS,
+        "streaming_frontier": _ORACLE_STREAMING_FRONTIER,
         "doc_fingerprint": _ORACLE_DOC_FINGERPRINT,
         "serialize_csv": _ORACLE_SERIALIZE_CSV,
         "serialize_xml": _ORACLE_SERIALIZE_XML,
