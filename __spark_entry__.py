@@ -621,6 +621,28 @@ def q_serialize_html(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "serialized")
 
 
+def q_serialize_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stage txt serialization (determineReturnString txt branch,
+    core.dart:25-105): YAML-ish metadata front-matter block + xmltotxt
+    body rendering + trailing trim."""
+    opts = Options(fast=True, comments=False, with_metadata=True, **RELAXED)
+    docs = synthesize_documents_df(spark, sf_dir)
+    ex = extract_documents(docs, opts, serialize="txt")
+    return ex.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     "serialized")
+
+
+def q_serialize_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stage JSON serialization (buildJsonOutput,
+    xml_utils.dart:195-229): fixed key order, null id/license, empty
+    comments, rendered text with trailing newline inside the field."""
+    opts = Options(fast=True, comments=False, with_metadata=True, **RELAXED)
+    docs = synthesize_documents_df(spark, sf_dir)
+    ex = extract_documents(docs, opts, serialize="json")
+    return ex.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     "serialized")
+
+
 def q_extract_default_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEFAULT-threshold behavior (no relaxed sizes): docs above
     min_extracted_size come out single-copy via the main pass; docs below
@@ -1374,6 +1396,64 @@ FROM content c
 ORDER BY c.doc_id
 """
 
+_GRAPHIC_MD = """CASE c.m WHEN 0 THEN ''
+              WHEN 1 THEN '![figure 0](m-' || c.doc_id || '-0) '
+              ELSE '![figure 0](m-' || c.doc_id || '-0) ![figure 1](m-'
+                   || c.doc_id || '-1) '
+          END"""
+
+_ORACLE_SERIALIZE_TXT = f"""
+WITH {_FINGERPRINT_CTE}
+SELECT c.doc_id,
+       '---' || chr(10)
+       || 'title: doc ' || c.doc_id || ' title' || chr(10)
+       || 'author: Author ' || (c.doc_id % 7) || chr(10)
+       || 'url: https://' || s.host || '/posts/' || c.doc_id || chr(10)
+       || 'hostname: ' || s.host || chr(10)
+       || 'description: synthetic article ' || c.doc_id || chr(10)
+       || 'sitename: ' || s.sitename || chr(10)
+       || 'date: ' || s.dt || chr(10)
+       || 'fingerprint: ' || fp.fingerprint || chr(10)
+       || '---' || chr(10)
+       || c.head || chr(10) || c.para1 || chr(10)
+       || {_GRAPHIC_MD}
+       || c.para2 AS serialized
+FROM content c JOIN fp USING (doc_id)
+JOIN (SELECT doc_id,
+             upper(substr(source, 1, 1)) || substr(source, 2) AS sitename,
+             source || '.example.com' AS host,
+             '2024-' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '-'
+             || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') AS dt
+      FROM documents) s ON s.doc_id = c.doc_id
+ORDER BY c.doc_id
+"""
+
+_ORACLE_SERIALIZE_JSON = f"""
+WITH {_FINGERPRINT_CTE}
+SELECT c.doc_id,
+       '{{"title": "doc ' || c.doc_id || ' title", '
+       || '"author": "Author ' || (c.doc_id % 7) || '", '
+       || '"url": "https://' || s.host || '/posts/' || c.doc_id || '", '
+       || '"hostname": "' || s.host || '", '
+       || '"description": "synthetic article ' || c.doc_id || '", '
+       || '"sitename": "' || s.sitename || '", '
+       || '"date": "' || s.dt || '", '
+       || '"categories": [], "tags": [], '
+       || '"fingerprint": "' || fp.fingerprint || '", '
+       || '"id": null, "license": null, "comments": "", '
+       || '"text": "' || c.head || '\\n' || c.para1 || '\\n'
+       || {_GRAPHIC_MD}
+       || c.para2 || '\\n"}}' AS serialized
+FROM content c JOIN fp USING (doc_id)
+JOIN (SELECT doc_id,
+             upper(substr(source, 1, 1)) || substr(source, 2) AS sitename,
+             source || '.example.com' AS host,
+             '2024-' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '-'
+             || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') AS dt
+      FROM documents) s ON s.doc_id = c.doc_id
+ORDER BY c.doc_id
+"""
+
 _ORACLE_DEFAULT_GATES = f"""
 WITH {_PARTS},
 elig AS (
@@ -1578,6 +1658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serialize_xml": q_serialize_xml,
         "serialize_tei": q_serialize_tei,
         "serialize_html": q_serialize_html,
+        "serialize_txt": q_serialize_txt,
+        "serialize_json": q_serialize_json,
         "extract_links_mode": q_extract_links_mode,
         "extract_formatting": q_extract_formatting,
         "extract_comments_off": q_extract_comments_off,
@@ -1628,6 +1710,8 @@ def oracle_sql() -> dict[str, str]:
         "serialize_xml": _ORACLE_SERIALIZE_XML,
         "serialize_tei": _ORACLE_SERIALIZE_TEI,
         "serialize_html": _ORACLE_SERIALIZE_HTML,
+        "serialize_txt": _ORACLE_SERIALIZE_TXT,
+        "serialize_json": _ORACLE_SERIALIZE_JSON,
         "extract_links_mode": _ORACLE_LINKS_MODE,
         "extract_formatting": _ORACLE_FORMATTING,
         # comments=False over a with-comments corpus must equal the plain
