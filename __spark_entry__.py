@@ -621,6 +621,19 @@ def q_serialize_html(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "serialized")
 
 
+def q_extract_dedup_option(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction-path duplicate filter (dedup=True — duplicateTest,
+    deduplication.dart:335-349 via core.dart:304 +
+    htmlprocessing.dart:335,375): the fixture repeats one
+    >min_duplcheck_size paragraph 5 times; count-before-increment keeps
+    the first max_repetitions+1 (=3) occurrences and prunes the rest
+    before span emission."""
+    opts = Options(fast=True, comments=False, with_metadata=True,
+                   dedup=True, **RELAXED)
+    docs = synthesize_documents_df(spark, sf_dir, template="dedupopt")
+    return _spans_flat(extract_documents(docs, opts))
+
+
 def q_serialize_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-stage txt serialization (determineReturnString txt branch,
     core.dart:25-105): YAML-ish metadata front-matter block + xmltotxt
@@ -1276,6 +1289,23 @@ SELECT * FROM (
 ) ORDER BY doc_id, "offset"
 """
 
+_ORACLE_DEDUP_OPTION = f"""
+WITH {_PARTS},
+dup AS (
+    SELECT doc_id, trim(repeat('dup' || doc_id || ' ', 25)) AS p
+    FROM documents
+)
+SELECT * FROM (
+    SELECT d.doc_id, 0::BIGINT AS "offset", 'head' AS kind, d.head AS text,
+           '' AS media_ref FROM derived d
+    UNION ALL
+    SELECT u.doc_id, g.i::BIGINT, 'p', u.p, ''
+    FROM dup u, LATERAL (SELECT unnest(generate_series(1, 3)) AS i) g
+    UNION ALL
+    SELECT d.doc_id, 4::BIGINT, 'p', d.para2, '' FROM derived d
+) ORDER BY doc_id, "offset"
+"""
+
 _ORACLE_GATE_BOUNDARIES = """
 WITH pay AS (
     SELECT doc_id, doc_id % 8 AS r,
@@ -1665,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_comments_off": q_extract_comments_off,
         "extract_no_images": q_extract_no_images,
         "extract_gate_boundaries": q_extract_gate_boundaries,
+        "extract_dedup_option": q_extract_dedup_option,
         "extract_default_gates": q_extract_default_gates,
         "extract_precision": q_extract_precision,
         "extract_recall": q_extract_recall,
@@ -1719,6 +1750,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_comments_off": _ORACLE_EXTRACT_SPANS,
         "extract_no_images": _ORACLE_NO_IMAGES,
         "extract_gate_boundaries": _ORACLE_GATE_BOUNDARIES,
+        "extract_dedup_option": _ORACLE_DEDUP_OPTION,
         "extract_default_gates": _ORACLE_DEFAULT_GATES,
         "extract_precision": _ORACLE_EXTRACT_SPANS,
         "extract_recall": _ORACLE_EXTRACT_SPANS,

@@ -216,6 +216,20 @@ def build_input_spans(doc_id: int, text: str, lang: str, source: str,
             )
         return spans
 
+    if template == "dedupopt":
+        # option-matrix family (dedup=True, deduplication.dart:335-349
+        # duplicateTest): the same >min_duplcheck_size paragraph appears
+        # 5 times; count-before-increment keeps the first
+        # max_repetitions+1 (=3) occurrences and drops the rest
+        dup = (f"dup{doc_id} " * 25).strip()
+        html(
+            f'<!DOCTYPE html><html lang="{lang}">{_head_section(doc_id, lang, source)}'
+            f'<body>{_NAV}<div class="post-content"><h1>{head}</h1>'
+            + f"<p>{dup}</p>" * 5
+            + f"<p>{para2}</p></div>{_FOOTER}</body></html>"
+        )
+        return spans
+
     if template == "links":
         # option-matrix family (links=True): para1 carries one inline
         # anchor; expected span text appends ' [more {id}](https://r.
