@@ -634,6 +634,54 @@ def q_extract_dedup_option(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spans_flat(extract_documents(docs, opts))
 
 
+def q_extract_url_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-blacklist gate (core.dart:163-199 urlBlacklist): docs whose
+    canonical metadata URL is in the user blacklist (every doc_id%5==0)
+    come out rejected/tier none before any extraction work; the
+    blacklist is a driver-side config set, the reference's semantics —
+    corpus-scale blacklists use the relational anti-join
+    (discovery.filter_known) instead."""
+    opts_rows = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                 .filter(F.col("doc_id") % 5 == 0)
+                 .select("doc_id", "source").collect())
+    blacklist = frozenset(
+        f"https://{r['source']}.example.com/posts/{r['doc_id']}"
+        for r in opts_rows)
+    opts = Options(fast=True, comments=False, with_metadata=True,
+                   url_blacklist=blacklist, **RELAXED)
+    docs = synthesize_documents_df(spark, sf_dir)
+    ex = extract_documents(docs, opts)
+    return ex.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     "status", "tier")
+
+
+def q_extract_only_with_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """onlyWithMetadata gate (core.dart:163-199): odd docs ship a bare
+    <title>-only head — title is recoverable but date and canonical URL
+    are not, so the gate (requires date AND title AND url) must reject
+    them; even docs keep the full metadata head and extract normally."""
+    opts = Options(fast=True, comments=False, with_metadata=True,
+                   only_with_metadata=True, **RELAXED)
+    docs = synthesize_documents_df(spark, sf_dir, template="nometa")
+    ex = extract_documents(docs, opts)
+    return ex.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     "status", "tier")
+
+
+def q_extract_max_tree_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maxTreeSize guard with the strip-hi second chance
+    (core.dart:285-296): doc_id%3 rotates output trees of 3 / 11 / 25
+    elements around max_tree_size=10 — the 11-element tree passes only
+    because stripping <hi> brings it to 3; the 25-element tree stays at
+    13 after the strip and must be rejected."""
+    opts = Options(fast=True, comments=False, with_metadata=True,
+                   formatting=True, max_tree_size=10, **RELAXED)
+    docs = synthesize_documents_df(spark, sf_dir, template="treesize")
+    ex = extract_documents(docs, opts)
+    return ex.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     "status", "tier")
+
+
 def q_serialize_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-stage txt serialization (determineReturnString txt branch,
     core.dart:25-105): YAML-ish metadata front-matter block + xmltotxt
@@ -1426,6 +1474,27 @@ FROM content c
 ORDER BY c.doc_id
 """
 
+_ORACLE_URL_BLACKLIST = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN 'rejected' ELSE 'ok' END AS status,
+       CASE WHEN doc_id % 5 = 0 THEN 'none' ELSE 'main' END AS tier
+FROM documents ORDER BY doc_id
+"""
+
+_ORACLE_ONLY_WITH_METADATA = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 1 THEN 'rejected' ELSE 'ok' END AS status,
+       CASE WHEN doc_id % 2 = 1 THEN 'none' ELSE 'main' END AS tier
+FROM documents ORDER BY doc_id
+"""
+
+_ORACLE_MAX_TREE_SIZE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 2 THEN 'rejected' ELSE 'ok' END AS status,
+       CASE WHEN doc_id % 3 = 2 THEN 'none' ELSE 'main' END AS tier
+FROM documents ORDER BY doc_id
+"""
+
 _GRAPHIC_MD = """CASE c.m WHEN 0 THEN ''
               WHEN 1 THEN '![figure 0](m-' || c.doc_id || '-0) '
               ELSE '![figure 0](m-' || c.doc_id || '-0) ![figure 1](m-'
@@ -1696,6 +1765,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_no_images": q_extract_no_images,
         "extract_gate_boundaries": q_extract_gate_boundaries,
         "extract_dedup_option": q_extract_dedup_option,
+        "extract_url_blacklist": q_extract_url_blacklist,
+        "extract_only_with_metadata": q_extract_only_with_metadata,
+        "extract_max_tree_size": q_extract_max_tree_size,
         "extract_default_gates": q_extract_default_gates,
         "extract_precision": q_extract_precision,
         "extract_recall": q_extract_recall,
@@ -1751,6 +1823,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_no_images": _ORACLE_NO_IMAGES,
         "extract_gate_boundaries": _ORACLE_GATE_BOUNDARIES,
         "extract_dedup_option": _ORACLE_DEDUP_OPTION,
+        "extract_url_blacklist": _ORACLE_URL_BLACKLIST,
+        "extract_only_with_metadata": _ORACLE_ONLY_WITH_METADATA,
+        "extract_max_tree_size": _ORACLE_MAX_TREE_SIZE,
         "extract_default_gates": _ORACLE_DEFAULT_GATES,
         "extract_precision": _ORACLE_EXTRACT_SPANS,
         "extract_recall": _ORACLE_EXTRACT_SPANS,

@@ -230,6 +230,51 @@ def build_input_spans(doc_id: int, text: str, lang: str, source: str,
         )
         return spans
 
+    if template == "nometa":
+        # option-matrix family (onlyWithMetadata, core.dart:163-199):
+        # odd docs carry a bare <title> head — a title is still
+        # recoverable but date and canonical URL are not, so the
+        # only_with_metadata gate must reject them; even docs keep the
+        # full metadata head and pass
+        if doc_id % 2 == 1:
+            head_sec = f"<head><title>doc {doc_id} title</title></head>"
+        else:
+            head_sec = _head_section(doc_id, lang, source)
+        html(
+            f'<!DOCTYPE html><html lang="{lang}">{head_sec}'
+            f'<body>{_NAV}<div class="post-content"><h1>{head}</h1>'
+            f"<p>{para1}</p><p>{para2}</p></div>{_FOOTER}</body></html>"
+        )
+        return spans
+
+    if template == "treesize":
+        # option-matrix family (maxTreeSize, core.dart:285-296): doc_id%3
+        # rotates output-tree shapes around max_tree_size=10 —
+        #   r0: h1 + 2 plain <p>                  ->  3 elems, pass
+        #   r1: h1 + 2 <p> each with 2 <b>        -> 11 elems, pass only
+        #       after the strip-hi second chance  ->  3
+        #   r2: h1 + 12 <p> each with 1 <b>       -> 25 elems, still 13
+        #       after strip-hi                    -> rejected
+        r = doc_id % 3
+        if r == 0:
+            body = f"<p>{para1}</p><p>{para2}</p>"
+        elif r == 1:
+            body = "".join(
+                f"<p><b>bold{j}</b> marker <b>extra{j}</b> "
+                f"branch {j} of tree {doc_id} keeps growing steadily</p>"
+                for j in range(2))
+        else:
+            body = "".join(
+                f"<p><b>bold{j}</b> "
+                f"branch {j} of tree {doc_id} keeps growing steadily</p>"
+                for j in range(12))
+        html(
+            f'<!DOCTYPE html><html lang="{lang}">{_head_section(doc_id, lang, source)}'
+            f'<body>{_NAV}<div class="post-content"><h1>{head}</h1>'
+            f"{body}</div>{_FOOTER}</body></html>"
+        )
+        return spans
+
     if template == "links":
         # option-matrix family (links=True): para1 carries one inline
         # anchor; expected span text appends ' [more {id}](https://r.
