@@ -120,3 +120,16 @@ def test_crawl_and_extract(spark):
     # extraction drops the nav links from the article pages
     assert not any(s["text"] == "secret"
                    for s in rows["https://a.test/"]["spans"])
+
+
+def test_resolve_links_plan_is_jvm_side(spark):
+    """Link lifting + resolution is pure relational work: no Python
+    evaluation (BatchEvalPython / MapInPandas) may appear in the plan —
+    at crawl scale the href scan must stay inside codegen."""
+    from trafilatura_spark.sources.crawl import resolve_links
+    pages = spark.createDataFrame(
+        [("https://a.test/x/", '<a href="/p">l</a>')], "url string, html string")
+    plan = (resolve_links(pages)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan, plan
+    assert "MapInPandas" not in plan, plan
