@@ -567,6 +567,24 @@ def q_extract_no_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spans_flat(extract_documents(docs, opts))
 
 
+def q_extract_prune_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Option matrix — prune_xpath (core.dart:232-244 pruneXpath; upstream
+    trafilatura's XPath dialect translated by dom.xpath_to_css): the
+    corpus injects a prunable block between para1 and para2 whose shape
+    rotates by doc_id % 3, each removed by a DIFFERENT expression
+    feature — exact @class match, contains(@id, ..), and attribute
+    presence.  Pruned output must equal the plain head/para1/para2
+    table (same oracle as images=False); an unpruned run would carry an
+    extra 'p' span per doc and hash-mismatch."""
+    opts = Options(fast=True, comments=False, with_metadata=True,
+                   prune_patterns=('//div[@class="recipe-box"]',
+                                   '//*[contains(@id, "extra-note")]',
+                                   '//div[@data-zone]'),
+                   **RELAXED)
+    docs = synthesize_documents_df(spark, sf_dir, template="prunex")
+    return _spans_flat(extract_documents(docs, opts))
+
+
 def q_extract_gate_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STOCK size gates probed exactly at the boundaries, ±1 char, with NO
     eligibility carve-outs (core.dart:299-301 + main_extractor.dart:612-629
@@ -1763,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_formatting": q_extract_formatting,
         "extract_comments_off": q_extract_comments_off,
         "extract_no_images": q_extract_no_images,
+        "extract_prune_xpath": q_extract_prune_xpath,
         "extract_gate_boundaries": q_extract_gate_boundaries,
         "extract_dedup_option": q_extract_dedup_option,
         "extract_url_blacklist": q_extract_url_blacklist,
@@ -1821,6 +1840,9 @@ def oracle_sql() -> dict[str, str]:
         # body span table; images=False additionally drops graphic rows
         "extract_comments_off": _ORACLE_EXTRACT_SPANS,
         "extract_no_images": _ORACLE_NO_IMAGES,
+        # prune_xpath drops exactly the injected block -> same expected
+        # head/para1/para2 table as the images=False family
+        "extract_prune_xpath": _ORACLE_NO_IMAGES,
         "extract_gate_boundaries": _ORACLE_GATE_BOUNDARIES,
         "extract_dedup_option": _ORACLE_DEDUP_OPTION,
         "extract_url_blacklist": _ORACLE_URL_BLACKLIST,

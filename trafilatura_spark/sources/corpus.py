@@ -304,6 +304,30 @@ def build_input_spans(doc_id: int, text: str, lang: str, source: str,
         )
         return spans
 
+    if template == "prunex":
+        # option-matrix family (pruneXpath, core.dart:232-244 + upstream
+        # trafilatura's prune_xpath XPath dialect via dom.xpath_to_css):
+        # a prunable block sits between para1 and para2 whose shape
+        # rotates by doc_id % 3 — exact-class, contains()-id and
+        # attribute-presence expressions each get exercised.  With the
+        # matching prune_patterns the block (and nothing else) vanishes;
+        # without them it would surface as an extra 'p' span.
+        pt = (f"prunable insert for doc {doc_id} that would otherwise "
+              f"join the article body text")
+        blocks = (
+            f'<div class="recipe-box"><p>{pt}</p></div>',
+            f'<div id="extra-note-{doc_id}"><p>{pt}</p></div>',
+            f'<div data-zone="rail-{doc_id}"><p>{pt}</p></div>',
+        )
+        op, cl = _CONTAINERS[doc_id % 4]
+        html(
+            f'<!DOCTYPE html><html lang="{lang}">{_head_section(doc_id, lang, source)}'
+            f"<body>{_NAV}{op}<h1>{head}</h1><p>{para1}</p>"
+            f"{blocks[doc_id % 3]}"
+            f"<p>{para2}</p>{cl}{_FOOTER}</body></html>"
+        )
+        return spans
+
     if template == "bare":
         html(
             f'<!DOCTYPE html><html lang="{lang}">{_head_section(doc_id, lang, source)}'
