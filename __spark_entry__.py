@@ -461,7 +461,10 @@ def q_crawl_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, bare relative, protocol-relative, off-site absolute, mailto,
     fragment — and the operator must resolve the first three against the
     page URL (JVM-side regexp + parse_url) and drop the rest
-    (focused-crawler same-site gate)."""
+    (focused-crawler same-site gate).  A parent-relative ``../up{id}``
+    link additionally pins the RFC 3986 dot-segment collapse
+    (_normalize_dot_segments): it must resolve to the host root, the
+    same URL a direct '/up{id}' href would produce."""
     from trafilatura_spark.sources.crawl import resolve_links
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = docs.select(
@@ -474,6 +477,7 @@ def q_crawl_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.lit("'>l</a>"),
             F.lit('<a href="https://offsite.example.net/x'), "doc_id",
             F.lit('">l</a>'),
+            F.lit('<a href="../up'), "doc_id", F.lit('.html">u</a>'),
             F.lit('<a href="mailto:a@b.c">m</a><a href="#top">t</a>'),
             F.lit("</body></html>")).alias("html"))
     return resolve_links(pages).select("src", "url")
@@ -1160,6 +1164,11 @@ SELECT src, url FROM (
     UNION ALL
     SELECT dir0 || '/index.html',
            base || '/pp/' || doc_id FROM p
+    UNION ALL
+    -- ../up{id}.html against dir https://host/a{id}/ collapses to the
+    -- host root (RFC 3986 dot-segment removal)
+    SELECT dir0 || '/index.html',
+           base || '/up' || doc_id || '.html' FROM p
 )
 """
 

@@ -122,6 +122,31 @@ def test_crawl_and_extract(spark):
                    for s in rows["https://a.test/"]["spans"])
 
 
+def test_resolve_links_normalizes_dot_segments(spark):
+    """RFC 3986 dot-segment removal: ../ and ./ links must resolve to
+    the same frontier URL as their direct forms (else duplicate fetches
+    at crawl scale); the scheme's // must never be eaten; a root-level
+    ../ stays unresolved rather than corrupting the host."""
+    from trafilatura_spark.sources.crawl import resolve_links
+    html = ('<a href="../up.html">u</a>'
+            '<a href="./same.html">s</a>'
+            '<a href="a/b/../../deep.html">d</a>'
+            '<a href="/x/y/../z.html">z</a>')
+    pages = spark.createDataFrame(
+        [("https://h.test/d1/d2/page.html", html),
+         ("https://h.test/", '<a href="../root.html">r</a>')],
+        "url string, html string")
+    got = {r["url"] for r in resolve_links(pages).collect()}
+    assert got == {
+        "https://h.test/d1/up.html",
+        "https://h.test/d1/d2/same.html",
+        "https://h.test/d1/d2/deep.html",
+        "https://h.test/x/z.html",
+        # parent-of-root: conservatively left as-is (host survives)
+        "https://h.test/../root.html",
+    }, got
+
+
 def test_resolve_links_plan_is_jvm_side(spark):
     """Link lifting + resolution is pure relational work: no Python
     evaluation (BatchEvalPython / MapInPandas) may appear in the plan —

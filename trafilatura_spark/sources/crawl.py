@@ -32,6 +32,23 @@ from .spider import filter_robots, per_domain_quota, robots_rules_df
 _HREF_PAT = r"""<a\s[^>]*href=["']([^"'#]+)["']"""
 
 
+def _normalize_dot_segments(col):
+    """Collapse ``/./`` and ``/seg/../`` in a URL column (RFC 3986 §5.2.4
+    as bounded JVM regex passes — no Python eval).  Without this,
+    ``a/b/../x`` and ``a/x`` count as distinct frontier URLs and get
+    fetched twice.  The lookbehind keeps the scheme's ``//`` intact
+    (``https://h/../x`` stays unresolved rather than eating the host);
+    4 passes resolve nesting to depth 4 — deeper chains (vanishingly
+    rare in real hrefs) just stay un-collapsed and still fetch
+    correctly, they only lose the dedup.  Segments starting with ``.``
+    (e.g. ``/.well-known/``) are conservatively never collapsed."""
+    for _ in range(2):
+        col = F.regexp_replace(col, r"(?<=[^:/])/\./", "/")
+    for _ in range(4):
+        col = F.regexp_replace(col, r"(?<=[^:/])/[^/.][^/]*/\.\./", "/")
+    return col
+
+
 def resolve_links(pages: DataFrame, html_col: str = "html",
                   url_col: str = "url") -> DataFrame:
     """(url, html) → one row per absolute same-site link.
@@ -60,7 +77,7 @@ def resolve_links(pages: DataFrame, html_col: str = "html",
               F.concat(F.col("_base"), F.col("_l"))) \
         .when(F.col("_l").rlike("^[a-zA-Z]+:"), F.lit(None)) \
         .otherwise(F.concat(F.col("_dir"), F.col("_l")))
-    return (raw.withColumn("url", resolved)
+    return (raw.withColumn("url", _normalize_dot_segments(resolved))
             .filter(F.col("url").isNotNull())
             .filter(F.parse_url(F.col("url"), F.lit("HOST")) == F.col("_host"))
             .select("src", "url").distinct())
