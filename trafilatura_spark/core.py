@@ -143,10 +143,11 @@ def _prune_duplicate_elements(bodies: list[Node], options: Options) -> None:
 
 
 def trafilatura_sequence(converted_tree: Node, cleaned_backup: Node,
-                         raw_body: Node, options: Options
-                         ) -> tuple[Node, str, int, str]:
+                         raw_body: Node, options: Options,
+                         backup_factory=None) -> tuple[Node, str, int, str]:
     """Main cascade with fallbacks (core.dart:108-142)."""
-    postbody, temp_text, len_text = extract_content(converted_tree, options)
+    postbody, temp_text, len_text = extract_content(converted_tree, options,
+                                                    backup_factory)
     tier = "main"
     if not options.fast:
         # cleaned_backup is consumed here (it has no later reader), so it
@@ -224,12 +225,12 @@ def bare_extraction(filecontent: str, options: Options | None = None,
                                  + elem.attrs.get("id", "")).lower()
                         if elem.parent is not None and pattern in ident:
                             elem.drop_tree()
+        conv_url = options.url or (meta or {}).get("url")
         cleaned = tree_cleaning(working_body.copy(), options)
         # the backup feeds compare_extraction only — skip the full-tree
         # copy in fast mode (the bench/oracle hot path)
         cleaned_backup = cleaned.copy() if not options.fast else cleaned
-        converted = convert_tags(cleaned, options,
-                                 url=options.url or (meta or {}).get("url"))
+        converted = convert_tags(cleaned, options, url=conv_url)
 
         if options.comments:
             commentsbody, temp_comments, len_comments, converted = \
@@ -242,8 +243,25 @@ def bare_extraction(filecontent: str, options: Options | None = None,
                 if elem.parent is not None:
                     elem.drop_tree()
 
+        def rebuild_converted() -> Node:
+            # deterministic replay of the cleaning→conversion→comment-
+            # removal steps above from the pristine working_body: the
+            # wild-text second chance (extract_content) calls this ONLY
+            # when the main pass comes up short, replacing the
+            # every-document backup copy with an on-miss rebuild
+            c = convert_tags(tree_cleaning(working_body.copy(), options),
+                             options, url=conv_url)
+            if options.comments:
+                c = extract_comments(c, options)[3]
+            if options.focus == "precision":
+                for elem in select_comment_elements(c):
+                    if elem.parent is not None:
+                        elem.drop_tree()
+            return c
+
         postbody, temp_text, len_text, tier = trafilatura_sequence(
-            converted, cleaned_backup, working_body, options)
+            converted, cleaned_backup, working_body, options,
+            backup_factory=rebuild_converted)
 
         # tree size guard (core.dart:285-296)
         if options.max_tree_size is not None:

@@ -376,11 +376,19 @@ def recover_wild_text(tree: Node, result_body: Node, options: Options, potential
     return result_body
 
 
-def extract_content(cleaned_tree: Node, options: Options) -> tuple[Node, str, int]:
-    """Cascade entry (main_extractor.dart:612-629)."""
-    backup_tree = cleaned_tree.copy()
+def extract_content(cleaned_tree: Node, options: Options,
+                    backup_factory=None) -> tuple[Node, str, int]:
+    """Cascade entry (main_extractor.dart:612-629).
+
+    ``backup_factory``, when given, rebuilds the pre-extraction tree on
+    demand for the wild-text second chance — the common success path
+    then skips the per-document full-tree copy entirely (recovery fires
+    only on short extractions, so the rebuild amortizes to ~0)."""
+    backup_tree = cleaned_tree.copy() if backup_factory is None else None
     result_body, temp_text, potential_tags = _extract(cleaned_tree, options)
     if not result_body.children or len(temp_text) < options.min_extracted_size:
+        if backup_tree is None:
+            backup_tree = backup_factory()
         result_body = recover_wild_text(backup_tree, result_body, options, potential_tags)
         temp_text = trim(result_body.text_content())
     strip_elements(result_body, "done")
