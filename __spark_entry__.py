@@ -464,7 +464,8 @@ def q_crawl_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     (focused-crawler same-site gate).  A parent-relative ``../up{id}``
     link additionally pins the RFC 3986 dot-segment collapse
     (_normalize_dot_segments): it must resolve to the host root, the
-    same URL a direct '/up{id}' href would produce."""
+    same URL a direct '/up{id}' href would produce; a ``/frag{id}#sec``
+    link pins fragment stripping (path kept, fragment dropped)."""
     from trafilatura_spark.sources.crawl import resolve_links
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = docs.select(
@@ -478,6 +479,7 @@ def q_crawl_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit('<a href="https://offsite.example.net/x'), "doc_id",
             F.lit('">l</a>'),
             F.lit('<a href="../up'), "doc_id", F.lit('.html">u</a>'),
+            F.lit('<a href="/frag'), "doc_id", F.lit('#sec">f</a>'),
             F.lit('<a href="mailto:a@b.c">m</a><a href="#top">t</a>'),
             F.lit("</body></html>")).alias("html"))
     return resolve_links(pages).select("src", "url")
@@ -1169,6 +1171,10 @@ SELECT src, url FROM (
     -- host root (RFC 3986 dot-segment removal)
     SELECT dir0 || '/index.html',
            base || '/up' || doc_id || '.html' FROM p
+    UNION ALL
+    -- /frag{id}#sec keeps the path with the fragment stripped
+    SELECT dir0 || '/index.html',
+           base || '/frag' || doc_id FROM p
 )
 """
 

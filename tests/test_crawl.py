@@ -147,6 +147,25 @@ def test_resolve_links_normalizes_dot_segments(spark):
     }, got
 
 
+def test_resolve_links_rootless_page_and_fragments(spark):
+    """Two regression cases: (a) a path-less page URL is its own
+    directory — bare-relative links on 'https://h.test' must resolve
+    under the host, not corrupt into 'https://news.html'; (b) a
+    path+fragment href keeps the path with the fragment stripped, while
+    pure-fragment links are dropped."""
+    from trafilatura_spark.sources.crawl import resolve_links
+    pages = spark.createDataFrame(
+        [("https://h.test",
+          '<a href="news.html">n</a><a href="/about#team">a</a>'
+          '<a href="#top">t</a>')],
+        "url string, html string")
+    got = {r["url"] for r in resolve_links(pages).collect()}
+    assert got == {
+        "https://h.test/news.html",
+        "https://h.test/about",
+    }, got
+
+
 def test_resolve_links_plan_is_jvm_side(spark):
     """Link lifting + resolution is pure relational work: no Python
     evaluation (BatchEvalPython / MapInPandas) may appear in the plan —

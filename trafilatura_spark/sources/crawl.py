@@ -29,7 +29,7 @@ from .downloads import default_transport, fetch_binary_documents
 from .spider import filter_robots, per_domain_quota, robots_rules_df
 
 # href scrape (spider.dart:405-426 processLinks link lifting; quote-agnostic)
-_HREF_PAT = r"""<a\s[^>]*href=["']([^"'#]+)["']"""
+_HREF_PAT = r"""<a\s[^>]*href=["']([^"']+)["']"""
 
 
 def _normalize_dot_segments(col):
@@ -63,13 +63,25 @@ def resolve_links(pages: DataFrame, html_col: str = "html",
                         F.lit("https"))
     host = F.parse_url(F.col(url_col), F.lit("HOST"))
     base = F.concat(scheme, F.lit("://"), host)
-    # page directory for bare-relative links: strip after the last '/'
-    page_dir = F.regexp_replace(F.col(url_col), r"[^/]*$", "")
+    # page directory for bare-relative links: strip after the last path
+    # '/'; a path-less page URL ('https://example.com') IS its own
+    # directory after a trailing '/' (RFC 3986 §5.2.3 merge) — blindly
+    # stripping [^/]*$ there would eat the host and corrupt every
+    # bare-relative link on no-trailing-slash seeds
+    page_dir = F.when(F.col(url_col).rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*$"),
+                      F.concat(F.col(url_col), F.lit("/"))) \
+        .otherwise(F.regexp_replace(F.col(url_col), r"[^/]*$", ""))
+    # fragment-stripped hrefs (processLinks semantics: '/about#team'
+    # targets '/about'); pure-fragment links reduce to '' and are
+    # dropped.  The strip rides inside the array transform so explode
+    # stays a top-level generator.
+    hrefs = F.transform(
+        F.regexp_extract_all(F.col(html_col), F.lit(_HREF_PAT), 1),
+        lambda x: F.regexp_replace(x, "#.*$", ""))
     raw = pages.select(
         F.col(url_col).alias("src"), base.alias("_base"),
         page_dir.alias("_dir"), host.alias("_host"),
-        F.explode(F.regexp_extract_all(F.col(html_col), F.lit(_HREF_PAT), 1)
-                  ).alias("_l"))
+        F.explode(hrefs).alias("_l")).filter(F.col("_l") != "")
     resolved = F.when(F.col("_l").rlike("^https?://"), F.col("_l")) \
         .when(F.col("_l").startswith("//"),
               F.concat(F.lit("https:"), F.col("_l"))) \
