@@ -80,3 +80,31 @@ def test_fetch_binary_documents_spark(spark):
                                  partitions=3).collect()
     assert len(out) == 9
     assert all(r["status"] == 200 and bytes(r["content"]) == PAGE for r in out)
+
+
+def test_fetch_politeness_enforces_per_host_interval(spark):
+    """With SLEEP_TIME set, same-host requests must be spaced by at
+    least the interval even when the partition interleaves hosts —
+    the limiter tracks per-host last-request times, not just the
+    previous row's host — and politeness forces the host repartition
+    so one host never fans out across tasks."""
+    import time
+
+    def stamping_transport(method, url, headers, timeout):
+        return 200, {}, f"{time.monotonic():.4f}".encode()
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 2}.test/p{i}",) for i in range(6)], ["url"])
+    fetched = fetch_binary_documents(
+        urls, transport=stamping_transport, config={"SLEEP_TIME": 0.3})
+    plan = fetched._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan, plan  # host repartition is forced
+    rows = fetched.collect()
+    by_host: dict = {}
+    for r in rows:
+        host = r["url"].split("/")[2]
+        by_host.setdefault(host, []).append(float(bytes(r["content"])))
+    for host, ts in by_host.items():
+        ts.sort()
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        assert all(g >= 0.28 for g in gaps), (host, gaps)

@@ -158,9 +158,11 @@ def fetch_binary_documents(urls_df, url_col: str = "url",
                            partitions: int | None = None):
     """(url) → (url, status, content) via an Arrow-batched stage.
 
-    Repartitions by host so each task serializes its requests per domain
+    When politeness is on (config SLEEP_TIME > 0) or the caller sizes
+    ``partitions``, the input is repartitioned by host so each task owns
+    its hosts and a per-host interval limiter serializes their requests
     (politeness analog of the reference's per-domain round-robin,
-    cli_utils.dart:379-406)."""
+    cli_utils.dart:379-406); otherwise the stage stays shuffle-free."""
     from pyspark.sql import functions as F, types as T
 
     schema = T.StructType([
@@ -169,31 +171,38 @@ def fetch_binary_documents(urls_df, url_col: str = "url",
         T.StructField("content", T.BinaryType(), True),
     ])
 
+    # politeness: the reference sleeps between consecutive fetches of one
+    # domain (cli_utils.dart:379-406 rate limiting).  That only holds if
+    # (a) every URL of a host lands in ONE task — so politeness forces
+    # the host repartition even when the caller didn't size it — and
+    # (b) the in-task limiter tracks per-host last-request TIMES (hash
+    # partitioning interleaves hosts within a task, so a same-host-as-
+    # previous-row check never fires on [a,b,a,b] sequences)
+    sleep_time = float((config or {}).get("SLEEP_TIME", 0))
+
     df = urls_df
     if partitions:
         df = df.repartition(partitions,
                             F.parse_url(F.col(url_col), F.lit("HOST")))
-
-    # politeness: the reference sleeps between consecutive fetches of one
-    # domain (cli_utils.dart:379-406 rate limiting); with host-partitioned
-    # input each task owns its hosts, so an in-task sleep between
-    # same-host requests is the faithful batch analog
-    sleep_time = float((config or {}).get("SLEEP_TIME", 0))
+    elif sleep_time > 0:
+        df = df.repartition(F.parse_url(F.col(url_col), F.lit("HOST")))
 
     def batches(it):
         import time as _time
         from urllib.parse import urlparse
 
         import pandas as pd
-        last_host = None
+        last_req: dict = {}      # host -> monotonic time of last request
         for pdf in it:
             rows = []
             for url in pdf[url_col]:
                 if sleep_time > 0:
                     host = urlparse(url).netloc
-                    if host == last_host:
-                        _time.sleep(sleep_time)
-                    last_host = host
+                    prev = last_req.get(host)
+                    now = _time.monotonic()
+                    if prev is not None and now - prev < sleep_time:
+                        _time.sleep(sleep_time - (now - prev))
+                    last_req[host] = _time.monotonic()
                 resp = _send_request(url, transport, config)
                 if resp is None:
                     rows.append((url, None, None))
