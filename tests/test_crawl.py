@@ -122,6 +122,22 @@ def test_crawl_and_extract(spark):
                    for s in rows["https://a.test/"]["spans"])
 
 
+def test_crawl_and_extract_serialize(spark):
+    """--serialize reaches the crawl path: tree formats render in-stage,
+    json derives JVM-side — both produce a populated `serialized`
+    column (previously crawl mode silently ignored the flag)."""
+    from trafilatura_spark.settings import Options
+    opts = Options(fast=True, comments=False, with_metadata=False,
+                   min_extracted_size=5, min_output_size=1)
+    for fmt, marker in (("xml", "<doc"), ("json", '"text"')):
+        ex = crawl_and_extract(spark, ["https://c.test/"],
+                               transport=fake_transport, max_hops=0,
+                               options=opts, serialize=fmt)
+        row = ex.filter(F.col("status") == "ok").collect()[0]
+        assert row["serialized"] and marker in row["serialized"], \
+            (fmt, row["serialized"][:80])
+
+
 def test_resolve_links_normalizes_dot_segments(spark):
     """RFC 3986 dot-segment removal: ../ and ./ links must resolve to
     the same frontier URL as their direct forms (else duplicate fetches

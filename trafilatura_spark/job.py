@@ -68,7 +68,7 @@ def read_html_dir(spark: SparkSession, input_path: str,
     The Spark analog of the reference CLI's --input-dir mode
     (cli_utils.dart:270-360): binaryFile scan → decode (gzip/zlib +
     encoding cascade) → one single-chunk span per file."""
-    from .sources.corpus import DOCUMENTS_SCHEMA
+    from .sources.corpus import DOCUMENTS_SCHEMA, single_html_span
     from .sources.loading import decode_file
 
     binary = (spark.read.format("binaryFile")
@@ -79,7 +79,7 @@ def read_html_dir(spark: SparkSession, input_path: str,
     def to_docs(batches):
         import pandas as pd
         for pdf in batches:
-            rows = [(path, [("html", decode_file(bytes(content)), "", 0)])
+            rows = [(path, single_html_span(decode_file(bytes(content))))
                     for path, content in zip(pdf["path"], pdf["content"])]
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 
@@ -236,18 +236,16 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
                     F.sum((hit & (F.col("status") == "error")).cast("long")
                           ).alias(f"err_{b}"),
                 ]
+            observed = extracted.observe(obs, *exprs)
         else:
-            exprs = [
-                F.count(F.lit(1)).alias("docs"),
-                F.sum(fallback.cast("long")).alias("fb"),
-                F.sum((F.col("status") == "empty").cast("long")).alias("empty"),
-                F.sum((F.col("status") == "error").cast("long")).alias("err"),
-            ]
-        observed = extracted.observe(obs, *exprs)
+            # above the cap the counts come from the pruned re-read below;
+            # attaching wave-total observe expressions here would add the
+            # very per-task accumulator payload the cap exists to avoid
+            observed = extracted
         observed.write.mode("append").partitionBy("bucket").parquet(output_path)
 
-        vals = obs.get
         if per_bucket_obs:
+            vals = obs.get
             counts = {b: (int(vals[f"docs_{b}"] or 0), int(vals[f"fb_{b}"] or 0),
                           int(vals[f"empty_{b}"] or 0), int(vals[f"err_{b}"] or 0))
                       for b in wave}
@@ -376,9 +374,13 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.crawl import crawl_and_extract
         ex = crawl_and_extract(spark, args.seeds.split(","),
                                options=options, max_hops=args.max_hops,
-                               per_host_quota=args.per_host_quota)
+                               per_host_quota=args.per_host_quota,
+                               serialize=args.serialize)
         ex.write.mode("overwrite").parquet(args.output)
-        print({"mode": "crawl", "docs": ex.count()})
+        # count the written files, not ex.count() — that would re-run
+        # the whole fetch+extract lineage a second time
+        n = spark.read.parquet(args.output).count()
+        print({"mode": "crawl", "docs": n})
         return 0
     if not args.progress:
         p.error("--progress is required for --mode extract")

@@ -353,6 +353,28 @@ def build_input_spans(doc_id: int, text: str, lang: str, source: str,
     return spans
 
 
+def single_html_span(html: str) -> list[tuple]:
+    """The one-chunk input-span wrapper for a whole-page HTML string —
+    the single source of truth for the (kind, text, media_ref, offset)
+    shape used by every raw-HTML ingestion path (html-dir job input,
+    crawl driver)."""
+    return [("html", html, "", 0)]
+
+
+def html_to_documents(df, id_col: str = "doc_id", html_col: str = "html"):
+    """(id, html-string) frame → documents(doc_id, spans) via one Arrow
+    stage, wrapping each page as a single-chunk span list."""
+
+    def to_docs(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = [(i, single_html_span(h))
+                    for i, h in zip(pdf[id_col], pdf[html_col])]
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return df.select(id_col, html_col).mapInPandas(to_docs, DOCUMENTS_SCHEMA)
+
+
 def assemble_html(spans: list[dict]) -> str:
     """Reassemble the document HTML from its input spans (FIXTURES.md §1):
     concatenate in offset order; media spans are markers (empty text)."""

@@ -164,24 +164,27 @@ def crawl_and_extract(spark: SparkSession, seeds: list[str],
                       transport=default_transport, options=None,
                       max_hops: int = 2, per_host_quota: int = 10,
                       config: dict | None = None,
-                      partitions: int | None = None) -> DataFrame:
+                      partitions: int | None = None,
+                      serialize: str | None = None) -> DataFrame:
     """The one-call analog of the reference CLI's crawl entry point
     (cli_utils.dart:379-406): crawl, then run the standard extraction
-    operator over every fetched page (doc_id = url)."""
+    operator over every fetched page (doc_id = url).  ``serialize``
+    renders the requested output format exactly like the extract mode:
+    tree formats (xml/xmltei/html/txt/markdown) inside the Arrow stage,
+    json/csv derived JVM-side from the output columns."""
     from ..operators.pipeline import extract_documents
-    from .corpus import DOCUMENTS_SCHEMA
+    from ..operators.serialize import TREE_FORMATS, serialize_column
+    from .corpus import html_to_documents
 
     pages = crawl_site(spark, seeds, transport=transport, max_hops=max_hops,
                        per_host_quota=per_host_quota, config=config,
                        partitions=partitions)
     ok = pages.filter(F.col("html").isNotNull())
 
-    def to_docs(batches):
-        import pandas as pd
-        for pdf in batches:
-            rows = [(url, [("html", html, "", 0)])
-                    for url, html in zip(pdf["url"], pdf["html"])]
-            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
-
-    docs = ok.select("url", "html").mapInPandas(to_docs, DOCUMENTS_SCHEMA)
-    return extract_documents(docs, options)
+    docs = html_to_documents(ok.select(F.col("url"), F.col("html")),
+                             id_col="url", html_col="html")
+    in_stage = serialize if serialize in TREE_FORMATS else None
+    ex = extract_documents(docs, options, serialize=in_stage)
+    if serialize and not in_stage:
+        ex = serialize_column(ex, serialize)
+    return ex
