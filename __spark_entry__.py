@@ -512,8 +512,19 @@ def q_streaming_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
          .writeStream.format("parquet").option("path", base + "/out")
          .option("checkpointLocation", base + "/chk")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    return spark.read.parquet(base + "/out").select("host", "url", "accepted")
+    finished = q.awaitTermination(300)
+    if not finished:    # never read partial output on a stalled box
+        q.stop()
+        raise TimeoutError("streaming_frontier: availableNow query did not "
+                           "finish within 300 s")
+    out = (spark.read.parquet(base + "/out")
+           .select("host", "url", "accepted"))
+    # the compare materializes out before this tempdir would be touched
+    # again; eagerly localCheckpoint so the dir can be dropped now
+    out = out.localCheckpoint()
+    import shutil
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -311,15 +311,15 @@ def main() -> None:
                         (res_hi["docs_per_sec"] / res_lo["docs_per_sec"])
                         / (hi / lo), 3)})
         if windows:
+            from statistics import median as med
             effs = sorted(w["efficiency"] for w in windows)
-            med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
             # headline = per-level MEDIAN rate across windows: robust to a
             # single disturbed probe (which per-window pairing is not — one
             # slow lo probe yields a >1 "efficiency" for its window, one
             # slow hi probe an understated one); a host-WIDE swing still
             # cancels because both levels' medians move together
-            med_lo = med([w["docs_per_sec_lo"] for w in windows])
-            med_hi = med([w["docs_per_sec_hi"] for w in windows])
+            med_lo = round(med(w["docs_per_sec_lo"] for w in windows), 1)
+            med_hi = round(med(w["docs_per_sec_hi"] for w in windows), 1)
             eff = round((med_hi / med_lo) / (hi / lo), 3)
             hw = _mp_control(lo, hi)
             scaling = {"cpus_lo": lo, "cpus_hi": hi,
@@ -327,7 +327,7 @@ def main() -> None:
                        "docs_per_sec_hi": med_hi,
                        "efficiency": eff,
                        "efficiency_best_window": effs[-1],
-                       "efficiency_window_median": effs[len(effs) // 2],
+                       "efficiency_window_median": round(med(effs), 3),
                        "efficiency_windows": windows,
                        "efficiency_spread": round(effs[-1] - effs[0], 3),
                        "hw_control_efficiency": hw,

@@ -491,6 +491,9 @@ def test_xpath_to_css_translation_table():
         "//nav | //footer": "nav, footer",
         '//div[starts-with(@class, "share")]': 'div[class^="share"]',
         "//table//tr/td": "table tr > td",
+        # '|' inside a quoted value is NOT a union separator
+        '//div[@class="a|b"]': 'div[class="a|b"]',
+        '//nav | //div[@class="x|y"]': 'nav, div[class="x|y"]',
     }
     for xp, css in table.items():
         assert xpath_to_css(xp) == css

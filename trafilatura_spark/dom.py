@@ -768,6 +768,29 @@ _XPATH_PRED = _re_mod.compile(
     )\s*\]""", _re_mod.VERBOSE)
 
 
+def _split_outside_quotes(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` only where it sits outside single/double quotes —
+    '//div[@class="a|b"]' is ONE branch, not two broken halves."""
+    parts: list[str] = []
+    buf: list[str] = []
+    quote = None
+    for c in s:
+        if quote:
+            if c == quote:
+                quote = None
+            buf.append(c)
+        elif c in "\"'":
+            quote = c
+            buf.append(c)
+        elif c == sep:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+    parts.append("".join(buf))
+    return parts
+
+
 def xpath_to_css(expr: str) -> str:
     """Translate the XPath subset real trafilatura prune configs use
     (``//div[@class="ad"]``, ``//*[contains(@id, "promo")]``,
@@ -781,7 +804,7 @@ def xpath_to_css(expr: str) -> str:
     silently dropped there; upstream trafilatura (Python, prune_xpath)
     accepts them — this follows upstream so configs port unchanged."""
     groups = []
-    for branch in expr.split("|"):
+    for branch in _split_outside_quotes(expr, "|"):
         s = branch.strip()
         if not s:
             continue
@@ -841,11 +864,12 @@ def css_select(root: "Node", selector: str) -> list["Node"]:
     XPath-syntax selectors (leading ``//`` or ``.//``) are translated via
     :func:`xpath_to_css` first.  Raises ValueError on syntax it doesn't
     support (callers mirror the reference's try/skip behavior)."""
-    if selector.lstrip().startswith((".//", "//")) or "|" in selector:
+    if selector.lstrip().startswith((".//", "//")) \
+            or len(_split_outside_quotes(selector, "|")) > 1:
         selector = xpath_to_css(selector)
     out: list[Node] = []
     seen: set[int] = set()
-    for group in selector.split(","):
+    for group in _split_outside_quotes(selector, ","):
         group = group.strip()
         if not group:
             continue
