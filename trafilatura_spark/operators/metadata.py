@@ -660,17 +660,27 @@ def _parse_license_element(element: Node, strict: bool = False) -> str | None:
 
 
 def extract_license(tree: Node) -> str | None:
-    """metadata.dart:551-571."""
-    for element in tree.iterdesc("a"):
-        if element.attrs.get("rel") == "license" and "href" in element.attrs:
-            result = _parse_license_element(element, strict=False)
-            if result:
-                return result
-    for container in tree.iterdesc("footer", "div"):
-        if container.tag == "div":
-            cls, eid = container.attrs.get("class", ""), container.attrs.get("id", "")
-            if "footer" not in cls and "footer" not in eid:
-                continue
+    """metadata.dart:551-571.
+
+    One tree walk instead of two: the rel=license anchor scan
+    early-returns exactly like the reference's first loop, and the
+    footer containers for the strict second pass are collected during
+    the same traversal (identical document order)."""
+    containers: list[Node] = []
+    for element in tree.iterdesc("a", "footer", "div"):
+        tag = element.tag
+        if tag == "a":
+            if element.attrs.get("rel") == "license" and "href" in element.attrs:
+                result = _parse_license_element(element, strict=False)
+                if result:
+                    return result
+        elif tag == "footer":
+            containers.append(element)
+        else:
+            cls, eid = element.attrs.get("class", ""), element.attrs.get("id", "")
+            if "footer" in cls or "footer" in eid:
+                containers.append(element)
+    for container in containers:
         for element in container.iterdesc("a"):
             if "href" in element.attrs:
                 result = _parse_license_element(element, strict=True)
