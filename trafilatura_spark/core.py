@@ -143,23 +143,54 @@ def _prune_duplicate_elements(bodies: list[Node], options: Options) -> None:
 
 
 def trafilatura_sequence(converted_tree: Node, cleaned_backup: Node,
-                         raw_body: Node, options: Options,
+                         raw_body_fn, options: Options,
                          backup_factory=None) -> tuple[Node, str, int, str]:
-    """Main cascade with fallbacks (core.dart:108-142)."""
+    """Main cascade with fallbacks (core.dart:108-142).
+
+    ``raw_body_fn`` supplies a PRISTINE, freely-mutable body tree on
+    each call (the reference passes copies of the raw body to
+    compareExtraction/baseline); suppliers let the fast path skip the
+    per-document defensive copy entirely and pay only on rescue."""
     postbody, temp_text, len_text = extract_content(converted_tree, options,
                                                     backup_factory)
     tier = "main"
     if not options.fast:
         # cleaned_backup is consumed here (it has no later reader), so it
-        # is passed without the defensive copy; raw_body is still needed by
-        # the baseline rescue below, so its copy stays
+        # is passed without a defensive copy
         postbody, temp_text, len_text, tier = compare_extraction(
-            cleaned_backup, raw_body.copy(), postbody, temp_text,
+            cleaned_backup, raw_body_fn(), postbody, temp_text,
             len_text, options)
     if len_text < options.min_extracted_size and options.focus != "precision":
-        postbody, temp_text, len_text = baseline(raw_body.copy())
+        postbody, temp_text, len_text = baseline(raw_body_fn())
         tier = "baseline"
     return postbody, temp_text, len_text, tier
+
+
+def _apply_prune_patterns(working_body: Node, options: Options) -> None:
+    """User pruning before any cleaning (core.dart:232-244 pruneXpath —
+    the reference hands the expressions to querySelectorAll, so they are
+    CSS selectors; invalid ones are skipped).  XPath-syntax expressions
+    (//div[@class="ad"], upstream trafilatura's prune_xpath dialect) are
+    translated by dom.xpath_to_css so ported configs work unchanged.
+    Bare-word patterns additionally fall back to class/id substring
+    matching (engine extension, pinned by test_prune_patterns_option)."""
+    if not options.prune_patterns:
+        return
+    from .dom import css_select
+    for pattern in options.prune_patterns:
+        try:
+            matched = css_select(working_body, pattern)
+        except ValueError:
+            matched = []
+        for elem in matched:
+            if elem.parent is not None:
+                elem.drop_tree()
+        if not matched and pattern.isalnum():
+            for elem in working_body.find_all():
+                ident = (elem.attrs.get("class", "") + " "
+                         + elem.attrs.get("id", "")).lower()
+                if elem.parent is not None and pattern in ident:
+                    elem.drop_tree()
 
 
 def bare_extraction(filecontent: str, options: Options | None = None,
@@ -200,36 +231,34 @@ def bare_extraction(filecontent: str, options: Options | None = None,
                 return result
 
         working_body = get_body(tree)
-        if options.prune_patterns:
-            # user pruning before any cleaning (core.dart:232-244
-            # pruneXpath — the reference hands the expressions to
-            # querySelectorAll, so they are CSS selectors; invalid ones
-            # are skipped).  XPath-syntax expressions (//div[@class="ad"],
-            # upstream trafilatura's prune_xpath dialect) are translated
-            # by dom.xpath_to_css so ported configs work unchanged.
-            # Bare-word patterns additionally fall back to class/id
-            # substring matching (engine extension, pinned by
-            # test_prune_patterns_option).
-            from .dom import css_select
-            for pattern in options.prune_patterns:
-                try:
-                    matched = css_select(working_body, pattern)
-                except ValueError:
-                    matched = []
-                for elem in matched:
-                    if elem.parent is not None:
-                        elem.drop_tree()
-                if not matched and pattern.isalnum():
-                    for elem in working_body.find_all():
-                        ident = (elem.attrs.get("class", "") + " "
-                                 + elem.attrs.get("id", "")).lower()
-                        if elem.parent is not None and pattern in ident:
-                            elem.drop_tree()
+        _apply_prune_patterns(working_body, options)
         conv_url = options.url or (meta or {}).get("url")
-        cleaned = tree_cleaning(working_body.copy(), options)
+
+        fast = options.fast
+        if fast:
+            # fast path: compare_extraction never runs, so nothing reads
+            # the pristine working_body afterwards on the success path —
+            # clean it IN PLACE and let pristine_body() re-derive a fresh
+            # copy from the source only when a rescue actually fires
+            cleaned = tree_cleaning(working_body, options)
+        else:
+            cleaned = tree_cleaning(working_body.copy(), options)
+
+        def pristine_body() -> Node:
+            """A freely-mutable body in its pre-cleaning state.  Fast
+            mode re-parses the source (working_body was consumed by the
+            in-place cleaning) — rescue-only, so the re-parse amortizes
+            to ~0; non-fast copies the retained pristine body."""
+            if not fast:
+                return working_body.copy()
+            t2 = load_html(filecontent)
+            b2 = get_body(t2)
+            _apply_prune_patterns(b2, options)
+            return b2
+
         # the backup feeds compare_extraction only — skip the full-tree
         # copy in fast mode (the bench/oracle hot path)
-        cleaned_backup = cleaned.copy() if not options.fast else cleaned
+        cleaned_backup = cleaned.copy() if not fast else cleaned
         converted = convert_tags(cleaned, options, url=conv_url)
 
         if options.comments:
@@ -245,11 +274,11 @@ def bare_extraction(filecontent: str, options: Options | None = None,
 
         def rebuild_converted() -> Node:
             # deterministic replay of the cleaning→conversion→comment-
-            # removal steps above from the pristine working_body: the
-            # wild-text second chance (extract_content) calls this ONLY
-            # when the main pass comes up short, replacing the
-            # every-document backup copy with an on-miss rebuild
-            c = convert_tags(tree_cleaning(working_body.copy(), options),
+            # removal steps above from a pristine body: the wild-text
+            # second chance (extract_content) calls this ONLY when the
+            # main pass comes up short, replacing the every-document
+            # backup copy with an on-miss rebuild
+            c = convert_tags(tree_cleaning(pristine_body(), options),
                              options, url=conv_url)
             if options.comments:
                 c = extract_comments(c, options)[3]
@@ -260,7 +289,7 @@ def bare_extraction(filecontent: str, options: Options | None = None,
             return c
 
         postbody, temp_text, len_text, tier = trafilatura_sequence(
-            converted, cleaned_backup, working_body, options,
+            converted, cleaned_backup, pristine_body, options,
             backup_factory=rebuild_converted)
 
         # tree size guard (core.dart:285-296)
