@@ -436,25 +436,27 @@ class _FastBuilder:
         attr_re = _FAST_ATTR_RE
         n = len(s)
         find = s.find
+        add_text = self._add_text
+        handle_end = self._handle_end
         i = 0
         while i < n:
             lt = find("<", i)
             if lt < 0:
                 chunk = s[i:]
-                self._add_text(unescape(chunk) if "&" in chunk else chunk)
+                add_text(unescape(chunk) if "&" in chunk else chunk)
                 break
             if lt > i:
                 chunk = s[i:lt]
-                self._add_text(unescape(chunk) if "&" in chunk else chunk)
-            c = s[lt + 1:lt + 2]
+                add_text(unescape(chunk) if "&" in chunk else chunk)
+            c = s[lt + 1] if lt + 1 < n else ""
             if c == "/":
                 gt = find(">", lt)
                 if gt < 0:
-                    self._add_text(s[lt:])
+                    add_text(s[lt:])
                     break
                 name = s[lt + 2:gt].strip().lower()
                 if name:
-                    self._handle_end(name.split()[0])
+                    handle_end(name.split()[0])
                 i = gt + 1
             elif c == "!":
                 if s.startswith("<!--", lt):
@@ -469,7 +471,7 @@ class _FastBuilder:
             elif c.isalpha():
                 gt = find(">", lt + 1)
                 if gt < 0:
-                    self._add_text(s[lt:])
+                    add_text(s[lt:])
                     break
                 seg = s[lt + 1:gt]
                 # a quoted attribute value may contain '>': odd quote
@@ -488,7 +490,7 @@ class _FastBuilder:
                     seg = seg[:-1]
                 m = name_re.match(seg)
                 if m is None:
-                    self._add_text(s[lt:gt + 1])
+                    add_text(s[lt:gt + 1])
                     i = gt + 1
                     continue
                 tag = m.group(1).lower()
@@ -518,16 +520,16 @@ class _FastBuilder:
                     # '</scripts>' inside code does NOT end the element
                     end_m = _RAWTEXT_END[tag].search(s, i)
                     if end_m is None:
-                        self._add_text(s[i:])
-                        self._handle_end(tag)
+                        add_text(s[i:])
+                        handle_end(tag)
                         break
                     end = end_m.start()
-                    self._add_text(s[i:end])
+                    add_text(s[i:end])
                     gt = find(">", end)
-                    self._handle_end(tag)
+                    handle_end(tag)
                     i = gt + 1 if gt >= 0 else n
             else:
-                self._add_text("<")
+                add_text("<")
                 i = lt + 1
 
     def _handle_start(self, tag: str, amap: dict, self_closing: bool) -> None:
