@@ -602,6 +602,26 @@ def q_extract_prune_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spans_flat(extract_documents(docs, opts))
 
 
+def q_extract_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Option matrix — tables=True (the reference default; handleTable,
+    main_extractor.dart:316-353): a 2×2 table between para1 and para2
+    emits the table/row/cell span run at fixed offsets with
+    by-construction cell texts."""
+    opts = Options(fast=True, comments=False, with_metadata=True, **RELAXED)
+    docs = synthesize_documents_df(spark, sf_dir, template="tables")
+    return _spans_flat(extract_documents(docs, opts))
+
+
+def q_extract_no_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Option matrix — tables=False (htmlprocessing.dart:45-48 adds the
+    table tags to the cleaning list): the whole table vanishes and the
+    output collapses to the plain head/para1/para2 run."""
+    opts = Options(fast=True, comments=False, with_metadata=True,
+                   tables=False, **RELAXED)
+    docs = synthesize_documents_df(spark, sf_dir, template="tables")
+    return _spans_flat(extract_documents(docs, opts))
+
+
 def q_extract_gate_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STOCK size gates probed exactly at the boundaries, ±1 char, with NO
     eligibility carve-outs (core.dart:299-301 + main_extractor.dart:612-629
@@ -1381,6 +1401,32 @@ SELECT * FROM (
 ) ORDER BY doc_id, "offset"
 """
 
+_ORACLE_TABLES = f"""
+WITH {_PARTS}
+SELECT * FROM (
+    SELECT doc_id, 0::BIGINT AS "offset", 'head' AS kind, head AS text,
+           '' AS media_ref FROM derived
+    UNION ALL
+    SELECT doc_id, 1::BIGINT, 'p', para1, '' FROM derived
+    UNION ALL
+    SELECT doc_id, 2::BIGINT, 'table', '', '' FROM derived
+    UNION ALL
+    SELECT doc_id, 3::BIGINT, 'row', '', '' FROM derived
+    UNION ALL
+    SELECT doc_id, 4::BIGINT, 'cell', 'cell 00 of ' || doc_id, '' FROM derived
+    UNION ALL
+    SELECT doc_id, 5::BIGINT, 'cell', 'cell 01 of ' || doc_id, '' FROM derived
+    UNION ALL
+    SELECT doc_id, 6::BIGINT, 'row', '', '' FROM derived
+    UNION ALL
+    SELECT doc_id, 7::BIGINT, 'cell', 'cell 10 of ' || doc_id, '' FROM derived
+    UNION ALL
+    SELECT doc_id, 8::BIGINT, 'cell', 'cell 11 of ' || doc_id, '' FROM derived
+    UNION ALL
+    SELECT doc_id, 9::BIGINT, 'p', para2, '' FROM derived
+) ORDER BY doc_id, "offset"
+"""
+
 _ORACLE_DEDUP_OPTION = f"""
 WITH {_PARTS},
 dup AS (
@@ -1808,6 +1854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_comments_off": q_extract_comments_off,
         "extract_no_images": q_extract_no_images,
         "extract_prune_xpath": q_extract_prune_xpath,
+        "extract_tables": q_extract_tables,
+        "extract_no_tables": q_extract_no_tables,
         "extract_gate_boundaries": q_extract_gate_boundaries,
         "extract_dedup_option": q_extract_dedup_option,
         "extract_url_blacklist": q_extract_url_blacklist,
@@ -1869,6 +1917,9 @@ def oracle_sql() -> dict[str, str]:
         # prune_xpath drops exactly the injected block -> same expected
         # head/para1/para2 table as the images=False family
         "extract_prune_xpath": _ORACLE_NO_IMAGES,
+        "extract_tables": _ORACLE_TABLES,
+        # tables=False cleans the table away -> plain head/para1/para2
+        "extract_no_tables": _ORACLE_NO_IMAGES,
         "extract_gate_boundaries": _ORACLE_GATE_BOUNDARIES,
         "extract_dedup_option": _ORACLE_DEDUP_OPTION,
         "extract_url_blacklist": _ORACLE_URL_BLACKLIST,

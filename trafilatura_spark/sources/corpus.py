@@ -328,6 +328,24 @@ def build_input_spans(doc_id: int, text: str, lang: str, source: str,
         )
         return spans
 
+    if template == "tables":
+        # option-matrix family (tables, settings.dart includeTables +
+        # main_extractor.dart handleTable): a 2×2 table with
+        # deterministic cell texts sits between para1 and para2 —
+        # tables=True emits the table/row/cell span run at fixed
+        # offsets, tables=False cleans the table away entirely
+        table = "<table>" + "".join(
+            "<tr>" + "".join(f"<td>cell {r}{c} of {doc_id}</td>"
+                             for c in range(2)) + "</tr>"
+            for r in range(2)) + "</table>"
+        op, cl = _CONTAINERS[doc_id % 4]
+        html(
+            f'<!DOCTYPE html><html lang="{lang}">{_head_section(doc_id, lang, source)}'
+            f"<body>{_NAV}{op}<h1>{head}</h1><p>{para1}</p>"
+            f"{table}<p>{para2}</p>{cl}{_FOOTER}</body></html>"
+        )
+        return spans
+
     if template == "bare":
         html(
             f'<!DOCTYPE html><html lang="{lang}">{_head_section(doc_id, lang, source)}'
