@@ -689,6 +689,23 @@ def q_extract_dedup_option(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spans_flat(extract_documents(docs, opts))
 
 
+def q_extract_author_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Author-blacklist filter (metadata.dart:638-743 authorBlacklist +
+    cleanAndTrim): the synthetic corpus stamps author 'author {id%7}';
+    blacklisting two of the seven rotations must null exactly those
+    docs' author (the body has no byline, so the extract_author fallback
+    finds nothing) while every other doc keeps its meta author in the
+    normalize_authors title-cased form ('Author N') — the blacklist
+    match itself is case-insensitive, which the oracle pins."""
+    opts = Options(fast=True, comments=False, with_metadata=True,
+                   author_blacklist=frozenset({"author 0", "author 3"}),
+                   **RELAXED)
+    docs = synthesize_documents_df(spark, sf_dir)
+    ex = extract_documents(docs, opts)
+    return ex.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.col("meta.author").alias("author"))
+
+
 def q_extract_url_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-blacklist gate (core.dart:163-199 urlBlacklist): docs whose
     canonical metadata URL is in the user blacklist (every doc_id%5==0)
@@ -1858,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_no_tables": q_extract_no_tables,
         "extract_gate_boundaries": q_extract_gate_boundaries,
         "extract_dedup_option": q_extract_dedup_option,
+        "extract_author_blacklist": q_extract_author_blacklist,
         "extract_url_blacklist": q_extract_url_blacklist,
         "extract_only_with_metadata": q_extract_only_with_metadata,
         "extract_max_tree_size": q_extract_max_tree_size,
@@ -1922,6 +1940,12 @@ def oracle_sql() -> dict[str, str]:
         "extract_no_tables": _ORACLE_NO_IMAGES,
         "extract_gate_boundaries": _ORACLE_GATE_BOUNDARIES,
         "extract_dedup_option": _ORACLE_DEDUP_OPTION,
+        "extract_author_blacklist": """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 IN (0, 3) THEN NULL
+            ELSE 'Author ' || (doc_id % 7) END AS author
+FROM documents ORDER BY doc_id
+""",
         "extract_url_blacklist": _ORACLE_URL_BLACKLIST,
         "extract_only_with_metadata": _ORACLE_ONLY_WITH_METADATA,
         "extract_max_tree_size": _ORACLE_MAX_TREE_SIZE,
