@@ -122,6 +122,47 @@ def test_crawl_and_extract(spark):
                    for s in rows["https://a.test/"]["spans"])
 
 
+def test_crawl_breadth_many_hosts(spark):
+    """Breadth sanity at 40 hosts / ~200 pages: the BFS stays exact under
+    a wide frontier — per-host page sets are correct (robots respected on
+    the even hosts, ../ and absolute forms dedupe to one fetch), and the
+    frontier anti-join keeps every URL fetched exactly once."""
+    site = {}
+    hosts = [f"h{i}.test" for i in range(40)]
+    for i, h in enumerate(hosts):
+        if i % 2 == 0:
+            site[f"https://{h}/robots.txt"] = \
+                b"User-agent: *\nDisallow: /private/\n"
+        # seed page links: a section index, the same index via ../, and a
+        # robots-gated page
+        site[f"https://{h}/"] = _page(
+            f'<a href="/s/index.html">s</a>'
+            f'<a href="/s/../s/index.html">dup</a>'
+            f'<a href="/private/x">p</a>'
+            f"<p>{ARTICLE}</p>")
+        site[f"https://{h}/s/index.html"] = _page(
+            f'<a href="leaf{i}.html">l</a><p>{ARTICLE} section {i}.</p>')
+        site[f"https://{h}/s/leaf{i}.html"] = _page(
+            f"<p>{ARTICLE} leaf {i}.</p>")
+        site[f"https://{h}/private/x"] = _page("<p>gated</p>")
+    transport = _make_transport(site)
+    pages = crawl_site(spark, [f"https://{h}/" for h in hosts],
+                       transport=transport, max_hops=2)
+    rows = pages.collect()
+    urls = [r["url"] for r in rows]
+    # exactly once each: no duplicate fetches despite the ../ alias link
+    assert len(urls) == len(set(urls))
+    by_host = {}
+    for u in urls:
+        by_host.setdefault(u.split("/")[2], set()).add(u)
+    for i, h in enumerate(hosts):
+        expect = {f"https://{h}/", f"https://{h}/s/index.html",
+                  f"https://{h}/s/leaf{i}.html"}
+        if i % 2 == 1:          # no robots -> /private/x is crawlable
+            expect.add(f"https://{h}/private/x")
+        assert by_host[h] == expect, (h, by_host[h])
+
+
 def test_crawl_and_extract_serialize(spark):
     """--serialize reaches the crawl path: tree formats render in-stage,
     json derives JVM-side — both produce a populated `serialized`
