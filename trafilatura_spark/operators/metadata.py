@@ -703,14 +703,32 @@ def _parse_date(date_str: str) -> str | None:
 
 
 def find_date(tree: Node) -> str | None:
-    """metadata.dart:765-811 (simplified htmldate)."""
-    for elem in tree.iterdesc("meta"):
+    """metadata.dart:765-811 (simplified htmldate).
+
+    One traversal collects the three candidate categories (meta tags,
+    <time> elements, date-classed elements); they are then evaluated in
+    the reference's category order, so results are identical to the
+    former three-walk form while touching the tree once."""
+    metas: list[Node] = []
+    times: list[Node] = []
+    classed: list[Node] = []
+    for elem in tree.iterdesc("meta", "time", "abbr", "span", "div", "p"):
+        tag = elem.tag
+        if tag == "meta":
+            metas.append(elem)
+        elif tag == "time":
+            times.append(elem)
+        else:
+            cls = elem.attrs.get("class", "").lower()
+            if "published" in cls or "post-date" in cls or "entry-date" in cls:
+                classed.append(elem)
+    for elem in metas:
         for attr, want in _DATE_SELECT_META:
             if elem.attrs.get(attr, "").lower() == want and elem.attrs.get("content"):
                 parsed = _parse_date(elem.attrs["content"])
                 if parsed:
                     return parsed
-    for elem in tree.iterdesc("time"):
+    for elem in times:
         date_str = elem.attrs.get("datetime") or elem.attrs.get("pubdate") \
             or elem.text_content()
         if date_str:
@@ -719,15 +737,13 @@ def find_date(tree: Node) -> str | None:
                 return parsed
     # date-classed elements carrying the value in title/datetime attrs
     # (e.g. blogspot's <abbr class='published' title='…'>)
-    for elem in tree.iterdesc("abbr", "span", "div", "p"):
-        cls = elem.attrs.get("class", "").lower()
-        if "published" in cls or "post-date" in cls or "entry-date" in cls:
-            for cand in (elem.attrs.get("title"), elem.attrs.get("datetime"),
-                         elem.text_content()):
-                if cand:
-                    parsed = _parse_date(cand)
-                    if parsed:
-                        return parsed
+    for elem in classed:
+        for cand in (elem.attrs.get("title"), elem.attrs.get("datetime"),
+                     elem.text_content()):
+            if cand:
+                parsed = _parse_date(cand)
+                if parsed:
+                    return parsed
     text = tree.text_content()
     for rx in (_DATE_ISO, _DATE_US, _DATE_TEXT):
         m = rx.search(text)
