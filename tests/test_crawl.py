@@ -234,3 +234,27 @@ def test_resolve_links_plan_is_jvm_side(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan, plan
     assert "MapInPandas" not in plan, plan
+
+
+def test_job_cli_crawl_mode(spark, tmp_path):
+    """CLI e2e: --mode crawl drives the full seeds->robots->fetch->
+    extract->write path through job.main via the transport seam, the
+    downloadQueueProcessing analog of cli_utils.dart:379-406."""
+    from trafilatura_spark.job import main as job_main
+    out = str(tmp_path / "crawl_out")
+    rc = job_main(["--mode", "crawl", "--seeds", ",".join(SEEDS),
+                   "--output", out, "--max-hops", "2",
+                   "--serialize", "txt"],
+                  transport=fake_transport)
+    assert rc == 0
+    got = spark.read.parquet(out)
+    rows = {r["doc_id"]: r for r in got.collect()}
+    # robots-blocked and beyond-hop-limit pages never reach the sink
+    assert "https://a.test/blocked/secret" not in rows
+    assert "https://b.test/b4" not in rows
+    ok = {u for u, r in rows.items() if r["status"] == "ok"}
+    assert "https://a.test/page/article2.html" in ok
+    assert "https://c.test/" in ok
+    # --serialize txt adds the rendered column alongside the span sink
+    a2 = rows["https://a.test/page/article2.html"]
+    assert "article two body" in a2["serialized"]

@@ -282,7 +282,11 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
     return summary
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, *, transport=None) -> int:
+    """CLI entry point.  `transport` is a test seam for --mode crawl: a
+    callable with the sources.downloads transport signature replacing the
+    live stdlib HTTP transport, so e2e tests can drive the full
+    seeds->robots->fetch->extract->write path against a fixture site."""
     p = argparse.ArgumentParser(description="trafilatura-spark batch extraction")
     p.add_argument("--input", default=None,
                    help="parquet/iceberg path of documents(doc_id, spans), "
@@ -372,7 +376,9 @@ def main(argv: list[str] | None = None) -> int:
         if not args.seeds:
             p.error("--seeds is required for --mode crawl")
         from .sources.crawl import crawl_and_extract
+        from .sources.downloads import default_transport
         ex = crawl_and_extract(spark, args.seeds.split(","),
+                               transport=transport or default_transport,
                                options=options, max_hops=args.max_hops,
                                per_host_quota=args.per_host_quota,
                                serialize=args.serialize)
