@@ -531,17 +531,20 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Charikar simhash fingerprint (deduplication.dart
     142-159 via content_fingerprint) — the Python token-hash simhash
     reproduced bit-for-bit by the DuckDB oracle (sha256 per token, 64
-    bit-sums in SQL)."""
-    ex = _extract(spark, sf_dir)
+    bit-sums in SQL).  fingerprint=True mirrors the reference's non-txt
+    format gate (core.dart:547-560)."""
+    ex = _extract(spark, sf_dir, fingerprint=True)
     return ex.select(F.col("doc_id").cast("long").alias("doc_id"),
                      F.col("meta.fingerprint").alias("fingerprint"))
 
 
 def q_serialize_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-side CSV serialization sink (xml_utils.dart:564-595 xmltocsv
-    re-expression): tab-joined url/fingerprint/hostname/title/text."""
+    re-expression): tab-joined url/fingerprint/hostname/title/text.
+    CSV is a non-txt format, so the fingerprint rides along
+    (core.dart:547-560)."""
     from trafilatura_spark.operators.serialize import serialize_column
-    ex = _extract(spark, sf_dir)
+    ex = _extract(spark, sf_dir, fingerprint=True)
     return serialize_column(ex, "csv").select(
         F.col("doc_id").cast("long").alias("doc_id"), "serialized")
 
@@ -1619,12 +1622,11 @@ SELECT c.doc_id,
        || 'description: synthetic article ' || c.doc_id || chr(10)
        || 'sitename: ' || s.sitename || chr(10)
        || 'date: ' || s.dt || chr(10)
-       || 'fingerprint: ' || fp.fingerprint || chr(10)
        || '---' || chr(10)
        || c.head || chr(10) || c.para1 || chr(10)
        || {_GRAPHIC_MD}
        || c.para2 AS serialized
-FROM content c JOIN fp USING (doc_id)
+FROM content c
 JOIN (SELECT doc_id,
              upper(substr(source, 1, 1)) || substr(source, 2) AS sitename,
              source || '.example.com' AS host,

@@ -59,7 +59,28 @@ def test_metadata_struct(extracted):
     row = extracted.filter(F.col("doc_id") == "2").select("meta").first()
     assert row["meta"]["title"] == "doc 2 title"
     assert row["meta"]["author"] == "Author 2"
+    # core.dart:547-560 — fingerprint only rides non-txt output formats
+    assert row["meta"]["fingerprint"] is None
+
+
+def test_fingerprint_gate(spark, sf_dir):
+    """Options.fingerprint=True (or a non-txt serialize) computes the
+    simhash fingerprint; the default span/txt path skips it
+    (core.dart:22,547-560 _txtFormats gate)."""
+    from dataclasses import replace
+
+    docs = synthesize_documents_df(spark, sf_dir).limit(6)
+    with_fp = extract_documents(docs, replace(RELAXED, fingerprint=True))
+    assert all(r["meta"]["fingerprint"]
+               for r in with_fp.select("meta").collect())
+    # a non-txt serialization force-enables it even when the option is off
+    via_serialize = extract_documents(docs, RELAXED, serialize="json")
+    row = via_serialize.select("meta", "serialized").first()
     assert row["meta"]["fingerprint"]
+    assert '"fingerprint": "' in row["serialized"]
+    # txt serialization must NOT carry a fingerprint line
+    via_txt = extract_documents(docs, RELAXED, serialize="txt")
+    assert "fingerprint:" not in via_txt.select("serialized").first()[0]
 
 
 def test_metrics(extracted):

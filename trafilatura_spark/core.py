@@ -347,7 +347,9 @@ def bare_extraction(filecontent: str, options: Options | None = None,
         result.comments_text = render_txt(commentsbody, options.formatting) \
             if commentsbody.children else ""
         result.len_text = len_text
-        if meta is not None:
+        if meta is not None and options.fingerprint:
+            # core.dart:547-560: computed only when the output format is
+            # not in _txtFormats — Options.fingerprint carries that gate.
             meta["fingerprint"] = content_fingerprint(
                 f"{meta.get('title') or ''} {result.text}")
         result.meta = meta

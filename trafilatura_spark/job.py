@@ -189,6 +189,12 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
 
     from .operators.serialize import TREE_FORMATS
     in_stage_fmt = serialize if serialize in TREE_FORMATS else None
+    if serialize in ("json", "csv"):
+        # column-derived serializations read meta.fingerprint — non-txt
+        # formats carry the fingerprint (core.dart:547-560); the in-stage
+        # xml/xmltei/html path enables it inside make_extract_batches
+        from dataclasses import replace
+        options = replace(options, fingerprint=True)
     if in_stage_fmt and batches_fn is not None:
         raise ValueError(
             f"--serialize {serialize} re-renders from the extraction tree "

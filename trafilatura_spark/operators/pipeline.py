@@ -91,6 +91,11 @@ def make_extract_batches(options: Options, serialize: str | None = None):
     xml/xmltei/html/txt/markdown cost one extra string build per doc,
     no second pass and no extra shuffle."""
     opt_dict = asdict(options)
+    if serialize and serialize not in ("txt", "markdown"):
+        # core.dart:22,547-560: non-txt output formats carry the content
+        # fingerprint, txt/markdown never do (it is computed after the
+        # _txtFormats gate, so their front-matter omits the line).
+        opt_dict["fingerprint"] = True
     columns = ["doc_id", "spans", "text", "meta", "status", "tier",
                "len_text"] + (["serialized"] if serialize else [])
 

@@ -120,6 +120,14 @@ class Options:
     # pruneXpath analog (core.dart:232-244): user-supplied class/id
     # substrings removed before cleaning/extraction
     prune_patterns: tuple = ()
+    # contentFingerprint gate (core.dart:547-560): the reference computes
+    # the simhash fingerprint only AFTER extraction and only for non-txt
+    # output formats (format not in _txtFormats, core.dart:22) —
+    # bareExtraction itself never computes it.  Off by default; the
+    # pipeline force-enables it when an xml/xmltei/html/json/csv
+    # serialization is requested.  The simhash is ~30% of per-document
+    # extraction CPU, so span/txt paths must not pay it.
+    fingerprint: bool = False
 
     @classmethod
     def reference_defaults(cls) -> "Options":

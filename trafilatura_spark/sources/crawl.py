@@ -184,6 +184,10 @@ def crawl_and_extract(spark: SparkSession, seeds: list[str],
     docs = html_to_documents(ok.select(F.col("url"), F.col("html")),
                              id_col="url", html_col="html")
     in_stage = serialize if serialize in TREE_FORMATS else None
+    if serialize and not in_stage:
+        # json/csv carry the fingerprint column (core.dart:547-560)
+        from dataclasses import replace
+        options = replace(options, fingerprint=True)
     ex = extract_documents(docs, options, serialize=in_stage)
     if serialize and not in_stage:
         ex = serialize_column(ex, serialize)
