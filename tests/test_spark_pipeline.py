@@ -353,6 +353,31 @@ def test_job_cli_serialize_formats(spark, sf_dir, tmp_path):
         assert ok(row["serialized"]), (fmt, row["serialized"][:200])
 
 
+def test_job_table_input(spark, sf_dir, tmp_path):
+    """CLI e2e: --input-format table reads the documents table through
+    the session catalog (spark.read.table) — the code path an Iceberg
+    catalog serves on a real cluster — and must extract identically to
+    the parquet-path input."""
+    from trafilatura_spark.job import main as job_main
+
+    docs = synthesize_documents_df(spark, sf_dir).filter(
+        F.col("doc_id").cast("long") < 16)
+    spark.sql("DROP TABLE IF EXISTS docs_tbl")
+    docs.write.saveAsTable("docs_tbl")
+    try:
+        out, prog = str(tmp_path / "to"), str(tmp_path / "tp")
+        rc = job_main(["--input", "docs_tbl", "--input-format", "table",
+                       "--output", out, "--progress", prog,
+                       "--run-id", "tbl-1", "--buckets", "2",
+                       "--wave-size", "2", "--fast", "--no-comments"])
+        assert rc == 0
+        res = spark.read.parquet(out)
+        assert res.count() == 16
+        assert res.filter(F.col("status") == "ok").count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS docs_tbl")
+
+
 def test_job_large_wave_metrics_and_resume(spark, sf_dir, tmp_path):
     """wave_size above _OBSERVE_BUCKET_CAP switches per-bucket metrics to
     the wave-total observe + pruned re-read path; per-bucket progress

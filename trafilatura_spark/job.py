@@ -300,7 +300,14 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                         "--input-format html-dir (required for every mode "
                         "except crawl)")
     p.add_argument("--input-format", default="spans-parquet",
-                   choices=["spans-parquet", "html-dir", "pdf-parquet"])
+                   choices=["spans-parquet", "html-dir", "pdf-parquet",
+                            "table"],
+                   help="'table' reads --input as a catalog table "
+                        "identifier (spark.read.table) — with an Iceberg "
+                        "catalog configured on the cluster this is the "
+                        "north rule's Iceberg scan (snapshot isolation, "
+                        "partition pruning, metadata-only planning); "
+                        "locally it resolves through the session catalog")
     p.add_argument("--output", required=True)
     p.add_argument("--progress", default=None,
                    help="progress/checkpoint table path (required for "
@@ -403,6 +410,8 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
         from .sources.pdf import make_pdf_batches
         docs = spark.read.parquet(args.input)
         batches_fn = make_pdf_batches(options)
+    elif args.input_format == "table":
+        docs = spark.read.table(args.input)
     else:
         docs = spark.read.parquet(args.input)
     summary = run_extraction(spark, docs, args.output, args.progress,
