@@ -258,3 +258,62 @@ def test_job_cli_crawl_mode(spark, tmp_path):
     # --serialize txt adds the rendered column alongside the span sink
     a2 = rows["https://a.test/page/article2.html"]
     assert "article two body" in a2["serialized"]
+
+
+def test_job_cli_url_gates(spark, tmp_path):
+    """--url-filter and --blacklist mirror loadInputDict's URL gates
+    (cli_utils.dart:153-170): the frontier keeps only URLs containing a
+    filter substring, minus exact blacklist matches — gated URLs are
+    never fetched, not just dropped from the sink."""
+    from trafilatura_spark.job import main as job_main
+
+    fetched: set[str] = set()
+
+    def counting_transport(method, url, headers, timeout, max_bytes=None):
+        if method != "HEAD":
+            fetched.add(url)
+        return fake_transport(method, url, headers, timeout, max_bytes)
+
+    bl = tmp_path / "bl.txt"
+    bl.write_text("# comment line\n\nhttps://a.test/article3\n")
+    out = str(tmp_path / "gated_out")
+    rc = job_main(["--mode", "crawl", "--seeds", ",".join(SEEDS),
+                   "--output", out, "--max-hops", "2",
+                   "--url-filter", "a.test",
+                   "--blacklist", str(bl)],
+                  transport=counting_transport)
+    assert rc == 0
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # filter: only a.test URLs survive; blacklist: article3 is out too
+    assert "https://a.test/page/article2.html" in got
+    assert not any("b.test" in u or "c.test" in u for u in got)
+    assert "https://a.test/article3" not in got
+    page_fetches = {u for u in fetched if not u.endswith("robots.txt")}
+    assert all("a.test" in u for u in page_fetches), page_fetches
+    assert "https://a.test/article3" not in page_fetches
+
+
+def test_job_cli_no_tables(spark, tmp_path):
+    """--no-tables drops table spans end-to-end (htmlprocessing.dart:45-48
+    adds the table tags to the cleaning list when tables are off)."""
+    from trafilatura_spark.job import main as job_main
+
+    table_site = {
+        "https://t.test/robots.txt": b"User-agent: *\nAllow: /\n",
+        "https://t.test/": _page(
+            f"<p>{ARTICLE} {ARTICLE}</p>"
+            "<table><tr><td>cell one</td><td>cell two</td></tr></table>"),
+    }
+    transport = _make_transport(table_site)
+    for flag, want_table in (([], True), (["--no-tables"], False)):
+        out = str(tmp_path / f"t{want_table}")
+        rc = job_main(["--mode", "crawl", "--seeds", "https://t.test/",
+                       "--output", out, "--max-hops", "0"] + flag,
+                      transport=transport)
+        assert rc == 0
+        spans = (spark.read.parquet(out)
+                 .select(F.explode("spans").alias("s"))
+                 .select("s.kind").collect())
+        kinds = {r["kind"] for r in spans}
+        assert "p" in kinds, (flag, kinds)
+        assert ("cell" in kinds) == want_table, (flag, kinds)

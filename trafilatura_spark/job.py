@@ -326,7 +326,21 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
     p.add_argument("--no-images", action="store_true",
                    help="drop graphic spans (reference default)")
     p.add_argument("--no-comments", action="store_true")
+    p.add_argument("--no-tables", action="store_true",
+                   help="drop tables from the output (reference "
+                        "--no-tables)")
     p.add_argument("--no-metadata", action="store_true")
+    p.add_argument("--blacklist", default=None,
+                   help="file of URLs to skip, one per line, '#' comments "
+                        "(reference --blacklist, cli_utils.dart:140-150): "
+                        "extract/crawl reject matching documents via the "
+                        "urlBlacklist gate; discovery modes drop matching "
+                        "links from the output")
+    p.add_argument("--url-filter", action="append", default=None,
+                   help="substring filter, repeatable (reference "
+                        "--url-filter, cli_utils.dart:162-165): discovery "
+                        "output and the crawl frontier keep only URLs "
+                        "containing at least one given substring")
     p.add_argument("--serialize", default=None,
                    choices=["json", "csv", "txt", "markdown", "xml",
                             "xmltei", "html"],
@@ -355,12 +369,35 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
     if args.mode != "crawl" and not args.input:
         p.error(f"--input is required for --mode {args.mode}")
     spark = make_session()
+
+    blacklist: frozenset = frozenset()
+    if args.blacklist:
+        # loadBlacklist (cli_utils.dart:140-150): trimmed lines, '#'
+        # comments and blanks skipped, exact-match set
+        with open(args.blacklist, encoding="utf-8") as fh:
+            blacklist = frozenset(
+                ln.strip() for ln in fh
+                if ln.strip() and not ln.strip().startswith("#"))
+
+    def gate_links(df, col):
+        """loadInputDict URL gates (cli_utils.dart:153-170) as JVM-side
+        row filters over a discovered-links column."""
+        if blacklist:
+            df = df.filter(~F.col(col).isin(*blacklist))
+        if args.url_filter:
+            keep = F.col(col).contains(args.url_filter[0])
+            for sub in args.url_filter[1:]:
+                keep = keep | F.col(col).contains(sub)
+            df = df.filter(keep)
+        return df
+
     if args.mode == "discover-sitemaps":
         from .sources.discovery import expand_sitemaps
         fetched = spark.read.parquet(args.input)
         seeds = fetched.select("url")
-        pages = expand_sitemaps(fetched, seeds,
-                                target_lang=args.target_lang)
+        pages = gate_links(expand_sitemaps(fetched, seeds,
+                                           target_lang=args.target_lang),
+                           "link")
         pages.write.mode("overwrite").parquet(args.output)
         print({"mode": "discover-sitemaps", "links": pages.count()})
         return 0
@@ -377,6 +414,7 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
             # apply the URL-language heuristic here (sitemaps.dart:184-198)
             links = links.filter(lang_filter(F.col("link"),
                                              args.target_lang))
+        links = gate_links(links, "link")
         links.write.mode("overwrite").parquet(args.output)
         print({"mode": "discover-feeds", "links": links.count()})
         return 0
@@ -384,7 +422,9 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                       formatting=args.formatting, links=args.links,
                       images=not args.no_images,
                       comments=not args.no_comments,
-                      with_metadata=not args.no_metadata)
+                      tables=not args.no_tables,
+                      with_metadata=not args.no_metadata,
+                      url_blacklist=blacklist)
     if args.mode == "crawl":
         if not args.seeds:
             p.error("--seeds is required for --mode crawl")
@@ -394,7 +434,9 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                                transport=transport or default_transport,
                                options=options, max_hops=args.max_hops,
                                per_host_quota=args.per_host_quota,
-                               serialize=args.serialize)
+                               serialize=args.serialize,
+                               url_filter=args.url_filter,
+                               url_blacklist=blacklist)
         ex.write.mode("overwrite").parquet(args.output)
         # count the written files, not ex.count() — that would re-run
         # the whole fetch+extract lineage a second time

@@ -115,7 +115,9 @@ def crawl_site(spark: SparkSession, seeds: list[str],
                transport=default_transport, max_hops: int = 2,
                per_host_quota: int = 10, config: dict | None = None,
                partitions: int | None = None,
-               respect_robots: bool = True) -> DataFrame:
+               respect_robots: bool = True,
+               url_filter: list[str] | None = None,
+               url_blacklist: frozenset | None = None) -> DataFrame:
     """BFS crawl from seed URLs through ``max_hops`` hops; returns the
     fetched-pages table (url, hop, status, html).
 
@@ -123,15 +125,33 @@ def crawl_site(spark: SparkSession, seeds: list[str],
     quota (spider.dart:405-426 priority frontier) → per-host-partitioned
     fetch → href scrape for the next frontier (anti-join visited).
     Lineage is cut per hop (fetch output is materialized by the
-    localCheckpoint) so deep crawls don't build unbounded plans."""
+    localCheckpoint) so deep crawls don't build unbounded plans.
+
+    ``url_filter`` / ``url_blacklist`` mirror the reference CLI's
+    loadInputDict gates (cli_utils.dart:153-170): a URL enters the
+    frontier only if it is not blacklisted (exact match) and, when
+    filters are given, contains at least one filter substring.  Both are
+    CLI-file-scale (driver-side lists, JVM-side row filters); a
+    corpus-scale blacklist table belongs in a filter_known anti-join."""
     from urllib.parse import urlparse
+
+    def apply_url_gates(df: DataFrame) -> DataFrame:
+        if url_blacklist:
+            df = df.filter(~F.col("url").isin(*url_blacklist))
+        if url_filter:
+            keep = F.col("url").contains(url_filter[0])
+            for f in url_filter[1:]:
+                keep = keep | F.col("url").contains(f)
+            df = df.filter(keep)
+        return df
 
     hosts = sorted({urlparse(s).netloc for s in seeds})
     rules = (fetch_robots_rules(spark, hosts, transport, config)
              if respect_robots else None)
 
-    frontier = spark.createDataFrame([(s,) for s in seeds], "url string") \
-        .distinct()
+    frontier = apply_url_gates(
+        spark.createDataFrame([(s,) for s in seeds], "url string")
+        .distinct())
     visited = frontier
     pages = None
     for hop in range(max_hops + 1):
@@ -153,7 +173,8 @@ def crawl_site(spark: SparkSession, seeds: list[str],
         if hop == max_hops:
             break
         links = resolve_links(hop_pages.filter(F.col("html").isNotNull()))
-        frontier = filter_known(links.select("url").distinct(), visited)
+        frontier = apply_url_gates(
+            filter_known(links.select("url").distinct(), visited))
         if frontier.isEmpty():
             break
         visited = visited.unionByName(frontier).localCheckpoint()
@@ -165,20 +186,28 @@ def crawl_and_extract(spark: SparkSession, seeds: list[str],
                       max_hops: int = 2, per_host_quota: int = 10,
                       config: dict | None = None,
                       partitions: int | None = None,
-                      serialize: str | None = None) -> DataFrame:
+                      serialize: str | None = None,
+                      url_filter: list[str] | None = None,
+                      url_blacklist: frozenset | None = None) -> DataFrame:
     """The one-call analog of the reference CLI's crawl entry point
     (cli_utils.dart:379-406): crawl, then run the standard extraction
     operator over every fetched page (doc_id = url).  ``serialize``
     renders the requested output format exactly like the extract mode:
     tree formats (xml/xmltei/html/txt/markdown) inside the Arrow stage,
-    json/csv derived JVM-side from the output columns."""
+    json/csv derived JVM-side from the output columns.  ``url_filter`` /
+    ``url_blacklist`` gate the crawl frontier (see crawl_site)."""
+    from dataclasses import replace
+
     from ..operators.pipeline import extract_documents
     from ..operators.serialize import TREE_FORMATS, serialize_column
+    from ..settings import Options
     from .corpus import html_to_documents
 
+    options = options or Options()
     pages = crawl_site(spark, seeds, transport=transport, max_hops=max_hops,
                        per_host_quota=per_host_quota, config=config,
-                       partitions=partitions)
+                       partitions=partitions, url_filter=url_filter,
+                       url_blacklist=url_blacklist)
     ok = pages.filter(F.col("html").isNotNull())
 
     docs = html_to_documents(ok.select(F.col("url"), F.col("html")),
@@ -186,7 +215,6 @@ def crawl_and_extract(spark: SparkSession, seeds: list[str],
     in_stage = serialize if serialize in TREE_FORMATS else None
     if serialize and not in_stage:
         # json/csv carry the fingerprint column (core.dart:547-560)
-        from dataclasses import replace
         options = replace(options, fingerprint=True)
     ex = extract_documents(docs, options, serialize=in_stage)
     if serialize and not in_stage:
