@@ -317,3 +317,34 @@ def test_job_cli_no_tables(spark, tmp_path):
         kinds = {r["kind"] for r in spans}
         assert "p" in kinds, (flag, kinds)
         assert ("cell" in kinds) == want_table, (flag, kinds)
+
+
+def test_job_cli_probe_mode(spark, tmp_path):
+    """--mode probe (probeHomepage, cli_utils.dart:455-470): fetch each
+    URL, keep those whose html2txt text is non-empty, clears the
+    min-extracted-size gate and contains a letter."""
+    from trafilatura_spark.job import main as job_main
+
+    probe_site = {
+        "https://p.test/good": _page(f"<p>{ARTICLE} {ARTICLE}</p>"),
+        "https://p.test/short": _page("<p>tiny</p>"),
+        "https://p.test/numeric": _page(f"<p>{'123 456 ' * 60}</p>"),
+        # /gone is absent -> 404
+    }
+    transport = _make_transport(probe_site)
+    seeds = ("https://p.test/good,https://p.test/short,"
+             "https://p.test/numeric,https://p.test/gone")
+    out = str(tmp_path / "probe_out")
+    rc = job_main(["--mode", "probe", "--seeds", seeds, "--output", out],
+                  transport=transport)
+    assert rc == 0
+    got = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert got == {"https://p.test/good"}, got
+    # --min-extracted-size overrides the gate
+    out2 = str(tmp_path / "probe_out2")
+    rc = job_main(["--mode", "probe", "--seeds", seeds, "--output", out2,
+                   "--min-extracted-size", "3"],
+                  transport=transport)
+    assert rc == 0
+    got2 = {r["url"] for r in spark.read.parquet(out2).collect()}
+    assert got2 == {"https://p.test/good", "https://p.test/short"}, got2

@@ -330,6 +330,18 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                    help="drop tables from the output (reference "
                         "--no-tables)")
     p.add_argument("--no-metadata", action="store_true")
+    p.add_argument("--only-with-metadata", action="store_true",
+                   help="reject documents lacking date+title+url metadata "
+                        "(reference --only-with-metadata)")
+    p.add_argument("--deduplicate", action="store_true",
+                   help="per-document duplicate-segment filter (reference "
+                        "--deduplicate; duplicateTest semantics)")
+    p.add_argument("--min-extracted-size", type=int, default=None,
+                   help="override the MIN_EXTRACTED_SIZE gate (the "
+                        "reference's config-file knob, settings.dart:26)")
+    p.add_argument("--min-output-size", type=int, default=None,
+                   help="override the MIN_OUTPUT_SIZE gate "
+                        "(settings.dart:27)")
     p.add_argument("--blacklist", default=None,
                    help="file of URLs to skip, one per line, '#' comments "
                         "(reference --blacklist, cli_utils.dart:140-150): "
@@ -352,21 +364,27 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                         "extraction tree inside the Arrow stage")
     p.add_argument("--mode", default="extract",
                    choices=["extract", "discover-sitemaps", "discover-feeds",
-                            "crawl"],
+                            "crawl", "probe"],
                    help="extract (default); link discovery over a "
                         "fetched-documents parquet of (url, xml|content) "
                         "— the CLI analogs of the reference's --sitemap / "
                         "--feed modes (cli.dart); or crawl: live BFS from "
                         "--seeds through --max-hops, robots-gated, then "
                         "extraction (downloadQueueProcessing analog, "
-                        "cli_utils.dart:379-406)")
+                        "cli_utils.dart:379-406); or probe: fetch each "
+                        "input URL and keep those whose whole-page text "
+                        "clears the extractable gate (probeHomepage, "
+                        "cli_utils.dart:455-470)")
     p.add_argument("--seeds", default=None,
                    help="comma-separated seed URLs (--mode crawl)")
     p.add_argument("--max-hops", type=int, default=2)
     p.add_argument("--per-host-quota", type=int, default=10)
     args = p.parse_args(argv)
 
-    if args.mode != "crawl" and not args.input:
+    if args.mode == "probe":
+        if not (args.input or args.seeds):
+            p.error("--mode probe needs --input (url parquet) or --seeds")
+    elif args.mode != "crawl" and not args.input:
         p.error(f"--input is required for --mode {args.mode}")
     spark = make_session()
 
@@ -418,13 +436,39 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
         links.write.mode("overwrite").parquet(args.output)
         print({"mode": "discover-feeds", "links": links.count()})
         return 0
+    size_overrides = {}
+    if args.min_extracted_size is not None:
+        size_overrides["min_extracted_size"] = args.min_extracted_size
+    if args.min_output_size is not None:
+        size_overrides["min_output_size"] = args.min_output_size
     options = Options(fast=args.fast, focus=args.focus, lang=args.target_lang,
                       formatting=args.formatting, links=args.links,
                       images=not args.no_images,
                       comments=not args.no_comments,
                       tables=not args.no_tables,
                       with_metadata=not args.no_metadata,
-                      url_blacklist=blacklist)
+                      only_with_metadata=args.only_with_metadata,
+                      dedup=args.deduplicate,
+                      url_blacklist=blacklist,
+                      **size_overrides)
+    if args.mode == "probe":
+        # probeHomepage (cli_utils.dart:455-470): fetch, html2txt, keep
+        # URLs whose text is non-empty, > minExtractedSize, has a letter
+        from .sources.crawl import probe_extractable
+        from .sources.downloads import default_transport
+        if args.seeds:
+            urls = spark.createDataFrame(
+                [(u,) for u in args.seeds.split(",")], "url string")
+        else:
+            urls = spark.read.parquet(args.input).select("url")
+        urls = gate_links(urls, "url")
+        alive = probe_extractable(spark, urls,
+                                  transport=transport or default_transport,
+                                  min_extracted_size=options.min_extracted_size)
+        alive.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print({"mode": "probe", "extractable": n})
+        return 0
     if args.mode == "crawl":
         if not args.seeds:
             p.error("--seeds is required for --mode crawl")

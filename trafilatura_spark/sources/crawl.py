@@ -220,3 +220,50 @@ def crawl_and_extract(spark: SparkSession, seeds: list[str],
     if serialize and not in_stage:
         ex = serialize_column(ex, serialize)
     return ex
+
+
+def probe_extractable(spark: SparkSession, urls: DataFrame,
+                      transport=default_transport,
+                      min_extracted_size: int | None = None,
+                      config: dict | None = None,
+                      partitions: int | None = None) -> DataFrame:
+    """Distributed probeHomepage (cli_utils.dart:455-470): fetch each URL,
+    html2txt the page, and keep URLs whose whole-page text is non-empty,
+    longer than min_extracted_size, and contains a letter.
+
+    One fetch stage (per-host partitioned, politeness-capable) feeding
+    one narrow Arrow stage for the parse+gate — no shuffle between them."""
+    from pyspark.sql import types as T
+
+    from ..settings import MIN_EXTRACTED_SIZE
+
+    min_size = (MIN_EXTRACTED_SIZE if min_extracted_size is None
+                else min_extracted_size)
+    fetched = fetch_binary_documents(urls, transport=transport,
+                                     config=config, partitions=partitions)
+    ok = fetched.filter(F.col("status") == 200) \
+                .select("url", F.col("content").cast("string").alias("html"))
+
+    schema = T.StructType([T.StructField("url", T.StringType(), False)])
+
+    def batches(it):
+        import re as _re
+
+        import pandas as pd
+
+        from ..dom import parse_html
+        from ..operators.baseline import html2txt
+
+        letter = _re.compile(r"[a-zA-Z]")
+        for pdf in it:
+            keep = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                try:
+                    text = html2txt(parse_html(html))
+                except Exception:
+                    continue
+                if text and len(text) > min_size and letter.search(text):
+                    keep.append((url,))
+            yield pd.DataFrame(keep, columns=["url"])
+
+    return ok.mapInPandas(batches, schema)
