@@ -267,11 +267,15 @@ def test_job_cli_url_gates(spark, tmp_path):
     never fetched, not just dropped from the sink."""
     from trafilatura_spark.job import main as job_main
 
-    fetched: set[str] = set()
+    # fetches happen in python-worker subprocesses, so an in-memory set
+    # would stay empty in the test process (the closure ships by value);
+    # append to a file instead — same-machine local mode makes that safe
+    log_path = str(tmp_path / "fetch.log")
 
     def counting_transport(method, url, headers, timeout, max_bytes=None):
         if method != "HEAD":
-            fetched.add(url)
+            with open(log_path, "a", encoding="utf-8") as fh:
+                fh.write(url + "\n")
         return fake_transport(method, url, headers, timeout, max_bytes)
 
     bl = tmp_path / "bl.txt"
@@ -288,7 +292,10 @@ def test_job_cli_url_gates(spark, tmp_path):
     assert "https://a.test/page/article2.html" in got
     assert not any("b.test" in u or "c.test" in u for u in got)
     assert "https://a.test/article3" not in got
+    with open(log_path, encoding="utf-8") as fh:
+        fetched = [ln.strip() for ln in fh if ln.strip()]
     page_fetches = {u for u in fetched if not u.endswith("robots.txt")}
+    assert page_fetches, "fetch log must capture worker-side fetches"
     assert all("a.test" in u for u in page_fetches), page_fetches
     assert "https://a.test/article3" not in page_fetches
 
@@ -348,3 +355,69 @@ def test_job_cli_probe_mode(spark, tmp_path):
     assert rc == 0
     got2 = {r["url"] for r in spark.read.parquet(out2).collect()}
     assert got2 == {"https://p.test/good", "https://p.test/short"}, got2
+
+
+def test_job_cli_explore_mode(spark, tmp_path):
+    """--mode explore (cliDiscovery --explore path, cli.dart:344): live
+    sitemap discovery — robots.txt Sitemap: directive on host s, the
+    /sitemap.xml guess on host g, a 2-level sitemap index recursion —
+    then fetch + extract every discovered page."""
+    from trafilatura_spark.job import main as job_main
+
+    def sm(body: str) -> bytes:
+        return f'<?xml version="1.0"?>{body}'.encode()
+
+    explore_site = {
+        # host s: robots points at a sitemap INDEX of two child sitemaps
+        "https://s.test/robots.txt":
+            b"User-agent: *\nSitemap: https://s.test/si.xml\n",
+        "https://s.test/si.xml": sm(
+            "<sitemapindex>"
+            "<sitemap><loc>https://s.test/sm1.xml</loc></sitemap>"
+            "<sitemap><loc>https://s.test/sm2.xml</loc></sitemap>"
+            "</sitemapindex>"),
+        "https://s.test/sm1.xml": sm(
+            "<urlset><url><loc>https://s.test/a1</loc></url></urlset>"),
+        "https://s.test/sm2.xml": sm(
+            "<urlset><url><loc>https://s.test/a2</loc></url>"
+            "<url><loc>https://other.test/offsite</loc></url></urlset>"),
+        "https://s.test/a1": _page(f"<p>{ARTICLE} page a1.</p>"),
+        "https://s.test/a2": _page(f"<p>{ARTICLE} page a2.</p>"),
+        # host g: no robots Sitemap -> /sitemap.xml guess
+        "https://g.test/sitemap.xml": sm(
+            "<urlset><url><loc>https://g.test/p1</loc></url></urlset>"),
+        "https://g.test/p1": _page(f"<p>{ARTICLE} page g1.</p>"),
+    }
+    inner = _make_transport(explore_site)
+    # file-based log: fetches run in python-worker subprocesses
+    log_path = str(tmp_path / "explore_fetch.log")
+
+    def transport(method, url, headers, timeout, max_bytes=None):
+        if method != "HEAD":
+            with open(log_path, "a", encoding="utf-8") as fh:
+                fh.write(url + "\n")
+        return inner(method, url, headers, timeout, max_bytes)
+
+    out = str(tmp_path / "explore_out")
+    rc = job_main(["--mode", "explore",
+                   "--seeds", "https://s.test/,https://g.test/",
+                   "--output", out,
+                   "--min-extracted-size", "5", "--min-output-size", "1"],
+                  transport=transport)
+    assert rc == 0
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    ok = {u for u, r in rows.items() if r["status"] == "ok"}
+    assert ok == {"https://s.test/a1", "https://s.test/a2",
+                  "https://g.test/p1"}, ok
+    # the off-site <loc> never reaches the fetch stage
+    assert "https://other.test/offsite" not in rows
+    assert any("page a2" in s["text"] for s in rows["https://s.test/a2"]["spans"])
+    # exactly-once HTTP: localCheckpoint cuts lineage before reuse, so
+    # neither sitemaps nor pages are fetched twice (the driver-side
+    # robots probe is per host, also once)
+    with open(log_path, encoding="utf-8") as fh:
+        fetched = [ln.strip() for ln in fh if ln.strip()]
+    assert fetched, "fetch log must capture worker-side fetches"
+    dupes = {u for u in fetched if fetched.count(u) > 1}
+    assert not dupes, dupes
+    assert "https://other.test/offsite" not in fetched

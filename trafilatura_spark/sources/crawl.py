@@ -196,6 +196,19 @@ def crawl_and_extract(spark: SparkSession, seeds: list[str],
     tree formats (xml/xmltei/html/txt/markdown) inside the Arrow stage,
     json/csv derived JVM-side from the output columns.  ``url_filter`` /
     ``url_blacklist`` gate the crawl frontier (see crawl_site)."""
+    pages = crawl_site(spark, seeds, transport=transport, max_hops=max_hops,
+                       per_host_quota=per_host_quota, config=config,
+                       partitions=partitions, url_filter=url_filter,
+                       url_blacklist=url_blacklist)
+    return extract_fetched_pages(pages, options, serialize=serialize)
+
+
+def extract_fetched_pages(pages: DataFrame, options=None,
+                          serialize: str | None = None) -> DataFrame:
+    """(url, html) → extraction output (doc_id = url): the shared tail of
+    the crawl/explore drivers — the standard extraction operator plus the
+    extract mode's --serialize handling (tree formats in-stage, json/csv
+    JVM-side)."""
     from dataclasses import replace
 
     from ..operators.pipeline import extract_documents
@@ -204,10 +217,6 @@ def crawl_and_extract(spark: SparkSession, seeds: list[str],
     from .corpus import html_to_documents
 
     options = options or Options()
-    pages = crawl_site(spark, seeds, transport=transport, max_hops=max_hops,
-                       per_host_quota=per_host_quota, config=config,
-                       partitions=partitions, url_filter=url_filter,
-                       url_blacklist=url_blacklist)
     ok = pages.filter(F.col("html").isNotNull())
 
     docs = html_to_documents(ok.select(F.col("url"), F.col("html")),
@@ -267,3 +276,126 @@ def probe_extractable(spark: SparkSession, urls: DataFrame,
             yield pd.DataFrame(keep, columns=["url"])
 
     return ok.mapInPandas(batches, schema)
+
+
+def live_sitemap_pages(spark: SparkSession, seeds: list[str],
+                       transport=default_transport,
+                       target_lang: str | None = None,
+                       max_rounds: int = 10,
+                       max_sitemaps_seen: int = 10_000,
+                       max_links: int = 10_000,
+                       config: dict | None = None,
+                       partitions: int | None = None) -> DataFrame:
+    """Live sitemapSearch (sitemaps.dart:267-283): per seed host the
+    candidate sitemaps come from robots.txt ``Sitemap:`` directives
+    (sitemaps.dart:324-366), falling back to the /sitemap.xml guess; each
+    round then FETCHES the sitemap frontier and applies the same
+    relational round algebra as discovery.expand_sitemaps — plausibility
+    gate, <loc>/TXT link lift, language + same-domain filters, child
+    sitemaps (DETECT_SITEMAP_LINK) become the next frontier bounded by
+    ``max_sitemaps_seen``, the rest accumulate as page URLs.
+
+    The seed robots fetch is driver-side (seed lists are CLI-scale); the
+    per-round sitemap fetches are the distributed per-host-partitioned
+    stage.  Every fetch round is cut with localCheckpoint so downstream
+    reuse never re-executes HTTP lineage.  Returns distinct
+    (sitemap_url, link) page rows."""
+    from urllib.parse import urlparse
+
+    from .discovery import (DETECT_SITEMAP_LINK, _similar_host,
+                            clean_url_col, extract_robots_sitemaps,
+                            guess_sitemap_urls, is_plausible_sitemap,
+                            lang_filter, sitemap_links)
+    from .downloads import _send_request
+
+    candidates: list[str] = []
+    for host in sorted({urlparse(s).netloc for s in seeds}):
+        base = f"https://{host}"
+        resp = _send_request(f"{base}/robots.txt", transport, config)
+        robots = (resp.data.decode("utf-8", "replace")
+                  if resp is not None and resp.status == 200 else None)
+        from_robots = extract_robots_sitemaps(robots, base)
+        candidates.extend(from_robots or guess_sitemap_urls(base + "/"))
+
+    if not candidates:
+        return spark.createDataFrame([], "sitemap_url string, link string")
+    frontier = spark.createDataFrame(
+        [(u,) for u in dict.fromkeys(candidates)], "url string")
+    seen = frontier
+    seen_count = frontier.count()
+    pages = None
+    for rnd in range(max_rounds):
+        fetched = fetch_binary_documents(frontier, transport=transport,
+                                         config=config,
+                                         partitions=partitions)
+        docs = (fetched.filter(F.col("status") == 200)
+                .select("url", F.col("content").cast("string").alias("xml"))
+                .filter(is_plausible_sitemap(F.col("url"), F.col("xml")))
+                # cut HTTP lineage NOW: both the page and nested branches
+                # below re-read this frame, and lineage re-execution would
+                # re-fetch every sitemap
+                .localCheckpoint())
+        links = docs.select(
+            F.col("url").alias("sitemap_url"),
+            F.explode(sitemap_links(F.col("xml"), max_links,
+                                    target_lang)).alias("link"),
+        ).withColumn("link", clean_url_col(F.col("link"))).distinct()
+        if target_lang:
+            links = links.filter(lang_filter(F.col("link"), target_lang))
+        links = links.filter(_similar_host(
+            F.parse_url(F.col("link"), F.lit("HOST")),
+            F.parse_url(F.col("sitemap_url"), F.lit("HOST"))))
+        pg = links.filter(~F.col("link").rlike(DETECT_SITEMAP_LINK))
+        pages = pg if pages is None else pages.unionByName(pg)
+        budget = max_sitemaps_seen - seen_count
+        if budget <= 0:
+            break
+        nested = (links.filter(F.col("link").rlike(DETECT_SITEMAP_LINK))
+                  .select(F.col("link").alias("url"))
+                  .join(seen, "url", "left_anti").distinct()
+                  .limit(budget).localCheckpoint())
+        n = nested.count()
+        if n == 0:
+            break
+        seen = seen.unionByName(nested).localCheckpoint()
+        seen_count += n
+        frontier = nested
+    if pages is None:
+        return spark.createDataFrame([], "sitemap_url string, link string")
+    return pages.distinct().localCheckpoint()
+
+
+def explore_and_extract(spark: SparkSession, seeds: list[str],
+                        transport=default_transport, options=None,
+                        target_lang: str | None = None,
+                        config: dict | None = None,
+                        partitions: int | None = None,
+                        serialize: str | None = None,
+                        url_filter: list[str] | None = None,
+                        url_blacklist: frozenset | None = None) -> DataFrame:
+    """The reference CLI's --explore path (cli.dart:344 → cliDiscovery →
+    urlProcessingPipeline): live sitemap discovery from the seed hosts,
+    then fetch every discovered page URL (per-host partitioned,
+    politeness-capable) and run the standard extraction operator.
+    ``url_filter`` / ``url_blacklist`` gate the discovered page list
+    before any page fetch (the CLI doc's promise for --url-filter +
+    --sitemap)."""
+    page_urls = live_sitemap_pages(spark, seeds, transport=transport,
+                                   target_lang=target_lang, config=config,
+                                   partitions=partitions) \
+        .select("link").distinct() \
+        .withColumnRenamed("link", "url")
+    if url_blacklist:
+        page_urls = page_urls.filter(~F.col("url").isin(*url_blacklist))
+    if url_filter:
+        keep = F.col("url").contains(url_filter[0])
+        for sub in url_filter[1:]:
+            keep = keep | F.col("url").contains(sub)
+        page_urls = page_urls.filter(keep)
+    fetched = fetch_binary_documents(page_urls, transport=transport,
+                                     config=config, partitions=partitions)
+    pages = fetched.select(
+        "url", F.when(F.col("status") == 200,
+                      F.col("content").cast("string")).alias("html")) \
+        .localCheckpoint()
+    return extract_fetched_pages(pages, options, serialize=serialize)
