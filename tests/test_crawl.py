@@ -421,3 +421,21 @@ def test_job_cli_explore_mode(spark, tmp_path):
     dupes = {u for u in fetched if fetched.count(u) > 1}
     assert not dupes, dupes
     assert "https://other.test/offsite" not in fetched
+
+
+def test_job_cli_backup_dir(spark, tmp_path):
+    """--backup-dir (reference --backup-dir): the raw fetched HTML is kept
+    as parquet alongside the extraction output, without re-fetching."""
+    from trafilatura_spark.job import main as job_main
+
+    out = str(tmp_path / "bk_out")
+    backup = str(tmp_path / "bk_raw")
+    rc = job_main(["--mode", "crawl", "--seeds", "https://c.test/",
+                   "--output", out, "--max-hops", "0",
+                   "--backup-dir", backup],
+                  transport=fake_transport)
+    assert rc == 0
+    raw = {r["url"]: r for r in spark.read.parquet(backup).collect()}
+    assert set(raw) == {"https://c.test/"}
+    assert "from c." in raw["https://c.test/"]["html"]
+    assert {"url", "hop", "status", "html"} <= set(raw["https://c.test/"].asDict())

@@ -348,6 +348,10 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                         "extract/crawl reject matching documents via the "
                         "urlBlacklist gate; discovery modes drop matching "
                         "links from the output")
+    p.add_argument("--backup-dir", default=None,
+                   help="crawl/explore: also write the raw fetched pages "
+                        "(url[, hop], status, html) as parquet here "
+                        "(reference --backup-dir)")
     p.add_argument("--url-filter", action="append", default=None,
                    help="substring filter, repeatable (reference "
                         "--url-filter, cli_utils.dart:162-165): discovery "
@@ -485,7 +489,8 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                                  target_lang=args.target_lang,
                                  serialize=args.serialize,
                                  url_filter=args.url_filter,
-                                 url_blacklist=blacklist)
+                                 url_blacklist=blacklist,
+                                 backup_path=args.backup_dir)
         ex.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print({"mode": "explore", "docs": n})
@@ -501,7 +506,8 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                                per_host_quota=args.per_host_quota,
                                serialize=args.serialize,
                                url_filter=args.url_filter,
-                               url_blacklist=blacklist)
+                               url_blacklist=blacklist,
+                               backup_path=args.backup_dir)
         ex.write.mode("overwrite").parquet(args.output)
         # count the written files, not ex.count() — that would re-run
         # the whole fetch+extract lineage a second time

@@ -188,18 +188,25 @@ def crawl_and_extract(spark: SparkSession, seeds: list[str],
                       partitions: int | None = None,
                       serialize: str | None = None,
                       url_filter: list[str] | None = None,
-                      url_blacklist: frozenset | None = None) -> DataFrame:
+                      url_blacklist: frozenset | None = None,
+                      backup_path: str | None = None) -> DataFrame:
     """The one-call analog of the reference CLI's crawl entry point
     (cli_utils.dart:379-406): crawl, then run the standard extraction
     operator over every fetched page (doc_id = url).  ``serialize``
     renders the requested output format exactly like the extract mode:
     tree formats (xml/xmltei/html/txt/markdown) inside the Arrow stage,
     json/csv derived JVM-side from the output columns.  ``url_filter`` /
-    ``url_blacklist`` gate the crawl frontier (see crawl_site)."""
+    ``url_blacklist`` gate the crawl frontier (see crawl_site).
+    ``backup_path`` writes the raw fetched pages (url, hop, status, html)
+    as parquet before extraction — the reference's --backup-dir (raw HTML
+    kept alongside the processed output); pages are localCheckpointed per
+    hop, so the backup write re-fetches nothing."""
     pages = crawl_site(spark, seeds, transport=transport, max_hops=max_hops,
                        per_host_quota=per_host_quota, config=config,
                        partitions=partitions, url_filter=url_filter,
                        url_blacklist=url_blacklist)
+    if backup_path:
+        pages.write.mode("overwrite").parquet(backup_path)
     return extract_fetched_pages(pages, options, serialize=serialize)
 
 
@@ -372,14 +379,16 @@ def explore_and_extract(spark: SparkSession, seeds: list[str],
                         partitions: int | None = None,
                         serialize: str | None = None,
                         url_filter: list[str] | None = None,
-                        url_blacklist: frozenset | None = None) -> DataFrame:
+                        url_blacklist: frozenset | None = None,
+                        backup_path: str | None = None) -> DataFrame:
     """The reference CLI's --explore path (cli.dart:344 → cliDiscovery →
     urlProcessingPipeline): live sitemap discovery from the seed hosts,
     then fetch every discovered page URL (per-host partitioned,
     politeness-capable) and run the standard extraction operator.
     ``url_filter`` / ``url_blacklist`` gate the discovered page list
     before any page fetch (the CLI doc's promise for --url-filter +
-    --sitemap)."""
+    --sitemap).  ``backup_path`` keeps the raw fetched pages as parquet
+    (--backup-dir analog)."""
     page_urls = live_sitemap_pages(spark, seeds, transport=transport,
                                    target_lang=target_lang, config=config,
                                    partitions=partitions) \
@@ -398,4 +407,6 @@ def explore_and_extract(spark: SparkSession, seeds: list[str],
         "url", F.when(F.col("status") == 200,
                       F.col("content").cast("string")).alias("html")) \
         .localCheckpoint()
+    if backup_path:
+        pages.write.mode("overwrite").parquet(backup_path)
     return extract_fetched_pages(pages, options, serialize=serialize)
