@@ -527,6 +527,34 @@ def q_streaming_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_probe_extractable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed probeHomepage (cli_utils.dart:455-470 via
+    crawl.probe_extractable): a deterministic transport synthesizes the
+    page from the URL's doc_id — id%3==0 a long article (clears the
+    250-char gate), id%3==1 a tiny page (fails the gate), id%3==2 a 404 —
+    so only every third URL survives the fetch → html2txt → size+letter
+    gate.  The transport is pure (URL → bytes), so the fetch stage stays
+    an ordinary narrow Arrow stage with nothing to collect."""
+    from trafilatura_spark.sources.crawl import probe_extractable
+
+    def synth_transport(method, url, headers, timeout, max_bytes=None):
+        doc_id = int(url.rsplit("/", 1)[1])
+        if doc_id % 3 == 2:
+            return 404, {}, b"not found"
+        if doc_id % 3 == 1:
+            body = "<p>tiny</p>"
+        else:
+            body = "<p>" + " ".join(f"word{doc_id}x{i}"
+                                    for i in range(60)) + "</p>"
+        return 200, {}, f"<html><body>{body}</body></html>".encode()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.select(
+        F.concat(F.lit("https://"), "source", F.lit(".example.com/probe/"),
+                 "doc_id").alias("url"))
+    return probe_extractable(spark, urls, transport=synth_transport)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Charikar simhash fingerprint (deduplication.dart
     142-159 via content_fingerprint) — the Python token-hash simhash
@@ -1229,6 +1257,14 @@ SELECT src, url FROM (
 )
 """
 
+_ORACLE_PROBE_EXTRACTABLE = """
+-- probeHomepage gate: only the id%3==0 URLs serve a page whose
+-- whole-page text clears the 250-char default; id%3==1 is a tiny page,
+-- id%3==2 a 404
+SELECT 'https://' || source || '.example.com/probe/' || doc_id AS url
+FROM documents WHERE doc_id % 3 = 0
+"""
+
 _ORACLE_STREAMING_FRONTIER = """
 WITH u AS (
     SELECT source || '.example.com' AS host,
@@ -1860,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spider_robots": q_spider_robots,
         "spider_nav_priority": q_spider_nav_priority,
         "crawl_links": q_crawl_links,
+        "probe_extractable": q_probe_extractable,
         "streaming_frontier": q_streaming_frontier,
         "doc_fingerprint": q_doc_fingerprint,
         "serialize_csv": q_serialize_csv,
@@ -1920,6 +1957,7 @@ def oracle_sql() -> dict[str, str]:
         "spider_robots": _ORACLE_ROBOTS,
         "spider_nav_priority": _ORACLE_NAV_PRIORITY,
         "crawl_links": _ORACLE_CRAWL_LINKS,
+        "probe_extractable": _ORACLE_PROBE_EXTRACTABLE,
         "streaming_frontier": _ORACLE_STREAMING_FRONTIER,
         "doc_fingerprint": _ORACLE_DOC_FINGERPRINT,
         "serialize_csv": _ORACLE_SERIALIZE_CSV,
