@@ -555,6 +555,50 @@ def q_probe_extractable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_extractable(spark, urls, transport=synth_transport)
 
 
+def q_explore_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live sitemapSearch (sitemaps.dart:267-283 via
+    crawl.live_sitemap_pages, the --explore discovery stage): per source
+    host the synthetic transport serves robots.txt with a Sitemap:
+    directive pointing at a sitemap INDEX whose two children split the
+    host's documents by doc_id parity — the walker must follow the
+    directive, recurse through the index, and attribute every page link
+    to the child sitemap that listed it."""
+    from trafilatura_spark.sources.crawl import live_sitemap_pages
+
+    rows = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("source", "doc_id").collect())
+    by_source: dict[str, list[int]] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(int(r["doc_id"]))
+
+    site: dict[str, bytes] = {}
+    for source, ids in by_source.items():
+        host = f"{source}.example.com"
+        site[f"https://{host}/robots.txt"] = \
+            f"User-agent: *\nSitemap: https://{host}/si.xml\n".encode()
+        site[f"https://{host}/si.xml"] = (
+            '<?xml version="1.0"?><sitemapindex>'
+            f"<sitemap><loc>https://{host}/sm-even.xml</loc></sitemap>"
+            f"<sitemap><loc>https://{host}/sm-odd.xml</loc></sitemap>"
+            "</sitemapindex>").encode()
+        for par, name in ((0, "sm-even"), (1, "sm-odd")):
+            locs = "".join(
+                f"<url><loc>https://{host}/posts/{i}</loc></url>"
+                for i in sorted(ids) if i % 2 == par)
+            site[f"https://{host}/{name}.xml"] = \
+                f'<?xml version="1.0"?><urlset>{locs}</urlset>'.encode()
+
+    def transport(method, url, headers, timeout, max_bytes=None):
+        body = site.get(url)
+        if body is None:
+            return 404, {}, b"not found"
+        return 200, {}, b"" if method == "HEAD" else body
+
+    seeds = [f"https://{s}.example.com/" for s in sorted(by_source)]
+    return live_sitemap_pages(spark, seeds, transport=transport) \
+        .select("sitemap_url", "link")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Charikar simhash fingerprint (deduplication.dart
     142-159 via content_fingerprint) — the Python token-hash simhash
@@ -1265,6 +1309,16 @@ SELECT 'https://' || source || '.example.com/probe/' || doc_id AS url
 FROM documents WHERE doc_id % 3 = 0
 """
 
+_ORACLE_EXPLORE_SITEMAPS = """
+-- the index walker attributes each /posts/{id} page to the parity child
+-- sitemap that listed it
+SELECT 'https://' || source || '.example.com/sm-'
+       || CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END
+       || '.xml' AS sitemap_url,
+       'https://' || source || '.example.com/posts/' || doc_id AS link
+FROM documents
+"""
+
 _ORACLE_STREAMING_FRONTIER = """
 WITH u AS (
     SELECT source || '.example.com' AS host,
@@ -1897,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spider_nav_priority": q_spider_nav_priority,
         "crawl_links": q_crawl_links,
         "probe_extractable": q_probe_extractable,
+        "explore_sitemaps": q_explore_sitemaps,
         "streaming_frontier": q_streaming_frontier,
         "doc_fingerprint": q_doc_fingerprint,
         "serialize_csv": q_serialize_csv,
@@ -1958,6 +2013,7 @@ def oracle_sql() -> dict[str, str]:
         "spider_nav_priority": _ORACLE_NAV_PRIORITY,
         "crawl_links": _ORACLE_CRAWL_LINKS,
         "probe_extractable": _ORACLE_PROBE_EXTRACTABLE,
+        "explore_sitemaps": _ORACLE_EXPLORE_SITEMAPS,
         "streaming_frontier": _ORACLE_STREAMING_FRONTIER,
         "doc_fingerprint": _ORACLE_DOC_FINGERPRINT,
         "serialize_csv": _ORACLE_SERIALIZE_CSV,
