@@ -599,6 +599,48 @@ def q_explore_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sitemap_url", "link")
 
 
+def q_feed_discovery_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live findFeedUrls (feeds.dart:368-431 via crawl.live_feed_pages,
+    the --feed discovery stage): even-numbered sources seed the feed URL
+    directly (extractLinks branch), odd-numbered sources seed the
+    homepage whose rel=alternate link routes through determineFeed plus
+    one more fetch round — both branches must surface exactly the
+    host's /posts/{doc_id} articles."""
+    from trafilatura_spark.sources.crawl import live_feed_pages
+
+    rows = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("source", "doc_id").collect())
+    by_source: dict[str, list[int]] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(int(r["doc_id"]))
+
+    site: dict[str, bytes] = {}
+    seeds: list[str] = []
+    for source, ids in by_source.items():
+        host = f"{source}.example.com"
+        items = "".join(f"<item><link>https://{host}/posts/{i}</link></item>"
+                        for i in sorted(ids))
+        site[f"https://{host}/rss.xml"] = (
+            f'<?xml version="1.0"?><rss><channel>{items}'
+            "</channel></rss>").encode()
+        site[f"https://{host}/"] = (
+            '<html><head><link rel="alternate" '
+            'type="application/rss+xml" href="/rss.xml"></head>'
+            "<body>home</body></html>").encode()
+        n = int(source[3:])
+        seeds.append(f"https://{host}/rss.xml" if n % 2 == 0
+                     else f"https://{host}/")
+
+    def transport(method, url, headers, timeout, max_bytes=None):
+        body = site.get(url)
+        if body is None:
+            return 404, {}, b"not found"
+        return 200, {}, b"" if method == "HEAD" else body
+
+    return live_feed_pages(spark, sorted(seeds), transport=transport) \
+        .select("seed", "link")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Charikar simhash fingerprint (deduplication.dart
     142-159 via content_fingerprint) — the Python token-hash simhash
@@ -1319,6 +1361,16 @@ SELECT 'https://' || source || '.example.com/sm-'
 FROM documents
 """
 
+_ORACLE_FEED_LIVE = """
+-- both findFeedUrls branches surface the host's /posts/{id} set; the
+-- seed column records which branch (direct feed vs homepage) ran
+SELECT 'https://' || source || '.example.com'
+       || CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+               THEN '/rss.xml' ELSE '/' END AS seed,
+       'https://' || source || '.example.com/posts/' || doc_id AS link
+FROM documents
+"""
+
 _ORACLE_STREAMING_FRONTIER = """
 WITH u AS (
     SELECT source || '.example.com' AS host,
@@ -1952,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_links": q_crawl_links,
         "probe_extractable": q_probe_extractable,
         "explore_sitemaps": q_explore_sitemaps,
+        "feed_discovery_live": q_feed_discovery_live,
         "streaming_frontier": q_streaming_frontier,
         "doc_fingerprint": q_doc_fingerprint,
         "serialize_csv": q_serialize_csv,
@@ -2014,6 +2067,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_links": _ORACLE_CRAWL_LINKS,
         "probe_extractable": _ORACLE_PROBE_EXTRACTABLE,
         "explore_sitemaps": _ORACLE_EXPLORE_SITEMAPS,
+        "feed_discovery_live": _ORACLE_FEED_LIVE,
         "streaming_frontier": _ORACLE_STREAMING_FRONTIER,
         "doc_fingerprint": _ORACLE_DOC_FINGERPRINT,
         "serialize_csv": _ORACLE_SERIALIZE_CSV,

@@ -439,3 +439,49 @@ def test_job_cli_backup_dir(spark, tmp_path):
     assert set(raw) == {"https://c.test/"}
     assert "from c." in raw["https://c.test/"]["html"]
     assert {"url", "hop", "status", "html"} <= set(raw["https://c.test/"].asDict())
+
+
+def test_job_cli_feed_mode(spark, tmp_path):
+    """--mode feed (findFeedUrls, feeds.dart:368-431): a direct-feed seed
+    yields its links immediately; a homepage seed routes through
+    determineFeed -> feed fetch -> extractLinks; a linkless seed falls
+    back to the Google-News RSS probe (via the same transport).  All
+    discovered articles are then fetched and extracted."""
+    from trafilatura_spark.job import main as job_main
+
+    def rss(*links: str) -> bytes:
+        items = "".join(f"<item><link>{u}</link></item>" for u in links)
+        return (f'<?xml version="1.0"?><rss><channel>{items}'
+                "</channel></rss>").encode()
+
+    feed_site = {
+        # host f: the seed IS a feed (direct extractLinks branch)
+        "https://f.test/feed.xml": rss("https://f.test/art1"),
+        "https://f.test/art1": _page(f"<p>{ARTICLE} feed article one.</p>"),
+        # host h: homepage with a rel=alternate feed link
+        "https://h.test/": _page(
+            '<link rel="alternate" type="application/rss+xml" '
+            'href="/rss.xml">'),
+        "https://h.test/rss.xml": rss("https://h.test/art2"),
+        "https://h.test/art2": _page(f"<p>{ARTICLE} feed article two.</p>"),
+        # host n: nothing on-site -> gnews probe
+        "https://news.google.com/rss/search?q=site:n.test&hl=en&scoring=n"
+        "&num=100": rss("https://n.test/art3"),
+        "https://n.test/": _page("<p>no feeds here</p>"),
+        "https://n.test/art3": _page(f"<p>{ARTICLE} gnews article.</p>"),
+    }
+    transport = _make_transport(feed_site)
+    out = str(tmp_path / "feed_out")
+    rc = job_main(["--mode", "feed",
+                   "--seeds",
+                   "https://f.test/feed.xml,https://h.test/,https://n.test/",
+                   "--output", out, "--target-lang", "en",
+                   "--min-extracted-size", "5", "--min-output-size", "1"],
+                  transport=transport)
+    assert rc == 0
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    ok = {u for u, r in rows.items() if r["status"] == "ok"}
+    assert ok == {"https://f.test/art1", "https://h.test/art2",
+                  "https://n.test/art3"}, ok
+    assert any("feed article two" in s["text"]
+               for s in rows["https://h.test/art2"]["spans"])

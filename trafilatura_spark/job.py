@@ -368,7 +368,7 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                         "extraction tree inside the Arrow stage")
     p.add_argument("--mode", default="extract",
                    choices=["extract", "discover-sitemaps", "discover-feeds",
-                            "crawl", "probe", "explore"],
+                            "crawl", "probe", "explore", "feed"],
                    help="extract (default); link discovery over a "
                         "fetched-documents parquet of (url, xml|content) "
                         "— the CLI analogs of the reference's --sitemap / "
@@ -381,7 +381,9 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                         "cli_utils.dart:455-470); or explore: live "
                         "sitemap discovery from the seed hosts, then "
                         "fetch + extract every discovered page "
-                        "(--explore, cli.dart:344 via cliDiscovery)")
+                        "(--explore, cli.dart:344 via cliDiscovery); or "
+                        "feed: live feed discovery (findFeedUrls, "
+                        "feeds.dart:368-431), then fetch + extract")
     p.add_argument("--seeds", default=None,
                    help="comma-separated seed URLs (--mode crawl)")
     p.add_argument("--max-hops", type=int, default=2)
@@ -391,9 +393,9 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
     if args.mode == "probe":
         if not (args.input or args.seeds):
             p.error("--mode probe needs --input (url parquet) or --seeds")
-    elif args.mode == "explore":
+    elif args.mode in ("explore", "feed"):
         if not args.seeds:
-            p.error("--seeds is required for --mode explore")
+            p.error(f"--seeds is required for --mode {args.mode}")
     elif args.mode != "crawl" and not args.input:
         p.error(f"--input is required for --mode {args.mode}")
     spark = make_session()
@@ -479,21 +481,23 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
         n = spark.read.parquet(args.output).count()
         print({"mode": "probe", "extractable": n})
         return 0
-    if args.mode == "explore":
-        # cliDiscovery (--explore): live sitemap walk, then fetch+extract
-        from .sources.crawl import explore_and_extract
+    if args.mode in ("explore", "feed"):
+        # cliDiscovery: live sitemap/feed discovery, then fetch+extract
+        from .sources.crawl import explore_and_extract, feed_and_extract
         from .sources.downloads import default_transport
-        ex = explore_and_extract(spark, args.seeds.split(","),
-                                 transport=transport or default_transport,
-                                 options=options,
-                                 target_lang=args.target_lang,
-                                 serialize=args.serialize,
-                                 url_filter=args.url_filter,
-                                 url_blacklist=blacklist,
-                                 backup_path=args.backup_dir)
+        driver = explore_and_extract if args.mode == "explore" \
+            else feed_and_extract
+        ex = driver(spark, args.seeds.split(","),
+                    transport=transport or default_transport,
+                    options=options,
+                    target_lang=args.target_lang,
+                    serialize=args.serialize,
+                    url_filter=args.url_filter,
+                    url_blacklist=blacklist,
+                    backup_path=args.backup_dir)
         ex.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
-        print({"mode": "explore", "docs": n})
+        print({"mode": args.mode, "docs": n})
         return 0
     if args.mode == "crawl":
         if not args.seeds:

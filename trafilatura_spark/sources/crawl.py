@@ -394,6 +394,24 @@ def explore_and_extract(spark: SparkSession, seeds: list[str],
                                    partitions=partitions) \
         .select("link").distinct() \
         .withColumnRenamed("link", "url")
+    return fetch_and_extract_urls(page_urls, transport=transport,
+                                  options=options, config=config,
+                                  partitions=partitions, serialize=serialize,
+                                  url_filter=url_filter,
+                                  url_blacklist=url_blacklist,
+                                  backup_path=backup_path)
+
+
+def fetch_and_extract_urls(page_urls: DataFrame, transport=default_transport,
+                           options=None, config: dict | None = None,
+                           partitions: int | None = None,
+                           serialize: str | None = None,
+                           url_filter: list[str] | None = None,
+                           url_blacklist: frozenset | None = None,
+                           backup_path: str | None = None) -> DataFrame:
+    """Shared tail of the discovery-driven drivers (explore/feed): gate
+    the discovered URL list (loadInputDict semantics), fetch per-host
+    partitioned, optionally back up the raw pages, then extract."""
     if url_blacklist:
         page_urls = page_urls.filter(~F.col("url").isin(*url_blacklist))
     if url_filter:
@@ -410,3 +428,178 @@ def explore_and_extract(spark: SparkSession, seeds: list[str],
     if backup_path:
         pages.write.mode("overwrite").parquet(backup_path)
     return extract_fetched_pages(pages, options, serialize=serialize)
+
+
+def feed_and_extract(spark: SparkSession, seeds: list[str],
+                     transport=default_transport, options=None,
+                     target_lang: str | None = None,
+                     config: dict | None = None,
+                     partitions: int | None = None,
+                     serialize: str | None = None,
+                     url_filter: list[str] | None = None,
+                     url_blacklist: frozenset | None = None,
+                     backup_path: str | None = None) -> DataFrame:
+    """The reference CLI's --feed path (cliDiscovery with findFeedUrls):
+    live feed discovery from the seeds, then fetch + extract every
+    discovered article URL."""
+    page_urls = live_feed_pages(spark, seeds, transport=transport,
+                                target_lang=target_lang, config=config,
+                                partitions=partitions) \
+        .select("link").distinct() \
+        .withColumnRenamed("link", "url")
+    return fetch_and_extract_urls(page_urls, transport=transport,
+                                  options=options, config=config,
+                                  partitions=partitions, serialize=serialize,
+                                  url_filter=url_filter,
+                                  url_blacklist=url_blacklist,
+                                  backup_path=backup_path)
+
+
+def live_feed_pages(spark: SparkSession, seeds: list[str],
+                    transport=default_transport,
+                    target_lang: str | None = None,
+                    config: dict | None = None,
+                    partitions: int | None = None) -> DataFrame:
+    """Live findFeedUrls (feeds.dart:368-431, the --feed discovery
+    stage): fetch each seed; a direct feed yields its links immediately
+    (extractLinks branch), a homepage yields candidate feed URLs
+    (determineFeed) which one more distributed round fetches and
+    extracts.  Deep seed URLs (longer than base + 2) arm the reference's
+    same-host urlfilter over the homepage branch's links; seeds whose
+    branches yield nothing fall back to the Google-News RSS probe
+    (probeGnews, feeds.dart:351-363 — requires ``target_lang``), fetched
+    through the same transport.  Returns distinct (seed, link) rows.
+
+    The reference's tryHomepage retry (re-run a failed deep seed at its
+    base URL) is applied once, driver-side, before the rounds."""
+    from pyspark.sql import types as T
+
+    from .feeds import (FeedParameters, determine_feed, extract_links,
+                        filter_urls, get_host_info)
+    from .downloads import _send_request
+
+    # tryHomepage (feeds.dart:425-438): a deep seed whose fetch fails
+    # retries once at its base URL; CLI-scale, so probed driver-side
+    retried: list[str] = []
+    for s in dict.fromkeys(seeds):
+        resp = _send_request(s, transport, config)
+        if resp is None or resp.status != 200:
+            _, base = get_host_info(s)
+            if base and s.rstrip("/") != base:
+                retried.append(base + "/")
+                continue
+        retried.append(s)
+    seeds = list(dict.fromkeys(retried))
+
+    seed_df = spark.createDataFrame([(s,) for s in seeds], "seed string")
+    fetched0 = fetch_binary_documents(seed_df.withColumnRenamed("seed", "url"),
+                                      transport=transport, config=config,
+                                      partitions=partitions)
+
+    r0_schema = T.StructType([
+        T.StructField("seed", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("link", T.StringType(), False),
+    ])
+
+    def classify(it):
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for url, status, content in zip(pdf["url"], pdf["status"],
+                                            pdf["content"]):
+                if status != 200 or content is None:
+                    continue
+                text = bytes(content).decode("utf-8", "replace")
+                domain, base = get_host_info(url)
+                if domain is None:
+                    continue
+                params = FeedParameters(base=base, domain=domain,
+                                        reference=url, lang=target_lang)
+                direct = extract_links(text, params)
+                if direct:
+                    rows.extend((url, "page", ln) for ln in direct)
+                else:
+                    rows.extend((url, "feed", ln)
+                                for ln in determine_feed(text, params))
+            yield pd.DataFrame(rows, columns=["seed", "kind", "link"])
+
+    classified = fetched0.mapInPandas(classify, r0_schema).localCheckpoint()
+
+    pages = classified.filter(F.col("kind") == "page") \
+        .select("seed", "link")
+    feed_cands = classified.filter(F.col("kind") == "feed") \
+        .select("seed", F.col("link").alias("feed_url"))
+
+    fetched1 = fetch_binary_documents(
+        feed_cands.select(F.col("feed_url").alias("url")).distinct(),
+        transport=transport, config=config, partitions=partitions) \
+        .localCheckpoint()
+
+    r1_schema = T.StructType([
+        T.StructField("feed_url", T.StringType(), False),
+        T.StructField("link", T.StringType(), False),
+    ])
+
+    def feed_extract(it):
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for url, status, content in zip(pdf["url"], pdf["status"],
+                                            pdf["content"]):
+                if status != 200 or content is None:
+                    continue
+                text = bytes(content).decode("utf-8", "replace")
+                domain, base = get_host_info(url)
+                if domain is None:
+                    continue
+                params = FeedParameters(base=base, domain=domain,
+                                        reference=url, lang=target_lang)
+                rows.extend((url, ln) for ln in extract_links(text, params))
+            yield pd.DataFrame(rows, columns=["feed_url", "link"])
+
+    feed_pages = (fetched1.mapInPandas(feed_extract, r1_schema)
+                  .join(F.broadcast(feed_cands), "feed_url")
+                  .select("seed", "link"))
+    pages = pages.unionByName(feed_pages)
+
+    # urlfilter (feeds.dart:413-421): a deep seed keeps only same-host
+    # links — relationally, host(link) == host(seed) for armed seeds
+    def _base_len(s: str) -> int:
+        return len(get_host_info(s)[1])
+    armed = {s for s in seeds if len(s) > _base_len(s) + 2}
+    if armed:
+        seed_host = F.parse_url(F.col("seed"), F.lit("HOST"))
+        link_host = F.parse_url(F.col("link"), F.lit("HOST"))
+        pages = pages.filter(~F.col("seed").isin(*armed)
+                             | (link_host == seed_host))
+    pages = pages.distinct().localCheckpoint()
+
+    # probeGnews (feeds.dart:351-363): seeds with no links at all fall
+    # back to the Google-News RSS search for their domain; driver-side
+    # per empty seed (CLI-scale), through the same transport
+    if target_lang:
+        got = {r["seed"] for r in pages.select("seed").distinct().collect()}
+        extra = []
+        for s in seeds:
+            if s in got:
+                continue
+            domain, base = get_host_info(s)
+            if domain is None:
+                continue
+            gurl = (f"https://news.google.com/rss/search?q=site:{domain}"
+                    f"&hl={target_lang}&scoring=n&num=100")
+            resp = _send_request(gurl, transport, config)
+            if resp is None or resp.status != 200:
+                continue
+            params = FeedParameters(base=base, domain=domain, reference=s,
+                                    lang=target_lang)
+            links = extract_links(resp.data.decode("utf-8", "replace"),
+                                  params)
+            extra.extend((s, ln) for ln in
+                         filter_urls(links, s if s in armed else None))
+        if extra:
+            pages = pages.unionByName(
+                spark.createDataFrame(extra, "seed string, link string")) \
+                .distinct()
+    return pages
