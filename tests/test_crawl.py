@@ -469,12 +469,25 @@ def test_job_cli_feed_mode(spark, tmp_path):
         "&num=100": rss("https://n.test/art3"),
         "https://n.test/": _page("<p>no feeds here</p>"),
         "https://n.test/art3": _page(f"<p>{ARTICLE} gnews article.</p>"),
+        # host t: the deep seed 404s -> tryHomepage retries the base URL
+        # (feeds.dart:425-438), which is a direct feed
+        "https://t.test/": rss("https://t.test/art4"),
+        "https://t.test/art4": _page(f"<p>{ARTICLE} retried article.</p>"),
     }
-    transport = _make_transport(feed_site)
+    inner = _make_transport(feed_site)
+    log_path = str(tmp_path / "feed_fetch.log")
+
+    def transport(method, url, headers, timeout, max_bytes=None):
+        if method != "HEAD":
+            with open(log_path, "a", encoding="utf-8") as fh:
+                fh.write(url + "\n")
+        return inner(method, url, headers, timeout, max_bytes)
+
     out = str(tmp_path / "feed_out")
     rc = job_main(["--mode", "feed",
                    "--seeds",
-                   "https://f.test/feed.xml,https://h.test/,https://n.test/",
+                   "https://f.test/feed.xml,https://h.test/,https://n.test/,"
+                   "https://t.test/dead/feed",
                    "--output", out, "--target-lang", "en",
                    "--min-extracted-size", "5", "--min-output-size", "1"],
                   transport=transport)
@@ -482,6 +495,12 @@ def test_job_cli_feed_mode(spark, tmp_path):
     rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
     ok = {u for u, r in rows.items() if r["status"] == "ok"}
     assert ok == {"https://f.test/art1", "https://h.test/art2",
-                  "https://n.test/art3"}, ok
+                  "https://n.test/art3", "https://t.test/art4"}, ok
     assert any("feed article two" in s["text"]
                for s in rows["https://h.test/art2"]["spans"])
+    # exactly-once HTTP: no URL (seed, feed, or article) fetched twice
+    with open(log_path, encoding="utf-8") as fh:
+        fetched = [ln.strip() for ln in fh if ln.strip()]
+    assert fetched, "fetch log must capture worker-side fetches"
+    dupes = {u for u in fetched if fetched.count(u) > 1}
+    assert not dupes, dupes

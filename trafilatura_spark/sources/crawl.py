@@ -470,31 +470,43 @@ def live_feed_pages(spark: SparkSession, seeds: list[str],
     (probeGnews, feeds.dart:351-363 — requires ``target_lang``), fetched
     through the same transport.  Returns distinct (seed, link) rows.
 
-    The reference's tryHomepage retry (re-run a failed deep seed at its
-    base URL) is applied once, driver-side, before the rounds."""
+    The reference's tryHomepage retry (feeds.dart:425-438 — re-run a
+    failed deep seed at its base URL) is applied AFTER the first round,
+    only to the seeds that actually failed, so no seed is fetched twice
+    (the naive probe-then-fetch shape would double every request)."""
     from pyspark.sql import types as T
 
     from .feeds import (FeedParameters, determine_feed, extract_links,
                         filter_urls, get_host_info)
     from .downloads import _send_request
 
-    # tryHomepage (feeds.dart:425-438): a deep seed whose fetch fails
-    # retries once at its base URL; CLI-scale, so probed driver-side
-    retried: list[str] = []
-    for s in dict.fromkeys(seeds):
-        resp = _send_request(s, transport, config)
-        if resp is None or resp.status != 200:
-            _, base = get_host_info(s)
-            if base and s.rstrip("/") != base:
-                retried.append(base + "/")
-                continue
-        retried.append(s)
-    seeds = list(dict.fromkeys(retried))
-
+    seeds = list(dict.fromkeys(seeds))
     seed_df = spark.createDataFrame([(s,) for s in seeds], "seed string")
     fetched0 = fetch_binary_documents(seed_df.withColumnRenamed("seed", "url"),
                                       transport=transport, config=config,
-                                      partitions=partitions)
+                                      partitions=partitions).localCheckpoint()
+
+    # tryHomepage: retry failed deep seeds at their base URL, once.  The
+    # failed list is seed-count-bounded (CLI-scale), so the retry fetches
+    # ride a tiny driver-side loop through the same transport.
+    failed = [r["url"] for r in
+              fetched0.filter(F.col("status").isNull()
+                              | (F.col("status") != 200))
+              .select("url").collect()]
+    already = set(seeds)
+    retry_rows = []
+    for s in failed:
+        _, base = get_host_info(s)
+        base_url = base + "/" if base else None
+        if base_url and s.rstrip("/") != base and base_url not in already:
+            already.add(base_url)
+            resp = _send_request(base_url, transport, config)
+            if resp is not None and resp.status == 200:
+                retry_rows.append((base_url, 200, bytearray(resp.data)))
+                seeds.append(base_url)
+    if retry_rows:
+        fetched0 = fetched0.unionByName(spark.createDataFrame(
+            retry_rows, fetched0.schema))
 
     r0_schema = T.StructType([
         T.StructField("seed", T.StringType(), False),
@@ -563,16 +575,16 @@ def live_feed_pages(spark: SparkSession, seeds: list[str],
                   .select("seed", "link"))
     pages = pages.unionByName(feed_pages)
 
-    # urlfilter (feeds.dart:413-421): a deep seed keeps only same-host
-    # links — relationally, host(link) == host(seed) for armed seeds
-    def _base_len(s: str) -> int:
-        return len(get_host_info(s)[1])
-    armed = {s for s in seeds if len(s) > _base_len(s) + 2}
-    if armed:
-        seed_host = F.parse_url(F.col("seed"), F.lit("HOST"))
-        link_host = F.parse_url(F.col("link"), F.lit("HOST"))
-        pages = pages.filter(~F.col("seed").isin(*armed)
-                             | (link_host == seed_host))
+    # urlfilter (feeds.dart:413-421): a deep seed (longer than
+    # scheme://host + 2) keeps only same-host links — the arming rule is
+    # a pure length comparison, so it runs relationally with no
+    # driver-side seed set
+    seed_host = F.parse_url(F.col("seed"), F.lit("HOST"))
+    link_host = F.parse_url(F.col("link"), F.lit("HOST"))
+    base_len = (F.length(F.parse_url(F.col("seed"), F.lit("PROTOCOL")))
+                + F.lit(3) + F.length(seed_host))
+    pages = pages.filter((F.length("seed") <= base_len + 2)
+                         | (link_host == seed_host))
     pages = pages.distinct().localCheckpoint()
 
     # probeGnews (feeds.dart:351-363): seeds with no links at all fall
@@ -596,8 +608,9 @@ def live_feed_pages(spark: SparkSession, seeds: list[str],
                                     lang=target_lang)
             links = extract_links(resp.data.decode("utf-8", "replace"),
                                   params)
+            armed = len(s) > len(base) + 2
             extra.extend((s, ln) for ln in
-                         filter_urls(links, s if s in armed else None))
+                         filter_urls(links, s if armed else None))
         if extra:
             pages = pages.unionByName(
                 spark.createDataFrame(extra, "seed string, link string")) \
