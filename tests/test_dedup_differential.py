@@ -1,0 +1,89 @@
+"""Differential correctness for the MinHash→LSH→Jaccard pipeline
+(functions/dedup.py): a pure-Python replica of the signature scheme
+(one md5 per shingle, rotation-derived seeds, lexicographic hex min,
+banded bucket candidates, exact shingle Jaccard) computes the expected
+pair set for seeded random corpora with planted near-duplicates; the
+Spark pipeline must return exactly that set.  This pins the operator's
+END-TO-END contract — the DuckDB oracle pins it on the driver corpus,
+this pins it on adversarially-shaped ones (heavy dup clusters, short
+docs below the shingle width, disjoint vocabulary)."""
+
+import hashlib
+import itertools
+import random
+
+import pytest
+
+from trafilatura_spark.functions.dedup import near_duplicate_pairs
+
+N_HASHES = 8
+BAND_SIZE = 2
+K = 3
+
+
+def _shingles(text: str) -> set:
+    words = text.split(" ")
+    if len(words) < K:
+        return {text}
+    return {" ".join(words[i:i + K]) for i in range(len(words) - K + 1)}
+
+
+def _signature(text: str) -> list:
+    digests = [hashlib.md5(s.encode()).hexdigest() for s in _shingles(text)]
+    return [min(h[4 * s:] + h[:4 * s] for h in digests)
+            for s in range(N_HASHES)]
+
+
+def _bands(sig: list) -> set:
+    return {(i, hashlib.md5("|".join(sig[i * BAND_SIZE:(i + 1) * BAND_SIZE])
+                            .encode()).hexdigest())
+            for i in range(len(sig) // BAND_SIZE)}
+
+
+def _expected_pairs(docs: dict, threshold: float) -> set:
+    sigs = {d: _signature(t) for d, t in docs.items()}
+    bands = {d: _bands(s) for d, s in sigs.items()}
+    out = set()
+    # the operator orders pairs by STRING id (sort_array over a string
+    # column), so the replica must too
+    for a, b in itertools.combinations(sorted(docs, key=str), 2):
+        if not (bands[a] & bands[b]):
+            continue
+        sa, sb = _shingles(docs[a]), _shingles(docs[b])
+        j = round(len(sa & sb) / len(sa | sb), 6)
+        if j >= threshold:
+            out.add((str(a), str(b), j))
+    return out
+
+
+def _corpus(seed: int) -> dict:
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = {}
+    doc_id = 0
+    for _ in range(12):
+        base = [rng.choice(vocab) for _ in range(rng.randint(1, 30))]
+        docs[doc_id] = " ".join(base)
+        doc_id += 1
+        # planted near-dups: perturb 0-3 positions of the base
+        for _ in range(rng.randint(0, 2)):
+            mut = list(base)
+            for _ in range(rng.randint(0, 3)):
+                if mut:
+                    mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            docs[doc_id] = " ".join(mut)
+            doc_id += 1
+    return docs
+
+
+@pytest.mark.parametrize("seed,threshold", [(1, 0.5), (2, 0.5), (3, 0.8)])
+def test_lsh_pipeline_matches_bruteforce(spark, seed, threshold):
+    docs = _corpus(seed)
+    df = spark.createDataFrame(
+        [(str(d), t) for d, t in docs.items()], "doc_id string, text string")
+    got = {(r["id_a"], r["id_b"], r["jaccard"])
+           for r in near_duplicate_pairs(df, n_hashes=N_HASHES,
+                                         band_size=BAND_SIZE, k=K,
+                                         threshold=threshold).collect()}
+    want = _expected_pairs(docs, threshold)
+    assert got == want, (got ^ want)
