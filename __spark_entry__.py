@@ -936,6 +936,22 @@ def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "neighbor_id", "cosine")
 
 
+def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (functions/similarity.ivf_topk): deterministic
+    sampled coarse quantizer (vec_id%40), per-vector argmax cell
+    assignment (broadcast join + map-side-combined reduce), queries
+    probe their 4 nearest cells and brute-force only those cells.  The
+    DuckDB oracle replays the identical pipeline, including the rounded
+    argmax tie-break, so this pins the full IVF plumbing — not just
+    top-k on a fixed subset."""
+    from trafilatura_spark.functions.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    tk = ivf_topk(emb, queries, k=5, centroid_stride=40, n_probe=4)
+    return tk.select("query_id", F.col("rank").cast("long").alias("rank"),
+                     "neighbor_id", "cosine")
+
+
 def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trafilatura_spark.functions.similarity import ann_lsh_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1862,6 +1878,68 @@ FROM ranked WHERE rank <= 5
 """
 
 
+_ORACLE_IVF = """
+WITH cents AS (
+    SELECT vec_id AS cell, embedding AS cv FROM embeddings
+    WHERE vec_id % 40 = 0
+),
+cos_assign AS (
+    SELECT e.vec_id, c.cell,
+           round(list_dot_product(e.embedding::DOUBLE[], cv::DOUBLE[])
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))),
+                 6) AS sim
+    FROM embeddings e, cents c
+),
+assigned AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell ASC) AS r
+        FROM cos_assign) WHERE r = 1
+),
+q AS (
+    SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+    WHERE vec_id % 50 = 0
+),
+qprobe AS (
+    SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_dot_product(qv::DOUBLE[], cv::DOUBLE[])
+                            / (sqrt(list_dot_product(qv::DOUBLE[],
+                                                     qv::DOUBLE[]))
+                               * sqrt(list_dot_product(cv::DOUBLE[],
+                                                       cv::DOUBLE[]))), 6)
+                            DESC, c.cell ASC) AS r
+        FROM q, cents c) WHERE r <= 4
+),
+pairs AS (
+    SELECT q.query_id, a.vec_id AS neighbor_id,
+           round(list_dot_product(qv::DOUBLE[], e.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+                    * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))),
+                 6) AS cosine
+    FROM q
+    JOIN qprobe p USING (query_id)
+    JOIN assigned a ON a.cell = p.cell
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    WHERE a.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM pairs
+)
+SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
 def _ann_sql() -> str:
     return f"""
 WITH planes AS (
@@ -1994,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "embedding_knn": q_embedding_knn,
         "embedding_ann": q_embedding_ann,
+        "embedding_ivf": q_embedding_ivf,
         "render_markdown": q_render_markdown,
         "media_features": q_media_features,
         "discovery_sitemap": q_discovery_sitemap,
@@ -2057,6 +2136,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _ORACLE_QUALITY,
         "embedding_knn": _ORACLE_KNN,
         "embedding_ann": _ann_sql(),
+        "embedding_ivf": _ORACLE_IVF,
         "render_markdown": _ORACLE_RENDER,
         "media_features": _ORACLE_MEDIA,
         "discovery_sitemap": _ORACLE_SITEMAP,

@@ -194,3 +194,89 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse-quantizer assignment: every vector joins its most
+    similar centroid (cosine, ties to the lowest centroid id).
+
+    Shape for 100 TB: the centroid table is a model parameter (always
+    small — thousands of rows even for billion-vector corpora), so it
+    broadcasts; similarities materialize per (vector, centroid) pair
+    inside the map side and the per-vector argmax reduces them with a
+    map-side partial aggregate — shuffle volume is ONE row per vector,
+    never the pair fan-out.  Output: (id_col, cell, <vec_col> kept).
+
+    Cosine is computed as dot/(norm*norm) over raw doubles — the same
+    float evaluation order the SQL oracle uses — so the rounded-6dp
+    argmax picks the same cell in both engines."""
+    corpus = emb.select(
+        F.col(id_col), F.col(vec_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+    cents = centroids.select(
+        F.col(id_col).alias("cell"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("cv"))
+    sim = F.round(_dot(F.col("v"), F.col("cv"))
+                  / (_norm(F.col("v")) * _norm(F.col("cv"))), 6)
+    pairs = corpus.join(F.broadcast(cents)).select(
+        id_col, vec_col,
+        F.struct((-sim).alias("neg_sim"), F.col("cell")).alias("cand"))
+    return (pairs.groupBy(id_col, vec_col)
+            .agg(F.min("cand").alias("best"))
+            .select(id_col, vec_col, F.col("best.cell").alias("cell")))
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             centroid_stride: int = 40, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exclude_self: bool = True) -> DataFrame:
+    """IVF-flat approximate top-k: the scale path when BOTH sides are
+    large and hyperplane-LSH recall is insufficient.
+
+    The coarse quantizer here is a deterministic sample (vectors with
+    ``id % centroid_stride == 0``) instead of iterated k-means, so the
+    whole pipeline is exactly reproducible in SQL (the correctness
+    oracle) — swap in trained centroids for better cell balance at
+    production scale; the plan shape is identical.  Each query probes
+    its ``n_probe`` nearest cells and brute-forces only those cells'
+    vectors: one broadcast assignment pass, one broadcast probe join,
+    one per-query top-k window over the probed subset."""
+    centroids = emb.filter(F.col(id_col) % centroid_stride == 0) \
+                   .select(id_col, vec_col)
+    cells = ivf_assign(emb, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
+        "cell")
+
+    # query → n_probe nearest centroids (both sides small: broadcast)
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("qu"))
+    cents = centroids.select(
+        F.col(id_col).alias("cell"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("cv"))
+    qsim = F.round(_dot(F.col("qu"), F.col("cv"))
+                   / (_norm(F.col("qu")) * _norm(F.col("cv"))), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("qsim"),
+                                               F.asc("cell"))
+    probes = (qs.join(F.broadcast(cents))
+              .select("query_id", "qv", "cell", qsim.alias("qsim"))
+              .withColumn("_r", F.row_number().over(w))
+              .filter(F.col("_r") <= n_probe)
+              .select("query_id", "qv", "cell"))
+
+    # probe join: corpus vectors only in probed cells reach the scorer
+    joined = cells.join(F.broadcast(probes), "cell")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    qd = F.transform("qv", lambda x: x.cast("double"))
+    nd = F.transform("nv", lambda x: x.cast("double"))
+    sim = _dot(qd, nd) / (_norm(qd) * _norm(nd))
+    scored = joined.select("query_id", "neighbor_id",
+                           F.round(sim, 6).alias("cosine"))
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "cosine"))
