@@ -158,6 +158,26 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 k=SHINGLE_K, threshold=0.5)
 
 
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram Jaccard near-dup (the tokenization-free variant
+    for CJK/code/concatenated boilerplate): the SAME minhash→LSH→verify
+    pipeline with char_shingles(n=12) as the shingler.  Injected
+    duplicates carry a per-doc suffix, so their Jaccard is genuinely
+    below 1 (the exact-copy case would not exercise the char shingler)
+    but above the 0.5 threshold."""
+    from trafilatura_spark.functions.dedup import (char_shingles,
+                                                   near_duplicate_pairs)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" tail"), F.col("doc_id")).alias("text"))
+    corpus = docs.unionByName(dups)
+    return near_duplicate_pairs(
+        corpus, n_hashes=N_HASHES, band_size=BAND_SIZE, threshold=0.5,
+        shingler=lambda c: char_shingles(c, 12))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trafilatura_spark.functions.textstats import fingerprints
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1188,6 +1208,59 @@ WHERE round(len(list_intersect(a.shset, b.shset))::DOUBLE
             / len(list_distinct(list_concat(a.shset, b.shset))), 6) >= 0.5
 """
 
+_ORACLE_DEDUP_NGRAM = f"""
+WITH duped AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' tail' || doc_id
+    FROM documents WHERE doc_id % 10 = 0
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(text) < 12 THEN [text]
+             ELSE list_transform(generate_series(1, len(text) - 11),
+                                 i -> substr(text, i, 12))
+        END)) AS shingle
+    FROM duped
+),
+hashed AS (
+    SELECT doc_id, md5(shingle) AS h0 FROM sh
+),
+seeded AS (
+    SELECT doc_id, s.seed,
+           substr(h0, s.seed * 4 + 1, 32 - s.seed * 4)
+           || substr(h0, 1, s.seed * 4) AS h
+    FROM hashed, LATERAL (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS seed) s
+),
+sig AS (
+    SELECT doc_id, list(mh ORDER BY seed) AS sig
+    FROM (SELECT doc_id, seed, min(h) AS mh FROM seeded GROUP BY 1, 2)
+    GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, b.b AS band_idx,
+           md5(array_to_string(list_slice(sig, b.b * {BAND_SIZE} + 1,
+                                          (b.b + 1) * {BAND_SIZE}), '|')) AS band_hash
+    FROM sig, LATERAL (SELECT unnest(generate_series(0, {N_HASHES // BAND_SIZE - 1})) AS b) b
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r
+      ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+     AND l.doc_id < r.doc_id
+),
+sets AS (
+    SELECT doc_id, list(DISTINCT shingle) AS shset FROM sh GROUP BY doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(a.shset, b.shset))::DOUBLE
+             / len(list_distinct(list_concat(a.shset, b.shset))), 6) AS jaccard
+FROM cand JOIN sets a ON cand.id_a = a.doc_id
+          JOIN sets b ON cand.id_b = b.doc_id
+WHERE round(len(list_intersect(a.shset, b.shset))::DOUBLE
+            / len(list_distinct(list_concat(a.shset, b.shset))), 6) >= 0.5
+"""
+
 _ORACLE_DEDUP_SIMHASH = """
 WITH th AS (
     SELECT doc_id, ('0x' || substr(md5(t.tok), 1, 8))::BIGINT AS h
@@ -2066,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_metrics": q_extraction_metrics,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram": q_dedup_ngram,
         "dedup_simhash": q_dedup_simhash,
         "segment_dedup": q_segment_dedup,
         "text_lang_id": q_text_lang_id,
@@ -2130,6 +2204,7 @@ def oracle_sql() -> dict[str, str]:
         "extraction_metrics": _ORACLE_METRICS,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash": _ORACLE_DEDUP_MINHASH,
+        "dedup_ngram": _ORACLE_DEDUP_NGRAM,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "segment_dedup": _ORACLE_SEGMENT_DEDUP,
         "text_lang_id": _lang_sql(),

@@ -74,9 +74,21 @@ def word_shingles(text_col: str, k: int = 3) -> Column:
     )
 
 
+def char_shingles(text_col: str, n: int = 5) -> Column:
+    """Character n-gram shingles as an array column — the 'n-gram
+    Jaccard' dedup variant for content where word tokenization is
+    unreliable (CJK, code, concatenated boilerplate).  Pure JVM
+    expression; a shorter-than-n document is its own single shingle."""
+    t = F.col(text_col)
+    ln = F.length(t)
+    return F.when(ln < n, F.array(t)).otherwise(
+        F.transform(F.sequence(F.lit(1), ln - (n - 1)),
+                    lambda i: t.substr(i, F.lit(n))))
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 8,
-                       k: int = 3) -> DataFrame:
+                       k: int = 3, shingler=None) -> DataFrame:
     """(id, sig array<string>): ONE md5 per shingle; the per-seed value is
     the digest rotated left by ``4*seed`` hex chars, so each seed's min is
     driven by a disjoint 16-bit leading chunk of the same digest —
@@ -86,8 +98,10 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     SQL engine."""
     if n_hashes > 8:
         raise ValueError("n_hashes > 8 would reuse rotation offsets")
+    shingles = shingler(text_col) if shingler is not None \
+        else word_shingles(text_col, k)
     shingled = df.select(
-        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, k))
+        F.col(id_col), F.explode(F.array_distinct(shingles)
                                  ).alias("shingle"))
     h = F.md5("shingle")
     # one shuffle: n_hashes map-side-combined min-aggregates instead of an
@@ -156,7 +170,8 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 3,
                   threshold: float = 0.0,
-                  broadcast_candidates: bool = True) -> DataFrame:
+                  broadcast_candidates: bool = True,
+                  shingler=None) -> DataFrame:
     """Exact k-shingle Jaccard for candidate pairs (verification stage).
     ``round(.., 6)`` keeps float hashing stable across engines.
 
@@ -179,9 +194,11 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     # and/or cap buckets via lsh_candidate_pairs(max_bucket_size=...)
     cand_side = F.broadcast(roles) if broadcast_candidates else roles
     cand = df.join(cand_side, F.col(id_col) == F.col("_cand_id"))
+    shingles = shingler(text_col) if shingler is not None \
+        else word_shingles(text_col, k)
     sets = cand.select(
         "id_a", "id_b", "side",
-        F.array_distinct(word_shingles(text_col, k)).alias("sh"))
+        F.array_distinct(shingles).alias("sh"))
     per_pair = sets.groupBy("id_a", "id_b").agg(
         F.first(F.when(F.col("side") == "a", F.col("sh")),
                 ignorenulls=True).alias("sh_a"),
@@ -201,7 +218,8 @@ def near_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
                          band_size: int = 2, k: int = 3,
                          threshold: float = 0.5,
                          max_bucket_size: int | None = None,
-                         broadcast_candidates: bool = True) -> DataFrame:
+                         broadcast_candidates: bool = True,
+                         shingler=None) -> DataFrame:
     """MinHash→LSH→exact-Jaccard pipeline: the scale path for near-dup
     detection (candidates only from shared bands, then verified).
 
@@ -209,11 +227,13 @@ def near_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
     would explode into quadratic pair volume); ``broadcast_candidates=
     False`` switches the verify join to shuffle for pathological
     candidate volumes — both forwarded to the component stages."""
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, k,
+                              shingler=shingler)
     pairs = lsh_candidate_pairs(sigs, id_col, band_size,
                                 max_bucket_size=max_bucket_size)
     return jaccard_pairs(df, pairs, id_col, text_col, k, threshold,
-                         broadcast_candidates=broadcast_candidates)
+                         broadcast_candidates=broadcast_candidates,
+                         shingler=shingler)
 
 
 def token_hashes(text_col: str) -> Column:
