@@ -594,6 +594,7 @@ def q_explore_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     site: dict[str, bytes] = {}
     for source, ids in by_source.items():
         host = f"{source}.example.com"
+        site[f"https://{host}/"] = b"<html><body>home</body></html>"
         site[f"https://{host}/robots.txt"] = \
             f"User-agent: *\nSitemap: https://{host}/si.xml\n".encode()
         site[f"https://{host}/si.xml"] = (

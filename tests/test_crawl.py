@@ -368,6 +368,10 @@ def test_job_cli_explore_mode(spark, tmp_path):
         return f'<?xml version="1.0"?>{body}'.encode()
 
     explore_site = {
+        # liveness HEAD gate (sitemaps.dart:234-236) probes the bases
+        "https://s.test/": _page("<p>home s</p>"),
+        "https://g.test/": _page("<p>home g</p>"),
+        "https://d.test/": _page("<p>home d</p>"),
         # host s: robots points at a sitemap INDEX of two child sitemaps
         "https://s.test/robots.txt":
             b"User-agent: *\nSitemap: https://s.test/si.xml\n",
@@ -387,6 +391,11 @@ def test_job_cli_explore_mode(spark, tmp_path):
         "https://g.test/sitemap.xml": sm(
             "<urlset><url><loc>https://g.test/p1</loc></url></urlset>"),
         "https://g.test/p1": _page(f"<p>{ARTICLE} page g1.</p>"),
+        # host d: the SEED is the sitemap (sitemaps.dart:241-243 — used
+        # directly, robots/guesses skipped; its robots has NO directive)
+        "https://d.test/smap.xml": sm(
+            "<urlset><url><loc>https://d.test/p2</loc></url></urlset>"),
+        "https://d.test/p2": _page(f"<p>{ARTICLE} page d2.</p>"),
     }
     inner = _make_transport(explore_site)
     # file-based log: fetches run in python-worker subprocesses
@@ -400,7 +409,9 @@ def test_job_cli_explore_mode(spark, tmp_path):
 
     out = str(tmp_path / "explore_out")
     rc = job_main(["--mode", "explore",
-                   "--seeds", "https://s.test/,https://g.test/",
+                   "--seeds",
+                   "https://s.test/,https://g.test/,https://d.test/smap.xml,"
+                   "https://dead.test/",
                    "--output", out,
                    "--min-extracted-size", "5", "--min-output-size", "1"],
                   transport=transport)
@@ -408,7 +419,7 @@ def test_job_cli_explore_mode(spark, tmp_path):
     rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
     ok = {u for u, r in rows.items() if r["status"] == "ok"}
     assert ok == {"https://s.test/a1", "https://s.test/a2",
-                  "https://g.test/p1"}, ok
+                  "https://g.test/p1", "https://d.test/p2"}, ok
     # the off-site <loc> never reaches the fetch stage
     assert "https://other.test/offsite" not in rows
     assert any("page a2" in s["text"] for s in rows["https://s.test/a2"]["spans"])

@@ -231,9 +231,10 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              centroid_stride: int = 40, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             exclude_self: bool = True) -> DataFrame:
-    """IVF-flat approximate top-k: the scale path when BOTH sides are
-    large and hyperplane-LSH recall is insufficient.
+             exclude_self: bool = True,
+             broadcast_probes: bool = True) -> DataFrame:
+    """IVF-flat approximate top-k: the cell structure means each query
+    scores only its ``n_probe`` cells' vectors instead of the corpus.
 
     The coarse quantizer here is a deterministic sample (vectors with
     ``id % centroid_stride == 0``) instead of iterated k-means, so the
@@ -241,8 +242,14 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     oracle) — swap in trained centroids for better cell balance at
     production scale; the plan shape is identical.  Each query probes
     its ``n_probe`` nearest cells and brute-forces only those cells'
-    vectors: one broadcast assignment pass, one broadcast probe join,
-    one per-query top-k window over the probed subset."""
+    vectors: one broadcast assignment pass, a probe join, one per-query
+    top-k window over the probed subset.
+
+    The probe side carries n_probe rows per query INCLUDING the query
+    vector; the default broadcast is right for query sets up to the
+    broadcast limit (~millions of rows needs ``broadcast_probes=False``,
+    which shuffles both sides on ``cell`` instead — same results, no
+    driver/broadcast memory ceiling)."""
     centroids = emb.filter(F.col(id_col) % centroid_stride == 0) \
                    .select(id_col, vec_col)
     cells = ivf_assign(emb, centroids, id_col, vec_col).select(
@@ -266,13 +273,22 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
               .filter(F.col("_r") <= n_probe)
               .select("query_id", "qv", "cell"))
 
-    # probe join: corpus vectors only in probed cells reach the scorer
-    joined = cells.join(F.broadcast(probes), "cell")
+    # probe join: corpus vectors only in probed cells reach the scorer.
+    # Norms are hoisted per side (computed once per corpus vector / per
+    # query row, not per scored pair); the float value is identical, so
+    # oracle parity at round-6 is unaffected.
+    cells = cells.withColumn(
+        "nd", F.transform("nv", lambda x: x.cast("double")))
+    cells = cells.withColumn("n_norm", _norm(F.col("nd")))
+    probes = probes.withColumn(
+        "qd", F.transform("qv", lambda x: x.cast("double")))
+    probes = probes.withColumn("q_norm", _norm(F.col("qd")))
+    probe_side = F.broadcast(probes) if broadcast_probes else probes
+    joined = cells.join(probe_side, "cell")
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-    qd = F.transform("qv", lambda x: x.cast("double"))
-    nd = F.transform("nv", lambda x: x.cast("double"))
-    sim = _dot(qd, nd) / (_norm(qd) * _norm(nd))
+    sim = _dot(F.col("qd"), F.col("nd")) / (F.col("q_norm")
+                                            * F.col("n_norm"))
     scored = joined.select("query_id", "neighbor_id",
                            F.round(sim, 6).alias("cosine"))
     wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"),

@@ -410,16 +410,10 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                 if ln.strip() and not ln.strip().startswith("#"))
 
     def gate_links(df, col):
-        """loadInputDict URL gates (cli_utils.dart:153-170) as JVM-side
-        row filters over a discovered-links column."""
-        if blacklist:
-            df = df.filter(~F.col(col).isin(*blacklist))
-        if args.url_filter:
-            keep = F.col(col).contains(args.url_filter[0])
-            for sub in args.url_filter[1:]:
-                keep = keep | F.col(col).contains(sub)
-            df = df.filter(keep)
-        return df
+        """loadInputDict URL gates (cli_utils.dart:153-170) over a
+        discovered-links column — the shared crawl.gate_urls filters."""
+        from .sources.crawl import gate_urls
+        return gate_urls(df, args.url_filter, blacklist, col=col)
 
     if args.mode == "discover-sitemaps":
         from .sources.discovery import expand_sitemaps

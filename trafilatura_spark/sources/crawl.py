@@ -136,14 +136,7 @@ def crawl_site(spark: SparkSession, seeds: list[str],
     from urllib.parse import urlparse
 
     def apply_url_gates(df: DataFrame) -> DataFrame:
-        if url_blacklist:
-            df = df.filter(~F.col("url").isin(*url_blacklist))
-        if url_filter:
-            keep = F.col("url").contains(url_filter[0])
-            for f in url_filter[1:]:
-                keep = keep | F.col("url").contains(f)
-            df = df.filter(keep)
-        return df
+        return gate_urls(df, url_filter, url_blacklist)
 
     hosts = sorted({urlparse(s).netloc for s in seeds})
     rules = (fetch_robots_rules(spark, hosts, transport, config)
@@ -293,47 +286,77 @@ def live_sitemap_pages(spark: SparkSession, seeds: list[str],
                        max_links: int = 10_000,
                        config: dict | None = None,
                        partitions: int | None = None) -> DataFrame:
-    """Live sitemapSearch (sitemaps.dart:267-283): per seed host the
-    candidate sitemaps come from robots.txt ``Sitemap:`` directives
-    (sitemaps.dart:324-366), falling back to the /sitemap.xml guess; each
-    round then FETCHES the sitemap frontier and applies the same
-    relational round algebra as discovery.expand_sitemaps — plausibility
-    gate, <loc>/TXT link lift, language + same-domain filters, child
-    sitemaps (DETECT_SITEMAP_LINK) become the next frontier bounded by
-    ``max_sitemaps_seen``, the rest accumulate as page URLs.
+    """Live sitemapSearch (sitemaps.dart:230-288): per seed —
+    scheme-preserving base URL, a liveness HEAD gate on the base, a seed
+    that itself looks like a sitemap (endswith .xml/.gz/'sitemap',
+    sitemaps.dart:241-243) is used directly, otherwise robots.txt
+    ``Sitemap:`` directives (sitemaps.dart:324-366) with the
+    /sitemap.xml guess fallback; a DEEP non-sitemap seed (longer than
+    base + 2) arms the reference's final exact-hostname page filter
+    (filterUrls, sitemaps.dart:245-247 + 283-285).  Each round then
+    FETCHES the sitemap frontier and applies the same relational round
+    algebra as discovery.expand_sitemaps — plausibility gate, <loc>/TXT
+    link lift, language + same-domain filters, child sitemaps
+    (DETECT_SITEMAP_LINK) become the next frontier bounded by
+    ``max_sitemaps_seen``, the rest accumulate as page URLs.  The armed
+    filter travels with each frontier row (``filter_host``) so children
+    inherit their seed's filter; a sitemap reachable from several seeds
+    is fetched once with the least restrictive filter.
 
-    The seed robots fetch is driver-side (seed lists are CLI-scale); the
-    per-round sitemap fetches are the distributed per-host-partitioned
-    stage.  Every fetch round is cut with localCheckpoint so downstream
-    reuse never re-executes HTTP lineage.  Returns distinct
-    (sitemap_url, link) page rows."""
+    The seed robots/HEAD probes are driver-side (seed lists are
+    CLI-scale); the per-round sitemap fetches are the distributed
+    per-host-partitioned stage.  Every fetch round is cut with
+    localCheckpoint so downstream reuse never re-executes HTTP lineage.
+    Returns distinct (sitemap_url, link) page rows."""
     from urllib.parse import urlparse
 
     from .discovery import (DETECT_SITEMAP_LINK, _similar_host,
                             clean_url_col, extract_robots_sitemaps,
                             guess_sitemap_urls, is_plausible_sitemap,
                             lang_filter, sitemap_links)
-    from .downloads import _send_request
+    from .downloads import _send_request, is_live_page
 
-    candidates: list[str] = []
-    for host in sorted({urlparse(s).netloc for s in seeds}):
-        base = f"https://{host}"
-        resp = _send_request(f"{base}/robots.txt", transport, config)
-        robots = (resp.data.decode("utf-8", "replace")
-                  if resp is not None and resp.status == 200 else None)
-        from_robots = extract_robots_sitemaps(robots, base)
-        candidates.extend(from_robots or guess_sitemap_urls(base + "/"))
+    empty = spark.createDataFrame([], "sitemap_url string, link string")
+    candidates: list[tuple] = []    # (sitemap_url, filter_host | None)
+    robots_seen: dict = {}
+    for s in dict.fromkeys(seeds):
+        u = urlparse(s)
+        if not u.netloc:
+            continue
+        base = f"{u.scheme or 'https'}://{u.netloc}"
+        # probe base + '/' — the same HTTP request as the bare authority
+        # (path defaults to '/'), and the form pluggable transports key on
+        if not is_live_page(base + "/", transport=transport):
+            continue            # sitemaps.dart:234-236
+        if s.endswith((".xml", ".gz", "sitemap")):
+            candidates.append((s, None))
+            continue
+        filter_host = u.hostname if len(s) > len(base) + 2 else None
+        if base not in robots_seen:
+            resp = _send_request(f"{base}/robots.txt", transport, config)
+            robots = (resp.data.decode("utf-8", "replace")
+                      if resp is not None and resp.status == 200 else None)
+            robots_seen[base] = extract_robots_sitemaps(robots, base)
+        from_robots = robots_seen[base]
+        candidates.extend(
+            (c, filter_host)
+            for c in (from_robots or guess_sitemap_urls(base + "/")))
 
     if not candidates:
-        return spark.createDataFrame([], "sitemap_url string, link string")
+        return empty
+    # one row per sitemap url; None (no filter) wins when seeds disagree
+    by_url: dict = {}
+    for url, fh in candidates:
+        if url not in by_url or fh is None:
+            by_url[url] = fh
     frontier = spark.createDataFrame(
-        [(u,) for u in dict.fromkeys(candidates)], "url string")
-    seen = frontier
-    seen_count = frontier.count()
+        list(by_url.items()), "url string, filter_host string")
+    seen = frontier.select("url")
+    seen_count = seen.count()
     pages = None
     for rnd in range(max_rounds):
-        fetched = fetch_binary_documents(frontier, transport=transport,
-                                         config=config,
+        fetched = fetch_binary_documents(frontier.select("url"),
+                                         transport=transport, config=config,
                                          partitions=partitions)
         docs = (fetched.filter(F.col("status") == 200)
                 .select("url", F.col("content").cast("string").alias("xml"))
@@ -341,9 +364,10 @@ def live_sitemap_pages(spark: SparkSession, seeds: list[str],
                 # cut HTTP lineage NOW: both the page and nested branches
                 # below re-read this frame, and lineage re-execution would
                 # re-fetch every sitemap
-                .localCheckpoint())
+                .localCheckpoint()
+                .join(F.broadcast(frontier), "url"))
         links = docs.select(
-            F.col("url").alias("sitemap_url"),
+            F.col("url").alias("sitemap_url"), "filter_host",
             F.explode(sitemap_links(F.col("xml"), max_links,
                                     target_lang)).alias("link"),
         ).withColumn("link", clean_url_col(F.col("link"))).distinct()
@@ -353,22 +377,33 @@ def live_sitemap_pages(spark: SparkSession, seeds: list[str],
             F.parse_url(F.col("link"), F.lit("HOST")),
             F.parse_url(F.col("sitemap_url"), F.lit("HOST"))))
         pg = links.filter(~F.col("link").rlike(DETECT_SITEMAP_LINK))
+        # the armed seed's final page filter (filterUrls: exact hostname)
+        pg = pg.filter(F.col("filter_host").isNull()
+                       | (F.parse_url(F.col("link"), F.lit("HOST"))
+                          == F.col("filter_host"))) \
+               .select("sitemap_url", "link")
         pages = pg if pages is None else pages.unionByName(pg)
         budget = max_sitemaps_seen - seen_count
         if budget <= 0:
             break
+        # one frontier row per child sitemap; when parents disagree the
+        # unfiltered lineage wins (F.min skips nulls, so route through a
+        # ''-coalesce: '' sorts first and maps back to null)
         nested = (links.filter(F.col("link").rlike(DETECT_SITEMAP_LINK))
-                  .select(F.col("link").alias("url"))
-                  .join(seen, "url", "left_anti").distinct()
+                  .select(F.col("link").alias("url"), "filter_host")
+                  .join(seen, "url", "left_anti")
+                  .groupBy("url")
+                  .agg(F.nullif(F.min(F.coalesce("filter_host", F.lit(""))),
+                                F.lit("")).alias("filter_host"))
                   .limit(budget).localCheckpoint())
         n = nested.count()
         if n == 0:
             break
-        seen = seen.unionByName(nested).localCheckpoint()
+        seen = seen.unionByName(nested.select("url")).localCheckpoint()
         seen_count += n
         frontier = nested
     if pages is None:
-        return spark.createDataFrame([], "sitemap_url string, link string")
+        return empty
     return pages.distinct().localCheckpoint()
 
 
@@ -402,6 +437,25 @@ def explore_and_extract(spark: SparkSession, seeds: list[str],
                                   backup_path=backup_path)
 
 
+def gate_urls(df: DataFrame, url_filter: list[str] | None = None,
+              url_blacklist: frozenset | None = None,
+              col: str = "url") -> DataFrame:
+    """The reference CLI's loadInputDict URL gates
+    (cli_utils.dart:153-170) as JVM row filters: drop exact blacklist
+    matches, then keep only URLs containing at least one filter
+    substring.  Shared by the job CLI's discovery sinks, the crawl
+    frontier and the discovery-driven fetch tails — one implementation,
+    no drift."""
+    if url_blacklist:
+        df = df.filter(~F.col(col).isin(*url_blacklist))
+    if url_filter:
+        keep = F.col(col).contains(url_filter[0])
+        for sub in url_filter[1:]:
+            keep = keep | F.col(col).contains(sub)
+        df = df.filter(keep)
+    return df
+
+
 def fetch_and_extract_urls(page_urls: DataFrame, transport=default_transport,
                            options=None, config: dict | None = None,
                            partitions: int | None = None,
@@ -411,23 +465,20 @@ def fetch_and_extract_urls(page_urls: DataFrame, transport=default_transport,
                            backup_path: str | None = None) -> DataFrame:
     """Shared tail of the discovery-driven drivers (explore/feed): gate
     the discovered URL list (loadInputDict semantics), fetch per-host
-    partitioned, optionally back up the raw pages, then extract."""
-    if url_blacklist:
-        page_urls = page_urls.filter(~F.col("url").isin(*url_blacklist))
-    if url_filter:
-        keep = F.col("url").contains(url_filter[0])
-        for sub in url_filter[1:]:
-            keep = keep | F.col("url").contains(sub)
-        page_urls = page_urls.filter(keep)
+    partitioned, optionally back up the raw pages (url, status, html —
+    the same contract as the crawl backup), then extract."""
+    page_urls = gate_urls(page_urls, url_filter, url_blacklist)
     fetched = fetch_binary_documents(page_urls, transport=transport,
                                      config=config, partitions=partitions)
     pages = fetched.select(
-        "url", F.when(F.col("status") == 200,
-                      F.col("content").cast("string")).alias("html")) \
+        "url", "status",
+        F.when(F.col("status") == 200,
+               F.col("content").cast("string")).alias("html")) \
         .localCheckpoint()
     if backup_path:
         pages.write.mode("overwrite").parquet(backup_path)
-    return extract_fetched_pages(pages, options, serialize=serialize)
+    return extract_fetched_pages(pages.drop("status"), options,
+                                 serialize=serialize)
 
 
 def feed_and_extract(spark: SparkSession, seeds: list[str],
@@ -495,15 +546,20 @@ def live_feed_pages(spark: SparkSession, seeds: list[str],
               .select("url").collect()]
     already = set(seeds)
     retry_rows = []
+    retried_away: set = set()
     for s in failed:
         _, base = get_host_info(s)
         base_url = base + "/" if base else None
         if base_url and s.rstrip("/") != base and base_url not in already:
             already.add(base_url)
+            # the reference's recursion replaces the deep seed entirely
+            # (feeds.dart:424-428): the gnews fallback, if any, belongs
+            # to the BASE url's run, never the original deep seed
+            retried_away.add(s)
+            seeds.append(base_url)
             resp = _send_request(base_url, transport, config)
             if resp is not None and resp.status == 200:
                 retry_rows.append((base_url, 200, bytearray(resp.data)))
-                seeds.append(base_url)
     if retry_rows:
         fetched0 = fetched0.unionByName(spark.createDataFrame(
             retry_rows, fetched0.schema))
@@ -573,19 +629,21 @@ def live_feed_pages(spark: SparkSession, seeds: list[str],
     feed_pages = (fetched1.mapInPandas(feed_extract, r1_schema)
                   .join(F.broadcast(feed_cands), "feed_url")
                   .select("seed", "link"))
-    pages = pages.unionByName(feed_pages)
 
-    # urlfilter (feeds.dart:413-421): a deep seed (longer than
-    # scheme://host + 2) keeps only same-host links — the arming rule is
-    # a pure length comparison, so it runs relationally with no
-    # driver-side seed set
+    # urlfilter (feeds.dart:403-421): armed ONLY when the homepage branch
+    # ran (the direct-feed branch returns before arming) and the seed is
+    # deep — so the filter applies to feed_pages, never to the direct
+    # `pages`.  Arming is a pure length rule against scheme://netloc
+    # (regexp, not parse_url HOST, which would drop the port and mis-arm
+    # ':8080' seeds); the host compare itself is hostname equality.
     seed_host = F.parse_url(F.col("seed"), F.lit("HOST"))
     link_host = F.parse_url(F.col("link"), F.lit("HOST"))
-    base_len = (F.length(F.parse_url(F.col("seed"), F.lit("PROTOCOL")))
-                + F.lit(3) + F.length(seed_host))
-    pages = pages.filter((F.length("seed") <= base_len + 2)
-                         | (link_host == seed_host))
-    pages = pages.distinct().localCheckpoint()
+    base_len = F.length(
+        F.regexp_extract(F.col("seed"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*",
+                         0))
+    feed_pages = feed_pages.filter((F.length("seed") <= base_len + 2)
+                                   | (link_host == seed_host))
+    pages = pages.unionByName(feed_pages).distinct().localCheckpoint()
 
     # probeGnews (feeds.dart:351-363): seeds with no links at all fall
     # back to the Google-News RSS search for their domain; driver-side
@@ -594,7 +652,11 @@ def live_feed_pages(spark: SparkSession, seeds: list[str],
         got = {r["seed"] for r in pages.select("seed").distinct().collect()}
         extra = []
         for s in seeds:
-            if s in got:
+            # a retried-away deep seed belongs to its base url's run now
+            # (feeds.dart:424-428) — probing gnews for it would issue a
+            # request the reference never makes (and a duplicate one if
+            # the base is also linkless)
+            if s in got or s in retried_away:
                 continue
             domain, base = get_host_info(s)
             if domain is None:
