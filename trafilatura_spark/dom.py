@@ -238,8 +238,15 @@ class Node:
 
     def copy(self) -> "Node":
         # iterative deep copy (call-per-node recursion was a hot spot on
-        # real pages: tree surgery rollbacks copy whole subtrees)
-        root = Node(self.tag, dict(self.attrs) if self.attrs else {})
+        # real pages: tree surgery rollbacks copy whole subtrees);
+        # __new__ + direct slot writes skip the __init__ dispatch, which
+        # dominated per-node cost at ~300k copied nodes per real batch
+        new = Node.__new__
+        root = new(Node)
+        root.tag = self.tag
+        root.attrs = dict(self.attrs) if self.attrs else {}
+        root.children = []
+        root.parent = None
         root.text = self.text
         root.tail = self.tail
         stack = [(self, root)]
@@ -248,13 +255,16 @@ class Node:
             src, dst = pop()
             if not src.children:
                 continue
-            dst_children = dst.children
+            append = dst.children.append
             for child in src.children:
-                c = Node(child.tag,
-                         dict(child.attrs) if child.attrs else {}, dst)
+                c = new(Node)
+                c.tag = child.tag
+                c.attrs = dict(child.attrs) if child.attrs else {}
+                c.children = []
+                c.parent = dst
                 c.text = child.text
                 c.tail = child.tail
-                dst_children.append(c)
+                append(c)
                 if child.children:
                     stack.append((child, c))
         return root
