@@ -86,11 +86,20 @@ def _extraction_run(spark, cpus: int, replicate: int, reps: int = 4) -> dict:
         extract_documents(docs, opts).filter(F.col("status") == "ok").count()
         last_sec = time.time() - t0
         rates.append(n / last_sec)
+    # per-partition skew stats (BASELINE.md protocol item 5): the salted
+    # layout should land near-uniform row counts per task
+    sizes = sorted(r["count"] for r in docs.groupBy(
+        F.spark_partition_id()).count().collect())
     docs.unpersist()
     best = max(rates)
     return {"docs": n, "sec": round(n / best, 3),
             "docs_per_sec": round(best, 1),
-            "rates": [round(r, 1) for r in rates]}
+            "rates": [round(r, 1) for r in rates],
+            "partitions": len(sizes),
+            "partition_rows_min": sizes[0] if sizes else 0,
+            "partition_rows_median": sizes[len(sizes) // 2] if sizes else 0,
+            "partition_rows_max": sizes[-1] if sizes else 0,
+            "arrow_batch": ARROW_BATCH}
 
 
 def _antagonist_spin(cpu: int) -> None:
