@@ -515,3 +515,52 @@ def test_job_cli_feed_mode(spark, tmp_path):
     assert fetched, "fetch log must capture worker-side fetches"
     dupes = {u for u in fetched if fetched.count(u) > 1}
     assert not dupes, dupes
+
+
+def test_job_cli_list_mode(spark, tmp_path):
+    """--list (cli_utils.dart:412-414): explore writes the discovered URL
+    list WITHOUT fetching any page; crawl writes the frontier URLs
+    without extraction."""
+    from trafilatura_spark.job import main as job_main
+
+    def sm(body: str) -> bytes:
+        return f'<?xml version="1.0"?>{body}'.encode()
+
+    site = {
+        "https://l.test/": _page("<p>home</p>"),
+        "https://l.test/robots.txt":
+            b"User-agent: *\nSitemap: https://l.test/s.xml\n",
+        "https://l.test/s.xml": sm(
+            "<urlset><url><loc>https://l.test/a1</loc></url>"
+            "<url><loc>https://l.test/a2</loc></url></urlset>"),
+        "https://l.test/a1": _page(f"<p>{ARTICLE}</p>"),
+    }
+    log_path = str(tmp_path / "list_fetch.log")
+    inner = _make_transport(site)
+
+    def transport(method, url, headers, timeout, max_bytes=None):
+        if method != "HEAD":
+            with open(log_path, "a", encoding="utf-8") as fh:
+                fh.write(url + "\n")
+        return inner(method, url, headers, timeout, max_bytes)
+
+    out = str(tmp_path / "list_out")
+    rc = job_main(["--mode", "explore", "--seeds", "https://l.test/",
+                   "--output", out, "--list"], transport=transport)
+    assert rc == 0
+    urls = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert urls == {"https://l.test/a1", "https://l.test/a2"}, urls
+    # --list must not fetch any PAGE — only robots + the sitemap
+    with open(log_path, encoding="utf-8") as fh:
+        fetched = {ln.strip() for ln in fh if ln.strip()}
+    assert fetched == {"https://l.test/robots.txt", "https://l.test/s.xml"}, \
+        fetched
+
+    out2 = str(tmp_path / "list_crawl")
+    rc = job_main(["--mode", "crawl", "--seeds", "https://c.test/",
+                   "--output", out2, "--max-hops", "0", "--list"],
+                  transport=fake_transport)
+    assert rc == 0
+    got = spark.read.parquet(out2).collect()
+    assert {r["url"] for r in got} == {"https://c.test/"}
+    assert set(got[0].asDict()) == {"url", "hop", "status"}

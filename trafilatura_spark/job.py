@@ -348,6 +348,11 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                         "extract/crawl reject matching documents via the "
                         "urlBlacklist gate; discovery modes drop matching "
                         "links from the output")
+    p.add_argument("--list", action="store_true",
+                   help="discovery modes only: write the discovered URL "
+                        "list and stop — no page fetch (explore/feed) or "
+                        "extraction (crawl); the reference's --list mode "
+                        "(cli_utils.dart:412-414)")
     p.add_argument("--backup-dir", default=None,
                    help="crawl/explore: also write the raw fetched pages "
                         "(url[, hop], status, html) as parquet here "
@@ -476,13 +481,29 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
         print({"mode": "probe", "extractable": n})
         return 0
     if args.mode in ("explore", "feed"):
-        # cliDiscovery: live sitemap/feed discovery, then fetch+extract
-        from .sources.crawl import explore_and_extract, feed_and_extract
+        # cliDiscovery: live sitemap/feed discovery, then fetch+extract —
+        # or, with --list, just the discovered URL list (the reference's
+        # --list mode: print without downloading, cli_utils.dart:412-414)
+        from .sources.crawl import (explore_and_extract, feed_and_extract,
+                                    live_feed_pages, live_sitemap_pages)
         from .sources.downloads import default_transport
+        tp = transport or default_transport
+        if args.list:
+            lister = live_sitemap_pages if args.mode == "explore" \
+                else live_feed_pages
+            urls = gate_links(
+                lister(spark, args.seeds.split(","), transport=tp,
+                       target_lang=args.target_lang)
+                .select("link").distinct()
+                .withColumnRenamed("link", "url"), "url")
+            urls.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print({"mode": args.mode, "list": True, "urls": n})
+            return 0
         driver = explore_and_extract if args.mode == "explore" \
             else feed_and_extract
         ex = driver(spark, args.seeds.split(","),
-                    transport=transport or default_transport,
+                    transport=tp,
                     options=options,
                     target_lang=args.target_lang,
                     serialize=args.serialize,
@@ -496,8 +517,23 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
     if args.mode == "crawl":
         if not args.seeds:
             p.error("--seeds is required for --mode crawl")
-        from .sources.crawl import crawl_and_extract
+        from .sources.crawl import crawl_and_extract, crawl_site
         from .sources.downloads import default_transport
+        if args.list:
+            # cliCrawler's print-the-frontier form: the BFS still fetches
+            # nav pages (links cannot be discovered otherwise) but no
+            # extraction runs and only the URL list is written
+            pages = crawl_site(spark, args.seeds.split(","),
+                               transport=transport or default_transport,
+                               max_hops=args.max_hops,
+                               per_host_quota=args.per_host_quota,
+                               url_filter=args.url_filter,
+                               url_blacklist=blacklist)
+            urls = pages.select("url", "hop", "status")
+            urls.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print({"mode": "crawl", "list": True, "urls": n})
+            return 0
         ex = crawl_and_extract(spark, args.seeds.split(","),
                                transport=transport or default_transport,
                                options=options, max_hops=args.max_hops,
