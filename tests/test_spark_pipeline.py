@@ -405,3 +405,43 @@ def test_job_large_wave_metrics_and_resume(spark, sf_dir, tmp_path):
                         n_buckets=64, wave_size=64)
     assert s2["processed_buckets"] == 0
     assert spark.read.parquet(out).count() == n_docs
+
+
+def test_job_config_file(spark, sf_dir, tmp_path):
+    """--config-file (configMapping, settings.dart:52-62): size gates from
+    an upstream-style settings.cfg relax the defaults; an explicit flag
+    still overrides the file."""
+    from trafilatura_spark.job import main as job_main
+    from trafilatura_spark.settings import load_config_file
+
+    cfg = tmp_path / "settings.cfg"
+    cfg.write_text("[DEFAULT]\n"
+                   "# relaxed gates for the synthetic corpus\n"
+                   "MIN_EXTRACTED_SIZE = 5\n"
+                   "MIN_OUTPUT_SIZE = 1  ; inline comment\n"
+                   "UNKNOWN_KEY = 9\n"
+                   "MAX_REPETITIONS = not-a-number\n")
+    assert load_config_file(str(cfg)) == {"min_extracted_size": 5,
+                                          "min_output_size": 1}
+    inp = str(tmp_path / "cfg_docs")
+    synthesize_documents_df(spark, sf_dir).filter(
+        F.col("doc_id").cast("long") < 16).write.parquet(inp)
+    out, prog = str(tmp_path / "cfg_out"), str(tmp_path / "cfg_prog")
+    rc = job_main(["--input", inp, "--output", out, "--progress", prog,
+                   "--run-id", "cfg-1", "--buckets", "2", "--wave-size", "2",
+                   "--fast", "--no-comments", "--config-file", str(cfg)])
+    assert rc == 0
+    res = spark.read.parquet(out)
+    # DEFAULT gates reject most short synthetic docs; the relaxed cfg
+    # must let them through
+    assert res.filter(F.col("status") == "ok").count() == 16
+    # explicit flag beats the file: an impossible OUTPUT gate (the final
+    # acceptance check no recovery path can bypass) empties everything
+    out2, prog2 = str(tmp_path / "cfg_out2"), str(tmp_path / "cfg_prog2")
+    rc = job_main(["--input", inp, "--output", out2, "--progress", prog2,
+                   "--run-id", "cfg-2", "--buckets", "2", "--wave-size", "2",
+                   "--fast", "--no-comments", "--config-file", str(cfg),
+                   "--min-output-size", "100000"])
+    assert rc == 0
+    res2 = spark.read.parquet(out2)
+    assert res2.filter(F.col("status") == "ok").count() == 0

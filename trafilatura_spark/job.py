@@ -342,6 +342,11 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
     p.add_argument("--min-output-size", type=int, default=None,
                    help="override the MIN_OUTPUT_SIZE gate "
                         "(settings.dart:27)")
+    p.add_argument("--config-file", default=None,
+                   help="settings.cfg with the reference's 8 size-gate "
+                        "keys (configMapping, settings.dart:52-62: "
+                        "MIN_EXTRACTED_SIZE, MIN_OUTPUT_SIZE, ...); "
+                        "explicit flags override file values")
     p.add_argument("--blacklist", default=None,
                    help="file of URLs to skip, one per line, '#' comments "
                         "(reference --blacklist, cli_utils.dart:140-150): "
@@ -448,6 +453,9 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
         print({"mode": "discover-feeds", "links": links.count()})
         return 0
     size_overrides = {}
+    if args.config_file:
+        from .settings import load_config_file
+        size_overrides.update(load_config_file(args.config_file))
     if args.min_extracted_size is not None:
         size_overrides["min_extracted_size"] = args.min_extracted_size
     if args.min_output_size is not None:

@@ -133,3 +133,47 @@ class Options:
     def reference_defaults(cls) -> "Options":
         """Exact reference defaults (images off) for parity fixtures."""
         return cls(images=False, with_metadata=False)
+
+
+# the reference's option-name ↔ config-file-key table
+# (configMapping, settings.dart:52-62); keys are the upstream
+# trafilatura settings.cfg names, values are Options field names
+CONFIG_MAPPING = {
+    "MIN_EXTRACTED_SIZE": "min_extracted_size",
+    "MIN_OUTPUT_SIZE": "min_output_size",
+    "MIN_OUTPUT_COMM_SIZE": "min_output_comm_size",
+    "MIN_EXTRACTED_COMM_SIZE": "min_extracted_comm_size",
+    "MIN_DUPLCHECK_SIZE": "min_duplcheck_size",
+    "MAX_REPETITIONS": "max_repetitions",
+    "MAX_FILE_SIZE": "max_file_size",
+    "MIN_FILE_SIZE": "min_file_size",
+}
+
+
+def load_config_file(path: str) -> dict:
+    """Parse an upstream-trafilatura-style settings.cfg into Options
+    kwargs (the reference CLI's --config-file via configMapping,
+    settings.dart:52-62): ``KEY = value`` lines, ``#``/``;`` comments,
+    ``[section]`` headers ignored, unknown keys ignored, values are
+    ints.  Explicit CLI flags take precedence over the file."""
+    out: dict = {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            for marker in ("#", ";"):
+                cut = line.find(marker)
+                if cut >= 0:
+                    line = line[:cut]
+            line = line.strip()
+            if not line or line.startswith("["):
+                continue
+            key, sep, value = line.partition("=")
+            if not sep:
+                continue
+            field_name = CONFIG_MAPPING.get(key.strip().upper())
+            if field_name is None:
+                continue
+            try:
+                out[field_name] = int(value.strip())
+            except ValueError:
+                continue
+    return out
