@@ -564,3 +564,21 @@ def test_job_cli_list_mode(spark, tmp_path):
     got = spark.read.parquet(out2).collect()
     assert {r["url"] for r in got} == {"https://c.test/"}
     assert set(got[0].asDict()) == {"url", "hop", "status"}
+
+
+def test_job_cli_seeds_file(spark, tmp_path):
+    """--seeds-file (the reference's --input-file URL list): one URL per
+    line, '#' comments, merged with --seeds, deduplicated."""
+    from trafilatura_spark.job import main as job_main
+
+    sf = tmp_path / "seeds.txt"
+    sf.write_text("# comment\n\nhttps://c.test/\nhttps://b.test/\n"
+                  "https://c.test/\n")
+    out = str(tmp_path / "sf_out")
+    rc = job_main(["--mode", "crawl", "--seeds", "https://c.test/",
+                   "--seeds-file", str(sf), "--output", out,
+                   "--max-hops", "0", "--list"],
+                  transport=fake_transport)
+    assert rc == 0
+    urls = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert urls == {"https://c.test/", "https://b.test/"}, urls

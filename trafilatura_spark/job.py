@@ -396,9 +396,24 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                         "feeds.dart:368-431), then fetch + extract")
     p.add_argument("--seeds", default=None,
                    help="comma-separated seed URLs (--mode crawl)")
+    p.add_argument("--seeds-file", default=None,
+                   help="file of seed URLs, one per line, '#' comments "
+                        "(the reference's --input-file URL list, "
+                        "cli_utils.dart loadInputUrls) — merged with "
+                        "--seeds for the crawl/explore/feed/probe modes")
     p.add_argument("--max-hops", type=int, default=2)
     p.add_argument("--per-host-quota", type=int, default=10)
     args = p.parse_args(argv)
+
+    if args.seeds_file:
+        # loadInputUrls (the reference's --input-file URL list): trimmed
+        # lines, '#' comments and blanks skipped, merged after --seeds
+        with open(args.seeds_file, encoding="utf-8") as fh:
+            file_seeds = [ln.strip() for ln in fh
+                          if ln.strip() and not ln.strip().startswith("#")]
+        merged = [s for s in (args.seeds.split(",") if args.seeds else [])
+                  if s] + file_seeds
+        args.seeds = ",".join(dict.fromkeys(merged)) or None
 
     if args.mode == "probe":
         if not (args.input or args.seeds):
