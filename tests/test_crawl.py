@@ -582,3 +582,39 @@ def test_job_cli_seeds_file(spark, tmp_path):
     assert rc == 0
     urls = {r["url"] for r in spark.read.parquet(out).collect()}
     assert urls == {"https://c.test/", "https://b.test/"}, urls
+
+
+def test_job_cli_sleep_time(spark, tmp_path):
+    """--sleep-time: consecutive same-host fetches inside one task are
+    spaced by at least the configured interval (per-domain politeness,
+    cli_utils.dart:401)."""
+    import json as _json
+
+    from trafilatura_spark.job import main as job_main
+
+    log_path = str(tmp_path / "times.log")
+    inner = _make_transport(SITE)
+
+    def transport(method, url, headers, timeout, max_bytes=None):
+        if method != "HEAD":
+            import time as _t
+            with open(log_path, "a", encoding="utf-8") as fh:
+                fh.write(_json.dumps([url, _t.monotonic()]) + "\n")
+        return inner(method, url, headers, timeout, max_bytes)
+
+    out = str(tmp_path / "st_out")
+    rc = job_main(["--mode", "crawl", "--seeds", "https://a.test/",
+                   "--output", out, "--max-hops", "2", "--list",
+                   "--sleep-time", "0.4"],
+                  transport=transport)
+    assert rc == 0
+    with open(log_path, encoding="utf-8") as fh:
+        events = [_json.loads(ln) for ln in fh if ln.strip()]
+    # hop 2 fetches TWO a.test pages in one round — the limiter must
+    # space them inside the single per-host task (hop boundaries would
+    # mask the gap for cross-hop pairs)
+    hop2 = sorted(t for u, t in events
+                  if u in ("https://a.test/page/article2.html",
+                           "https://a.test/article3"))
+    assert len(hop2) == 2, events
+    assert hop2[1] - hop2[0] >= 0.35, hop2

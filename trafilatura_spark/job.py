@@ -403,6 +403,13 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                         "--seeds for the crawl/explore/feed/probe modes")
     p.add_argument("--max-hops", type=int, default=2)
     p.add_argument("--per-host-quota", type=int, default=10)
+    p.add_argument("--sleep-time", type=float, default=0.0,
+                   help="seconds between same-host fetches in the live "
+                        "modes (the reference's per-domain politeness "
+                        "delay, cli_utils.dart:401 — it hardcodes 2.0; "
+                        "default 0 here since fixture-driven batch runs "
+                        "need none). Forces per-host partitioning so one "
+                        "task owns each host's request stream")
     args = p.parse_args(argv)
 
     if args.seeds_file:
@@ -439,6 +446,10 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
         discovered-links column — the shared crawl.gate_urls filters."""
         from .sources.crawl import gate_urls
         return gate_urls(df, args.url_filter, blacklist, col=col)
+
+    # per-domain politeness delay for the live modes (cli_utils.dart:401)
+    fetch_config = ({"SLEEP_TIME": args.sleep_time}
+                    if getattr(args, "sleep_time", 0) else None)
 
     if args.mode == "discover-sitemaps":
         from .sources.discovery import expand_sitemaps
@@ -498,7 +509,8 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
         urls = gate_links(urls, "url")
         alive = probe_extractable(spark, urls,
                                   transport=transport or default_transport,
-                                  min_extracted_size=options.min_extracted_size)
+                                  min_extracted_size=options.min_extracted_size,
+                                  config=fetch_config)
         alive.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print({"mode": "probe", "extractable": n})
@@ -516,7 +528,7 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                 else live_feed_pages
             urls = gate_links(
                 lister(spark, args.seeds.split(","), transport=tp,
-                       target_lang=args.target_lang)
+                       target_lang=args.target_lang, config=fetch_config)
                 .select("link").distinct()
                 .withColumnRenamed("link", "url"), "url")
             urls.write.mode("overwrite").parquet(args.output)
@@ -528,6 +540,7 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
         ex = driver(spark, args.seeds.split(","),
                     transport=tp,
                     options=options,
+                    config=fetch_config,
                     target_lang=args.target_lang,
                     serialize=args.serialize,
                     url_filter=args.url_filter,
@@ -548,6 +561,7 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
             # extraction runs and only the URL list is written
             pages = crawl_site(spark, args.seeds.split(","),
                                transport=transport or default_transport,
+                               config=fetch_config,
                                max_hops=args.max_hops,
                                per_host_quota=args.per_host_quota,
                                url_filter=args.url_filter,
@@ -559,6 +573,7 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
             return 0
         ex = crawl_and_extract(spark, args.seeds.split(","),
                                transport=transport or default_transport,
+                               config=fetch_config,
                                options=options, max_hops=args.max_hops,
                                per_host_quota=args.per_host_quota,
                                serialize=args.serialize,
