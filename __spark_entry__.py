@@ -2120,6 +2120,144 @@ SELECT a, b, cosine FROM scored WHERE cosine >= 0.99
 
 
 # ---------------------------------------------------------------------------
+# Merged query families (keeps the driver's 50-entry CORRECTNESS window
+# covering every operator: each family below unions queries that share a
+# fixture corpus, tagging rows with the sub-query name so every branch
+# still has its own exact oracle row set)
+# ---------------------------------------------------------------------------
+
+_SERIALIZE_FAMILY = (("csv", q_serialize_csv), ("xml", q_serialize_xml),
+                     ("xmltei", q_serialize_tei), ("html", q_serialize_html),
+                     ("txt", q_serialize_txt), ("json", q_serialize_json))
+
+
+def q_serialize_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six non-markdown CLI output formats in one union
+    (determineReturnString dispatch, core.dart:25-49; the job's
+    --serialize sink wires the same branches): each branch runs the full
+    in-stage serializer on its own extraction pass, so every format keeps
+    its exact per-row oracle."""
+    out = None
+    for fmt, fn in _SERIALIZE_FAMILY:
+        part = fn(spark, sf_dir).select(
+            "doc_id", F.lit(fmt).alias("format"), "serialized")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+_PRUNE_FAMILY = (("no_images", q_extract_no_images),
+                 ("no_tables", q_extract_no_tables),
+                 ("prune_xpath", q_extract_prune_xpath))
+
+
+def q_extract_prune_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Option-matrix pruning family: images=False (settings.dart:138
+    default), tables=False (htmlprocessing.dart:45-48), and prune_xpath
+    (core.dart:232-244) must each collapse their fixture to the same
+    plain head/para1/para2 span run — three independent extraction
+    passes, tagged by variant."""
+    out = None
+    for variant, fn in _PRUNE_FAMILY:
+        part = fn(spark, sf_dir).withColumn("variant", F.lit(variant))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def q_extract_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-gate family: the ±1-char boundary probes at every stock gate
+    (family='boundaries', core.dart:299-301 + baseline.dart:35-68) UNION
+    the stock-threshold class split with the reference-faithful wild-text
+    duplication below min_extracted_size (family='defaults',
+    main_extractor.dart:612-629).  The defaults side aggregates the span
+    texts per doc so both families share one (doc_id, family, status,
+    tier, texts) shape."""
+    bounds = (q_extract_gate_boundaries(spark, sf_dir)
+              .withColumn("family", F.lit("boundaries")))
+    flat = q_extract_default_gates(spark, sf_dir)
+    defaults = (
+        flat.groupBy("doc_id", "status", "tier")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("offset", "text"))),
+                lambda s: s["text"]), "|").alias("texts"))
+        .withColumn("family", F.lit("defaults")))
+    return bounds.unionByName(defaults.select(*bounds.columns))
+
+
+def q_extract_real_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-page golden gate: the reference's test/cache corpus (110
+    pages captured from live sites) through the full default-option
+    cascade — readability and justext fallback tiers included — as raw
+    binaryFile inputs (the job's --input-dir path, cli_utils.dart:270-360).
+    The oracle is the committed span manifest
+    tests/fixtures/real_pages_spans.parquet, regenerated by
+    scripts/regen_real_pages_golden.py and cross-checked against the
+    pytest cache_golden digests.  Input is fixed real-world HTML, so the
+    query is sf_dir-independent by design."""
+    from trafilatura_spark.job import read_html_dir
+    docs = (read_html_dir(spark, "/root/reference/test/cache")
+            .withColumn("doc_id", F.element_at(F.split("doc_id", "/"), -1)))
+    ex = extract_documents(docs, Options(with_metadata=True))
+    return (ex.select(F.col("doc_id").alias("page"), "status", "tier",
+                      F.explode_outer("spans").alias("s"))
+            .select("page", "status", "tier",
+                    F.coalesce(F.col("s.offset").cast("long"),
+                               F.lit(-1)).alias("offset"),
+                    F.coalesce(F.col("s.kind"), F.lit("")).alias("kind"),
+                    F.coalesce(F.col("s.text"), F.lit("")).alias("text"),
+                    F.coalesce(F.col("s.media_ref"),
+                               F.lit("")).alias("media_ref")))
+
+
+_ORACLE_SERIALIZE_FORMATS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, '{fmt}' AS format, serialized FROM ({sql}\n)"
+    for fmt, sql in (("csv", _ORACLE_SERIALIZE_CSV),
+                     ("xml", _ORACLE_SERIALIZE_XML),
+                     ("xmltei", _ORACLE_SERIALIZE_TEI),
+                     ("html", _ORACLE_SERIALIZE_HTML),
+                     ("txt", _ORACLE_SERIALIZE_TXT),
+                     ("json", _ORACLE_SERIALIZE_JSON)))
+
+_ORACLE_PRUNE_VARIANTS = "\nUNION ALL\n".join(
+    f"SELECT *, '{variant}' AS variant FROM ({_ORACLE_NO_IMAGES}\n)"
+    for variant in ("no_images", "no_tables", "prune_xpath"))
+
+# defaults side of the gates family: same eligibility/fam CTEs as
+# _ORACLE_DEFAULT_GATES, span texts '|'-joined in offset order
+_ORACLE_GATES = f"""
+WITH {_PARTS},
+elig AS (
+    SELECT d.doc_id, d.m, d.head, d.para1, d.para2,
+           len(d.head) + len(d.para1) + len(d.para2) AS l1,
+           len(d.head) + 2*len(d.para1) + 2*len(d.para2) AS l2
+    FROM derived d
+    WHERE len(d.para1) >= 72 AND len(d.para2) >= 72
+),
+fam AS (
+    SELECT *, (l1 >= 260) AS single_copy FROM elig
+    WHERE l1 >= 260 OR (l1 <= 240 AND l2 >= 260)
+)
+SELECT doc_id, 'defaults' AS family, 'ok' AS status, 'main' AS tier,
+       head || '|' || para1
+       || CASE m WHEN 0 THEN '' WHEN 1 THEN '|figure 0'
+               ELSE '|figure 0|figure 1' END
+       || '|' || para2
+       || CASE WHEN single_copy THEN ''
+               ELSE '|' || para1 || '|' || para2 END AS texts
+FROM fam
+UNION ALL
+SELECT doc_id, 'boundaries' AS family, status, tier, texts
+FROM ({_ORACLE_GATE_BOUNDARIES}
+)
+"""
+
+_ORACLE_REAL_PAGES = """
+SELECT page, status, tier, "offset", kind, text, media_ref
+FROM read_parquet('/root/repo/tests/fixtures/real_pages_spans.parquet')
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 
@@ -2161,32 +2299,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_discovery_live": q_feed_discovery_live,
         "streaming_frontier": q_streaming_frontier,
         "doc_fingerprint": q_doc_fingerprint,
-        "serialize_csv": q_serialize_csv,
-        "serialize_xml": q_serialize_xml,
-        "serialize_tei": q_serialize_tei,
-        "serialize_html": q_serialize_html,
-        "serialize_txt": q_serialize_txt,
-        "serialize_json": q_serialize_json,
+        "serialize_formats": q_serialize_formats,
         "extract_links_mode": q_extract_links_mode,
         "extract_formatting": q_extract_formatting,
         "extract_comments_off": q_extract_comments_off,
-        "extract_no_images": q_extract_no_images,
-        "extract_prune_xpath": q_extract_prune_xpath,
+        "extract_prune_variants": q_extract_prune_variants,
         "extract_tables": q_extract_tables,
-        "extract_no_tables": q_extract_no_tables,
-        "extract_gate_boundaries": q_extract_gate_boundaries,
+        "extract_gates": q_extract_gates,
         "extract_dedup_option": q_extract_dedup_option,
         "extract_author_blacklist": q_extract_author_blacklist,
         "extract_url_blacklist": q_extract_url_blacklist,
         "extract_only_with_metadata": q_extract_only_with_metadata,
         "extract_max_tree_size": q_extract_max_tree_size,
-        "extract_default_gates": q_extract_default_gates,
         "extract_precision": q_extract_precision,
         "extract_recall": q_extract_recall,
         "extract_fallback_readability": q_extract_fallback_readability,
         "extract_fallback_justext": q_extract_fallback_justext,
         "extract_pdf": q_extract_pdf,
         "dedup_embedding": q_dedup_embedding,
+        "extract_real_pages": q_extract_real_pages,
     }
 
 
@@ -2226,25 +2357,17 @@ def oracle_sql() -> dict[str, str]:
         "feed_discovery_live": _ORACLE_FEED_LIVE,
         "streaming_frontier": _ORACLE_STREAMING_FRONTIER,
         "doc_fingerprint": _ORACLE_DOC_FINGERPRINT,
-        "serialize_csv": _ORACLE_SERIALIZE_CSV,
-        "serialize_xml": _ORACLE_SERIALIZE_XML,
-        "serialize_tei": _ORACLE_SERIALIZE_TEI,
-        "serialize_html": _ORACLE_SERIALIZE_HTML,
-        "serialize_txt": _ORACLE_SERIALIZE_TXT,
-        "serialize_json": _ORACLE_SERIALIZE_JSON,
+        "serialize_formats": _ORACLE_SERIALIZE_FORMATS,
         "extract_links_mode": _ORACLE_LINKS_MODE,
         "extract_formatting": _ORACLE_FORMATTING,
         # comments=False over a with-comments corpus must equal the plain
-        # body span table; images=False additionally drops graphic rows
+        # body span table
         "extract_comments_off": _ORACLE_EXTRACT_SPANS,
-        "extract_no_images": _ORACLE_NO_IMAGES,
-        # prune_xpath drops exactly the injected block -> same expected
-        # head/para1/para2 table as the images=False family
-        "extract_prune_xpath": _ORACLE_NO_IMAGES,
+        # images=False / tables=False / prune_xpath each collapse their
+        # fixture to the same plain head/para1/para2 table
+        "extract_prune_variants": _ORACLE_PRUNE_VARIANTS,
         "extract_tables": _ORACLE_TABLES,
-        # tables=False cleans the table away -> plain head/para1/para2
-        "extract_no_tables": _ORACLE_NO_IMAGES,
-        "extract_gate_boundaries": _ORACLE_GATE_BOUNDARIES,
+        "extract_gates": _ORACLE_GATES,
         "extract_dedup_option": _ORACLE_DEDUP_OPTION,
         "extract_author_blacklist": """
 SELECT doc_id,
@@ -2255,11 +2378,11 @@ FROM documents ORDER BY doc_id
         "extract_url_blacklist": _ORACLE_URL_BLACKLIST,
         "extract_only_with_metadata": _ORACLE_ONLY_WITH_METADATA,
         "extract_max_tree_size": _ORACLE_MAX_TREE_SIZE,
-        "extract_default_gates": _ORACLE_DEFAULT_GATES,
         "extract_precision": _ORACLE_EXTRACT_SPANS,
         "extract_recall": _ORACLE_EXTRACT_SPANS,
         "extract_fallback_readability": _ORACLE_FALLBACK_READABILITY,
         "extract_fallback_justext": _ORACLE_FALLBACK_JUSTEXT,
         "extract_pdf": _ORACLE_EXTRACT_PDF,
         "dedup_embedding": _dedup_embedding_sql(),
+        "extract_real_pages": _ORACLE_REAL_PAGES,
     }

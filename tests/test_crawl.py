@@ -2,6 +2,9 @@
 serves a 3-host fixture site; the loop must respect robots.txt, stay
 on-site, resolve relative links, walk 2 hops, and feed extraction."""
 
+import os
+import tempfile
+
 from pyspark.sql import functions as F
 
 from trafilatura_spark.sources.crawl import (crawl_and_extract, crawl_site,
@@ -618,3 +621,62 @@ def test_job_cli_sleep_time(spark, tmp_path):
                            "https://a.test/article3"))
     assert len(hop2) == 2, events
     assert hop2[1] - hop2[0] >= 0.35, hop2
+
+
+def test_polite_send_spaces_same_host():
+    """Driver-side retry/probe loops honor config SLEEP_TIME per host
+    (the reference sleeps before its homepage retry, feeds.dart:425-427):
+    two consecutive requests to one host are spaced; a different host is
+    not delayed."""
+    import time
+
+    from trafilatura_spark.sources.crawl import _polite_send
+
+    calls = []
+
+    def transport(method, url, headers, timeout, max_bytes=None):
+        calls.append((url, time.monotonic()))
+        return 200, {}, b"ok"
+
+    last: dict = {}
+    cfg = {"SLEEP_TIME": 0.3}
+    _polite_send("https://s.test/a", transport, cfg, last)
+    _polite_send("https://other.test/x", transport, cfg, last)
+    _polite_send("https://s.test/b", transport, cfg, last)
+    t = {u: ts for u, ts in calls}
+    assert t["https://other.test/x"] - t["https://s.test/a"] < 0.25
+    assert t["https://s.test/b"] - t["https://s.test/a"] >= 0.25
+
+
+def test_feed_driver_loop_cap(spark):
+    """A crawl-scale seeds file must not serialize fetches on the driver:
+    with 10k failing deep seeds, the distributed first round fetches all
+    of them, but the driver-side tryHomepage retry loop is truncated at
+    _DRIVER_LOOP_CAP with a warning (sources/crawl.py) — the wave stages
+    stay parallel regardless of seed count."""
+    import pytest as _pytest
+
+    from trafilatura_spark.sources.crawl import (_DRIVER_LOOP_CAP,
+                                                 live_feed_pages)
+
+    driver_pid = os.getpid()
+    log = tempfile.mktemp(suffix=".log")
+
+    def transport(method, url, headers, timeout, max_bytes=None):
+        # only driver-process calls land in the log: executor-side calls
+        # run in forked python workers whose appends don't come back
+        if os.getpid() == driver_pid:
+            with open(log, "a", encoding="utf-8") as fh:
+                fh.write(url + "\n")
+        return 404, {}, b"gone"
+
+    seeds = [f"https://h{i}.test/deep/page" for i in range(10_000)]
+    with _pytest.warns(UserWarning, match="truncated"):
+        pages = live_feed_pages(spark, seeds, transport=transport,
+                                partitions=64)
+        assert pages.count() == 0
+    with open(log, encoding="utf-8") as fh:
+        driver_urls = [ln.strip() for ln in fh if ln.strip()]
+    # every driver-side request is a homepage retry; the cap bounds them
+    assert 0 < len(driver_urls) <= _DRIVER_LOOP_CAP
+    assert all(u.endswith(".test/") for u in driver_urls)

@@ -419,10 +419,15 @@ def test_job_config_file(spark, sf_dir, tmp_path):
                    "# relaxed gates for the synthetic corpus\n"
                    "MIN_EXTRACTED_SIZE = 5\n"
                    "MIN_OUTPUT_SIZE = 1  ; inline comment\n"
-                   "UNKNOWN_KEY = 9\n"
-                   "MAX_REPETITIONS = not-a-number\n")
+                   "UNKNOWN_KEY = 9\n")
     assert load_config_file(str(cfg)) == {"min_extracted_size": 5,
                                           "min_output_size": 1}
+    # a RECOGNIZED key with an unparseable value must raise, not silently
+    # fall back to the default gate
+    bad = tmp_path / "bad.cfg"
+    bad.write_text("MAX_REPETITIONS = not-a-number\n")
+    with pytest.raises(ValueError, match="MAX_REPETITIONS"):
+        load_config_file(str(bad))
     inp = str(tmp_path / "cfg_docs")
     synthesize_documents_df(spark, sf_dir).filter(
         F.col("doc_id").cast("long") < 16).write.parquet(inp)

@@ -155,10 +155,14 @@ def load_config_file(path: str) -> dict:
     kwargs (the reference CLI's --config-file via configMapping,
     settings.dart:52-62): ``KEY = value`` lines, ``#``/``;`` comments,
     ``[section]`` headers ignored, unknown keys ignored, values are
-    ints.  Explicit CLI flags take precedence over the file."""
+    ints.  Explicit CLI flags take precedence over the file.
+
+    A RECOGNIZED key whose value fails int parsing raises — a typo'd
+    gate value silently falling back to the default would change the
+    extraction output with no diagnostic."""
     out: dict = {}
     with open(path, encoding="utf-8") as fh:
-        for line in fh:
+        for lineno, line in enumerate(fh, start=1):
             for marker in ("#", ";"):
                 cut = line.find(marker)
                 if cut >= 0:
@@ -175,5 +179,7 @@ def load_config_file(path: str) -> dict:
             try:
                 out[field_name] = int(value.strip())
             except ValueError:
-                continue
+                raise ValueError(
+                    f"{path}:{lineno}: {key.strip()} = {value.strip()!r} "
+                    "is not an integer") from None
     return out

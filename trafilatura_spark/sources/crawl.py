@@ -31,6 +31,35 @@ from .spider import filter_robots, per_domain_quota, robots_rules_df
 # href scrape (spider.dart:405-426 processLinks link lifting; quote-agnostic)
 _HREF_PAT = r"""<a\s[^>]*href=["']([^"']+)["']"""
 
+# driver-side sequential loops (tryHomepage retries, gnews probes) are
+# CLI-scale by design; above this many they are truncated with a warning
+# so a million-line --seeds-file cannot silently serialize fetches on the
+# driver — the distributed wave stages are unaffected
+_DRIVER_LOOP_CAP = 1000
+
+
+def _polite_send(url: str, transport, config: dict | None,
+                 last_by_host: dict):
+    """_send_request with the same per-host SLEEP_TIME politeness the
+    distributed fetch stages honor (downloads.py:181-204), for the
+    driver-side retry/probe loops — the reference sleeps before its
+    homepage retry too (feeds.dart:425-427)."""
+    import time as _time
+    from urllib.parse import urlsplit
+
+    from .downloads import _send_request
+
+    sleep_time = float((config or {}).get("SLEEP_TIME", 0))
+    host = urlsplit(url).netloc
+    if sleep_time > 0:
+        prev = last_by_host.get(host)
+        now = _time.monotonic()
+        if prev is not None and now - prev < sleep_time:
+            _time.sleep(sleep_time - (now - prev))
+    resp = _send_request(url, transport, config)
+    last_by_host[host] = _time.monotonic()
+    return resp
+
 
 def _normalize_dot_segments(col):
     """Collapse ``/./`` and ``/seg/../`` in a URL column (RFC 3986 §5.2.4
@@ -465,19 +494,20 @@ def fetch_and_extract_urls(page_urls: DataFrame, transport=default_transport,
                            backup_path: str | None = None) -> DataFrame:
     """Shared tail of the discovery-driven drivers (explore/feed): gate
     the discovered URL list (loadInputDict semantics), fetch per-host
-    partitioned, optionally back up the raw pages (url, status, html —
-    the same contract as the crawl backup), then extract."""
+    partitioned, optionally back up the raw pages (url, hop, status,
+    html — the crawl-backup contract, with hop pinned to 0 because
+    discovery URLs are all frontier depth 0), then extract."""
     page_urls = gate_urls(page_urls, url_filter, url_blacklist)
     fetched = fetch_binary_documents(page_urls, transport=transport,
                                      config=config, partitions=partitions)
     pages = fetched.select(
-        "url", "status",
+        "url", F.lit(0).alias("hop"), "status",
         F.when(F.col("status") == 200,
                F.col("content").cast("string")).alias("html")) \
         .localCheckpoint()
     if backup_path:
         pages.write.mode("overwrite").parquet(backup_path)
-    return extract_fetched_pages(pages.drop("status"), options,
+    return extract_fetched_pages(pages.drop("status", "hop"), options,
                                  serialize=serialize)
 
 
@@ -529,7 +559,6 @@ def live_feed_pages(spark: SparkSession, seeds: list[str],
 
     from .feeds import (FeedParameters, determine_feed, extract_links,
                         filter_urls, get_host_info)
-    from .downloads import _send_request
 
     seeds = list(dict.fromkeys(seeds))
     seed_df = spark.createDataFrame([(s,) for s in seeds], "seed string")
@@ -538,15 +567,24 @@ def live_feed_pages(spark: SparkSession, seeds: list[str],
                                       partitions=partitions).localCheckpoint()
 
     # tryHomepage: retry failed deep seeds at their base URL, once.  The
-    # failed list is seed-count-bounded (CLI-scale), so the retry fetches
-    # ride a tiny driver-side loop through the same transport.
+    # failed list rides a driver-side loop through the same transport —
+    # capped at _DRIVER_LOOP_CAP so a crawl-scale seeds file cannot
+    # silently serialize fetches on the driver.
     failed = [r["url"] for r in
               fetched0.filter(F.col("status").isNull()
                               | (F.col("status") != 200))
               .select("url").collect()]
+    if len(failed) > _DRIVER_LOOP_CAP:
+        import warnings
+        warnings.warn(
+            f"{len(failed)} failed seeds; homepage retries truncated to "
+            f"the first {_DRIVER_LOOP_CAP} (driver-side loop cap)",
+            stacklevel=2)
+        failed = failed[:_DRIVER_LOOP_CAP]
     already = set(seeds)
     retry_rows = []
     retried_away: set = set()
+    last_by_host: dict = {}
     for s in failed:
         _, base = get_host_info(s)
         base_url = base + "/" if base else None
@@ -557,7 +595,7 @@ def live_feed_pages(spark: SparkSession, seeds: list[str],
             # to the BASE url's run, never the original deep seed
             retried_away.add(s)
             seeds.append(base_url)
-            resp = _send_request(base_url, transport, config)
+            resp = _polite_send(base_url, transport, config, last_by_host)
             if resp is not None and resp.status == 200:
                 retry_rows.append((base_url, 200, bytearray(resp.data)))
     if retry_rows:
@@ -651,6 +689,7 @@ def live_feed_pages(spark: SparkSession, seeds: list[str],
     if target_lang:
         got = {r["seed"] for r in pages.select("seed").distinct().collect()}
         extra = []
+        probes = 0
         for s in seeds:
             # a retried-away deep seed belongs to its base url's run now
             # (feeds.dart:424-428) — probing gnews for it would issue a
@@ -661,9 +700,16 @@ def live_feed_pages(spark: SparkSession, seeds: list[str],
             domain, base = get_host_info(s)
             if domain is None:
                 continue
+            probes += 1
+            if probes > _DRIVER_LOOP_CAP:
+                import warnings
+                warnings.warn(
+                    f"gnews probes truncated at {_DRIVER_LOOP_CAP} "
+                    "linkless seeds (driver-side loop cap)", stacklevel=2)
+                break
             gurl = (f"https://news.google.com/rss/search?q=site:{domain}"
                     f"&hl={target_lang}&scoring=n&num=100")
-            resp = _send_request(gurl, transport, config)
+            resp = _polite_send(gurl, transport, config, last_by_host)
             if resp is None or resp.status != 200:
                 continue
             params = FeedParameters(base=base, domain=domain, reference=s,
