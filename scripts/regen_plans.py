@@ -73,6 +73,42 @@ def main() -> None:
                      "self-join recompute), broadcast candidate verify",
                      plan_of(nd)))
 
+    from trafilatura_spark.functions.similarity import embedding_near_dup_pairs
+    nd_emb = embedding_near_dup_pairs(emb.select("vec_id", "embedding"),
+                                      threshold=0.99, n_tables=4, n_bits=8)
+    sections.append(("Embedding near-dup: hyperplane-LSH bucket self-join, "
+                     "cosine verify on candidate pairs only (never "
+                     "all-pairs), AQE skew-join eligible for hub buckets",
+                     plan_of(nd_emb)))
+
+    import pandas as pd
+
+    from trafilatura_spark.sources.pdf import build_pdf, pdf_spans_df
+
+    def gen(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype(str),
+                "pdf": [build_pdf(int(d), t)
+                        for d, t in zip(pdf["doc_id"], pdf["text"])]})
+
+    pdfs = base.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id string, pdf binary")
+    sections.append(("PDF parse (binary → spans): two narrow Arrow-batched "
+                     "stages, no Exchange — same contract as the HTML "
+                     "extraction stage", plan_of(pdf_spans_df(pdfs))))
+
+    from trafilatura_spark.functions.textstats import lang_id
+    lf = (lang_id(ex.withColumn(
+        "_t", F.array_join(F.transform("spans", lambda s: s["text"]), " ")),
+        text_col="_t", out_col="_pl")
+        .filter((F.col("status") != "ok") | (F.col("_pl") == "en"))
+        .drop("_t", "_pl"))
+    sections.append(("Post-extraction language filter (--lang-filter): "
+                     "JVM column expressions appended to the extraction "
+                     "stage — no extra shuffle, no Python eval",
+                     plan_of(lf)))
+
     out = pathlib.Path(__file__).resolve().parent.parent / "PLANS.md"
     with out.open("w") as f:
         f.write(

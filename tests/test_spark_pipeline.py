@@ -450,3 +450,84 @@ def test_job_config_file(spark, sf_dir, tmp_path):
     assert rc == 0
     res2 = spark.read.parquet(out2)
     assert res2.filter(F.col("status") == "ok").count() == 0
+
+
+def test_ivf_trained_centroid_seam(spark):
+    """ivf_topk accepts a supplied centroids DataFrame (the production
+    seam for offline-trained k-means cells): fed the sampler's own
+    selection it returns identical rows, and the physical plan keeps
+    the same shape — same broadcast-join and shuffle count, so swapping
+    in trained centroids never changes the execution strategy."""
+    import contextlib
+    import io
+
+    from trafilatura_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    sampled = ivf_topk(emb, queries, k=3, centroid_stride=40, n_probe=4)
+    cents = emb.filter(F.col("vec_id") % 40 == 0)
+    supplied = ivf_topk(emb, queries, k=3, n_probe=4, centroids=cents)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(sampled) == rows(supplied)
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    pa, pb = plan(sampled), plan(supplied)
+    for op in ("BroadcastHashJoin", "Exchange", "Window"):
+        assert pa.count(op) == pb.count(op), op
+
+
+def test_job_lang_filter(spark, tmp_path):
+    """--lang-filter (extension past the reference's always-accept
+    languageFilter stub, utils.dart:452-472): with --target-lang en,
+    'ok' docs whose EXTRACTED text classifies to another language are
+    dropped by a relational filter stage; without the flag behavior is
+    unchanged (metadata-only gating — these docs carry no lang
+    metadata, so both pass)."""
+    import pandas as pd
+
+    from trafilatura_spark.job import main as job_main
+    from trafilatura_spark.sources.corpus import (DOCUMENTS_SCHEMA,
+                                                  single_html_span)
+
+    en_p = ("the quick brown fox jumps over the lazy dog and all of "
+            "them have words that are of this and that for the most "
+            "part with more of the same in every line ") * 3
+    fr_p = ("le renard brun saute par dessus le chien paresseux et "
+            "tous les mots sont de la langue avec une pour que dans "
+            "les lignes et encore des mots pas en anglais ") * 3
+    pdf = pd.DataFrame({
+        "doc_id": ["en1", "fr1"],
+        "spans": [
+            single_html_span(f"<html><body><article><p>{en_p}</p>"
+                             "</article></body></html>"),
+            single_html_span(f"<html><body><article><p>{fr_p}</p>"
+                             "</article></body></html>"),
+        ],
+    })
+    inp = str(tmp_path / "lf_in")
+    spark.createDataFrame(pdf, DOCUMENTS_SCHEMA).write.parquet(inp)
+
+    def run(tag, *extra):
+        out = str(tmp_path / f"lf_out_{tag}")
+        rc = job_main(["--input", inp, "--output", out,
+                       "--progress", str(tmp_path / f"lf_prog_{tag}"),
+                       "--run-id", tag, "--buckets", "2",
+                       "--wave-size", "2", "--fast",
+                       "--target-lang", "en", *extra])
+        assert rc == 0
+        return {r["doc_id"] for r in
+                spark.read.parquet(out)
+                .filter(F.col("status") == "ok").collect()}
+
+    assert run("default") == {"en1", "fr1"}
+    assert run("filtered", "--lang-filter") == {"en1"}

@@ -232,26 +232,32 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              centroid_stride: int = 40, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
              exclude_self: bool = True,
-             broadcast_probes: bool = True) -> DataFrame:
+             broadcast_probes: bool = True,
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF-flat approximate top-k: the cell structure means each query
     scores only its ``n_probe`` cells' vectors instead of the corpus.
 
-    The coarse quantizer here is a deterministic sample (vectors with
+    The default coarse quantizer is a deterministic sample (vectors with
     ``id % centroid_stride == 0``) instead of iterated k-means, so the
     whole pipeline is exactly reproducible in SQL (the correctness
-    oracle) — swap in trained centroids for better cell balance at
-    production scale; the plan shape is identical.  Each query probes
-    its ``n_probe`` nearest cells and brute-forces only those cells'
-    vectors: one broadcast assignment pass, a probe join, one per-query
-    top-k window over the probed subset.
+    oracle).  Pass ``centroids`` — any (id_col, vec_col) DataFrame, e.g.
+    k-means cells trained offline — for better cell balance at
+    production scale; the plan shape is identical either way (the
+    centroid table is a broadcast-sized model parameter in both cases).
+    Each query probes its ``n_probe`` nearest cells and brute-forces
+    only those cells' vectors: one broadcast assignment pass, a probe
+    join, one per-query top-k window over the probed subset.
 
     The probe side carries n_probe rows per query INCLUDING the query
     vector; the default broadcast is right for query sets up to the
     broadcast limit (~millions of rows needs ``broadcast_probes=False``,
     which shuffles both sides on ``cell`` instead — same results, no
     driver/broadcast memory ceiling)."""
-    centroids = emb.filter(F.col(id_col) % centroid_stride == 0) \
-                   .select(id_col, vec_col)
+    if centroids is None:
+        centroids = emb.filter(F.col(id_col) % centroid_stride == 0) \
+                       .select(id_col, vec_col)
+    else:
+        centroids = centroids.select(id_col, vec_col)
     cells = ivf_assign(emb, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
         "cell")

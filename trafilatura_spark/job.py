@@ -148,7 +148,8 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
                    wave_size: int = 8, tasks_per_wave: int | None = None,
                    lineage: str | None = None,
                    serialize: str | None = None,
-                   batches_fn=None) -> dict:
+                   batches_fn=None,
+                   lang_filter: str | None = None) -> dict:
     """Resumable batch extraction.  Returns run summary metrics.
 
     ``n_buckets`` is the checkpoint granularity (at 100 TB: hundreds —
@@ -158,6 +159,13 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
     ``batches_fn`` swaps the per-wave mapInPandas extractor (default:
     the HTML cascade) for another EXTRACTED_SCHEMA producer — e.g.
     sources.pdf.make_pdf_batches for PDF corpora.
+    ``lang_filter`` (opt-in, the job's --lang-filter) drops 'ok' docs
+    whose EXTRACTED text the stopword classifier
+    (functions/textstats.lang_id) assigns to a different language — an
+    extension past the reference's always-accept languageFilter stub
+    (utils.dart:452-472), whose --target-lang gates on HTML metadata
+    only.  Pure JVM column expressions appended to the extraction
+    stage: no extra shuffle, no extra pass.
     """
     options = options or Options()
     if lineage is None:
@@ -218,6 +226,16 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
             # json/csv derive from the output columns JVM-side
             from .operators.serialize import serialize_column
             extracted = serialize_column(extracted, serialize)
+        if lang_filter:
+            from .functions.textstats import lang_id
+            joined = F.array_join(
+                F.transform("spans", lambda s: s["text"]), " ")
+            extracted = (
+                lang_id(extracted.withColumn("_lf_text", joined),
+                        text_col="_lf_text", out_col="_lf_lang")
+                .filter((F.col("status") != "ok")
+                        | (F.col("_lf_lang") == lang_filter))
+                .drop("_lf_text", "_lf_lang"))
         # per-bucket metrics ride the write itself as observe() accumulator
         # expressions (4 per bucket in the wave) — ONE pass over the data;
         # naive re-reads of the whole output table would be a full second
@@ -319,6 +337,13 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
     p.add_argument("--focus", default="balanced",
                    choices=["balanced", "precision", "recall"])
     p.add_argument("--target-lang", default=None)
+    p.add_argument("--lang-filter", action="store_true",
+                   help="with --target-lang: additionally drop extracted "
+                        "'ok' docs whose OUTPUT text the stopword "
+                        "classifier assigns to another language "
+                        "(extension; the reference's languageFilter stub "
+                        "always accepts and --target-lang alone gates on "
+                        "HTML metadata only)")
     p.add_argument("--formatting", action="store_true",
                    help="keep inline hi/del formatting as markdown markers")
     p.add_argument("--links", action="store_true",
@@ -599,11 +624,15 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
         docs = spark.read.table(args.input)
     else:
         docs = spark.read.parquet(args.input)
+    if args.lang_filter and not args.target_lang:
+        p.error("--lang-filter requires --target-lang")
     summary = run_extraction(spark, docs, args.output, args.progress,
                              run_id=args.run_id, options=options,
                              n_buckets=args.buckets, wave_size=args.wave_size,
                              lineage=args.input, serialize=args.serialize,
-                             batches_fn=batches_fn)
+                             batches_fn=batches_fn,
+                             lang_filter=(args.target_lang
+                                          if args.lang_filter else None))
     print(summary)
     return 0
 
