@@ -11,9 +11,11 @@ Prints ONE JSON line:
 
 Scaling protocol (the north rule's two-cluster-size criterion, evidenced
 on one box — see BENCH.md): the same extraction job runs at local[N] and
-local[4N] over the same synthesized corpus, in FIVE interleaved
-(lo, hi) sample windows; per probe we warm up, then take the best
-steady-state rate of 3 timed repetitions.  The headline efficiency is
+local[4N] over the same synthesized corpus (4x the throughput-headline
+corpus, so fixed per-action overhead cannot distort the level ratio —
+see SCALE_REPLICATE), in FIVE interleaved (lo, hi) sample windows; per
+probe we warm up, then take the best steady-state rate of 2 timed
+repetitions.  The headline efficiency is
 computed from the per-level MEDIAN rate across the five windows —
 with five samples the median is a trimmed statistic (the two extreme
 windows per level never touch it), so a single depressed window pair
@@ -63,6 +65,18 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "8"))
+# the SCALING probes use a larger corpus than the throughput headline:
+# a timed repetition carries ~2.5 s of fixed per-action overhead (plan,
+# task scheduling, Arrow worker spin-up — measured by regressing rep
+# time over two corpus sizes), which at replicate=8 is ~12% of a 20 s
+# lo-level rep but ~36% of a 7 s hi-level rep, understating the hi rate
+# and with it the efficiency (raw 0.74 measured vs 0.98 overhead-
+# corrected).  4x the corpus keeps the same input at BOTH levels and
+# shrinks the overhead share to ~3% (lo) / ~12% (hi); the residual bias
+# still UNDERSTATES efficiency, so the reported number stays
+# conservative.
+SCALE_REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_REPLICATE",
+                                     "32"))
 BOILER = 16         # page-weight multiplier (≈9 KB pages — closer to real
                     # web pages; also puts per-doc parse work in honest
                     # proportion to Arrow transfer, which 4 KB toy pages
@@ -277,8 +291,11 @@ def _scaling_attempt(lo: int, hi: int) -> dict | None:
     # the spread across windows is the variance bound
     windows = []
     for _ in range(N_WINDOWS):
-        res_lo = probe(lo, reps=3)
-        res_hi = probe(hi, reps=3)
+        # 2 reps (best-of) per probe: the 4x scaling corpus makes each
+        # rep long enough that a third rep buys little and costs ~1 min
+        # of lo-level wall per window
+        res_lo = probe(lo, reps=2)
+        res_hi = probe(hi, reps=2)
         if res_lo and res_hi:
             windows.append({
                 "docs_per_sec_lo": res_lo["docs_per_sec"],
@@ -355,7 +372,7 @@ def _weight_ladder(spark) -> dict:
 def scaling_probe(cpus: int, reps: int = 4) -> None:
     _pin_cpus(cpus)
     spark = _make_session(cpus)
-    res = _extraction_run(spark, cpus, REPLICATE, reps=reps)
+    res = _extraction_run(spark, cpus, SCALE_REPLICATE, reps=reps)
     spark.stop()
     print("SCALING_RESULT " + json.dumps(res))
 
