@@ -531,3 +531,32 @@ def test_job_lang_filter(spark, tmp_path):
 
     assert run("default") == {"en1", "fr1"}
     assert run("filtered", "--lang-filter") == {"en1"}
+
+
+def test_train_ivf_centroids(spark):
+    """Pure-DataFrame Lloyd k-means (the ivf_topk(centroids=...)
+    producer): deterministic across runs on the same layout, returns
+    <= n_cells mean vectors of the input dimension, and the trained
+    cells recover most brute-force neighbors at n_probe=3 of 8 cells
+    (recall floor pinned)."""
+    from trafilatura_spark.functions.similarity import (cosine_topk,
+                                                        ivf_topk,
+                                                        train_ivf_centroids)
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    c1 = train_ivf_centroids(emb, n_cells=8, n_iter=3)
+    c2 = train_ivf_centroids(emb, n_cells=8, n_iter=3)
+    r1 = sorted((r["vec_id"], tuple(r["embedding"])) for r in c1.collect())
+    r2 = sorted((r["vec_id"], tuple(r["embedding"])) for r in c2.collect())
+    assert r1 == r2
+    assert 0 < len(r1) <= 8
+    assert all(len(vec) == 64 for _, vec in r1)
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    ivf = ivf_topk(emb, queries, k=5, n_probe=3, centroids=c1)
+    brute = cosine_topk(emb, queries, k=5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    want = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, recall

@@ -228,6 +228,58 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
             .select(id_col, vec_col, F.col("best.cell").alias("cell")))
 
 
+def train_ivf_centroids(emb: DataFrame, n_cells: int = 16, n_iter: int = 5,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Lloyd k-means in pure DataFrame algebra: the trained-centroid
+    producer for ``ivf_topk(centroids=...)`` at production scale.
+
+    Deterministic init (the same stride sample ivf_topk defaults to, no
+    RNG) and a deterministic assign tie-break; the mean update is a
+    floating-point reduction whose order is plan-stable, so repeated
+    runs over the same layout give identical cells (across different
+    partition layouts the means can differ in the last ulp — irrelevant
+    for a coarse quantizer).
+
+    Per iteration: one broadcast assign pass (``ivf_assign``: shuffle =
+    one row per vector, never the pair fan-out) + one mean-update
+    shuffle keyed (cell, dim) with map-side partial averages — post-
+    combine volume is partitions x cells x dim regardless of corpus
+    size, so at 10^9 vectors the network cost is the assign pass, not
+    the update.  Centroid frames are localCheckpoint()ed per iteration:
+    tiny (n_cells rows), and it stops the 5-iteration lineage from
+    compounding into one giant plan.  Cells that lose all members drop
+    out (standard Lloyd behavior; harmless for IVF — fewer, fuller
+    cells).
+
+    Returns (id_col = cell id from the final assignment, vec_col =
+    array<double> mean vector), directly consumable by ``ivf_topk``."""
+    n = emb.count()
+    stride = max(n // n_cells, 1)
+    cents = (emb.filter(F.col(id_col) % stride == 0)
+             .orderBy(id_col).limit(n_cells)
+             .select(id_col,
+                     F.transform(vec_col, lambda x: x.cast("double"))
+                     .alias(vec_col))
+             .localCheckpoint())
+    for _ in range(n_iter):
+        assigned = ivf_assign(emb, cents, id_col, vec_col)
+        cents = (assigned
+                 .select("cell",
+                         F.posexplode(
+                             F.transform(vec_col,
+                                         lambda x: x.cast("double")))
+                         .alias("pos", "val"))
+                 .groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+                 .groupBy("cell")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                     lambda s: s["m"]).alias(vec_col))
+                 .select(F.col("cell").alias(id_col), vec_col)
+                 .localCheckpoint())
+    return cents
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              centroid_stride: int = 40, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
