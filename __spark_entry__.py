@@ -43,6 +43,14 @@ RELAXED = dict(min_extracted_size=5, min_output_size=1,
 N_HASHES = 8
 BAND_SIZE = 2
 SHINGLE_K = 3
+
+
+def _cpu_partitions(spark: "SparkSession") -> int:
+    """2×cores partition count for CPU-bound map stages whose input scan
+    yields fewer splits than cores (sf-scale parquet arrives as 1-2
+    files).  Production scans already carry thousands of partitions and
+    should NOT pay this repartition — see near_duplicate_pairs."""
+    return spark.sparkContext.defaultParallelism * 2
 ANN_TABLES = 16
 ANN_BITS = 4
 # near-dup pair finding: cosine~1.0 pairs collide in EVERY table, so
@@ -155,7 +163,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     return near_duplicate_pairs(inject_duplicates(docs),
                                 n_hashes=N_HASHES, band_size=BAND_SIZE,
-                                k=SHINGLE_K, threshold=0.5)
+                                k=SHINGLE_K, threshold=0.5,
+                                n_partitions=_cpu_partitions(spark))
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,7 +184,8 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionByName(dups)
     return near_duplicate_pairs(
         corpus, n_hashes=N_HASHES, band_size=BAND_SIZE, threshold=0.5,
-        shingler=lambda c: char_shingles(c, 12))
+        shingler=lambda c: char_shingles(c, 12),
+        n_partitions=_cpu_partitions(spark))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

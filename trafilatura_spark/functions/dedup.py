@@ -95,25 +95,38 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     approximately independent permutations at 1/n_hashes the hash work of
     one-md5-per-seed.  Lexicographic min over hex strings == numeric min;
     the rotation (two substrings + concat) reproduces bit-for-bit in any
-    SQL engine."""
+    SQL engine.
+
+    ZERO shuffle: the per-seed min is ``array_min`` over the in-row digest
+    array (min over duplicates == min over the distinct set, so no
+    ``array_distinct`` pass either).  The earlier explode + groupBy form
+    already combined map-side to one shuffle row per doc, but paid the
+    explode row machinery plus a hash-aggregate probe per shingle — for
+    character shinglers (~1 shingle/char) that dominated the pipeline."""
     if n_hashes > 8:
         raise ValueError("n_hashes > 8 would reuse rotation offsets")
     shingles = shingler(text_col) if shingler is not None \
         else word_shingles(text_col, k)
-    shingled = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles)
-                                 ).alias("shingle"))
-    h = F.md5("shingle")
-    # one shuffle: n_hashes map-side-combined min-aggregates instead of an
-    # n_hashes-way seed explode (same values, 1/n_hashes the shuffle rows)
-    mins = shingled.select(id_col, h.alias("h")).groupBy(id_col).agg(*[
-        F.min(F.concat(F.substring("h", 4 * s + 1, 32 - 4 * s),
-                       F.substring("h", 1, 4 * s))).alias(f"mh{s}")
-        for s in range(n_hashes)
-    ])
-    return mins.select(
-        id_col,
-        F.array(*[F.col(f"mh{s}") for s in range(n_hashes)]).alias("sig"))
+    digs = df.select(
+        F.col(id_col),
+        F.transform(shingles, lambda sh: F.md5(sh)).alias("dig"))
+    # null text / empty custom-shingler output would yield a null
+    # signature; the explode form dropped those rows (no shingle rows to
+    # aggregate), and at scale a shared null band is one quadratic hot
+    # bucket — keep the drop semantics explicitly.
+    digs = digs.filter(F.coalesce(F.size("dig"), F.lit(0)) > 0)
+
+    def _rot_min(s: int) -> Column:
+        if s == 0:
+            return F.array_min("dig")
+        return F.array_min(F.transform(
+            "dig",
+            lambda d: F.concat(F.substring(d, 4 * s + 1, 32 - 4 * s),
+                               F.substring(d, 1, 4 * s))))
+
+    return digs.select(
+        F.col(id_col),
+        F.array(*[_rot_min(s) for s in range(n_hashes)]).alias("sig"))
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
@@ -219,14 +232,23 @@ def near_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
                          threshold: float = 0.5,
                          max_bucket_size: int | None = None,
                          broadcast_candidates: bool = True,
-                         shingler=None) -> DataFrame:
+                         shingler=None,
+                         n_partitions: int | None = None) -> DataFrame:
     """MinHash→LSH→exact-Jaccard pipeline: the scale path for near-dup
     detection (candidates only from shared bands, then verified).
 
     ``max_bucket_size`` drops hot LSH buckets (boilerplate bands that
     would explode into quadratic pair volume); ``broadcast_candidates=
     False`` switches the verify join to shuffle for pathological
-    candidate volumes — both forwarded to the component stages."""
+    candidate volumes — both forwarded to the component stages.
+
+    ``n_partitions`` repartitions the corpus before the CPU-heavy
+    signature stage.  Use it when the input scan yields fewer splits
+    than cores (small files at bench scale); leave None for production
+    scans that already carry thousands of partitions — there the extra
+    full-text shuffle would cost more than it buys."""
+    if n_partitions is not None:
+        df = df.repartition(n_partitions)
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, k,
                               shingler=shingler)
     pairs = lsh_candidate_pairs(sigs, id_col, band_size,
