@@ -15,7 +15,14 @@ local[4N] over the same synthesized corpus (4x the throughput-headline
 corpus, so fixed per-action overhead cannot distort the level ratio —
 see SCALE_REPLICATE), in FIVE interleaved (lo, hi) sample windows; per
 probe we warm up, then take the best steady-state rate of 2 timed
-repetitions.  The headline efficiency is
+repetitions.  The scaling block runs FIRST, before the query suite and
+the weight ladder: measured on this box, hi-level rates climb ~30% over
+the ~20 min after a heavy all-cores phase (a slowly-draining host
+transient), so probing after the suite understates the 32-core level.
+A stability-gated hi burn-in (repeat until two consecutive unrecorded
+probes agree within 5%, bounded at 4) guards any residual rising edge,
+and each probe records the hypervisor steal fraction from /proc/stat
+over its interval as interference evidence.  The headline efficiency is
 computed from the per-level MEDIAN rate across the five windows —
 with five samples the median is a trimmed statistic (the two extreme
 windows per level never touch it), so a single depressed window pair
@@ -268,10 +275,23 @@ def _scaling_attempt(lo: int, hi: int) -> dict | None:
     fresh-JVM probe pairs + the pure-Python hardware control."""
     ncpu = os.cpu_count() or hi
 
+    def _cpu_jiffies() -> tuple[int, int] | None:
+        """(steal, total) jiffies from /proc/stat — hypervisor-steal
+        evidence for each probe interval (VM sandbox: nonzero steal
+        means another tenant depressed this probe)."""
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            vals = [int(v) for v in parts[1:]]
+            return vals[7] if len(vals) > 7 else 0, sum(vals)
+        except (OSError, ValueError, IndexError):
+            return None
+
     def probe(c: int, reps: int):
         """One fresh-JVM probe at local[c]; antagonists load the
         non-probe cores for lo-level probes (module docstring)."""
         ants = _start_antagonists(range(c, ncpu)) if c < ncpu else []
+        j0 = _cpu_jiffies()
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scale",
@@ -284,19 +304,37 @@ def _scaling_attempt(lo: int, hi: int) -> dict | None:
             return None
         finally:
             _stop_antagonists(ants)
+        j1 = _cpu_jiffies()
+        steal = None
+        if j0 and j1 and j1[1] > j0[1]:
+            steal = round((j1[0] - j0[0]) / (j1[1] - j0[1]), 4)
         for line in out.stdout.splitlines():
             if line.startswith("SCALING_RESULT "):
-                return json.loads(line[len("SCALING_RESULT "):])
+                res = json.loads(line[len("SCALING_RESULT "):])
+                res["steal_frac"] = steal
+                return res
         return None
 
-    # hi-level burn-in (not recorded): the first probes after the suite
-    # phase run on a box still draining that phase's thermal/background
+    # hi-level burn-in (not recorded): the first probes after a heavy
+    # phase run on a box still draining that phase's background
     # transient — run AD measured hi-level rates climbing monotonically
     # 5.8k → 7.6k docs/s across 20 min after a full suite while the
     # lo-level (antagonist-padded, hence contention-insensitive) rates
-    # stayed flat.  One short unrecorded hi probe absorbs the worst of
-    # it; lo needs none (measured flat).
-    probe(hi, reps=1)
+    # stayed flat.  Burn in until the plateau: repeat short hi probes
+    # until two consecutive rates agree within 5% (bounded at 4), so
+    # recorded windows never start on the rising edge of a transient.
+    # lo needs none (measured flat).
+    burnin_rates: list[float] = []
+    for _ in range(4):
+        b = probe(hi, reps=1)
+        if b:
+            burnin_rates.append(b["docs_per_sec"])
+            if (len(burnin_rates) >= 2
+                    and abs(burnin_rates[-1] - burnin_rates[-2])
+                    <= 0.05 * max(burnin_rates[-2:])):
+                break
+        else:
+            break
 
     # interleaved (lo, hi) windows: efficiency is computed per paired
     # window so a host-wide slowdown lands on both levels of the pair;
@@ -312,6 +350,8 @@ def _scaling_attempt(lo: int, hi: int) -> dict | None:
             windows.append({
                 "docs_per_sec_lo": res_lo["docs_per_sec"],
                 "docs_per_sec_hi": res_hi["docs_per_sec"],
+                "steal_frac_lo": res_lo.get("steal_frac"),
+                "steal_frac_hi": res_hi.get("steal_frac"),
                 "efficiency": round(
                     (res_hi["docs_per_sec"] / res_lo["docs_per_sec"])
                     / (hi / lo), 3)})
@@ -337,6 +377,7 @@ def _scaling_attempt(lo: int, hi: int) -> dict | None:
             "efficiency_window_median": round(med(effs), 3),
             "efficiency_windows": windows,
             "efficiency_spread": round(effs[-1] - effs[0], 3),
+            "burnin_rates_hi": [round(r, 1) for r in burnin_rates],
             "hw_control_efficiency": hw,
             "normalized_efficiency":
                 round(min(eff / hw, 1.0), 3) if hw else None}
@@ -399,6 +440,40 @@ def main() -> None:
 
     scaling_only = os.environ.get("SPARK_GRAFT_BENCH_SCALING_ONLY") == "1"
 
+    # scaling runs FIRST, on the freshest box state: run AD measured
+    # hi-level probe rates climbing 5.8k → 7.6k docs/s across ~20 min
+    # when the scaling block followed the suite + weight-ladder phase
+    # (a slowly-draining host transient that depresses the 32-core
+    # probes and understates efficiency).  Measuring scaling before any
+    # heavy phase removes the transient's rising edge from the recorded
+    # windows; the stability-gated burn-in in _scaling_attempt guards
+    # the residual.
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING") != "1":
+        lo, hi = max(CPUS // 4, 1), CPUS
+        scaling = _scaling_attempt(lo, hi)
+
+        def _misses_bar(s: dict) -> bool:
+            # the done-bar has two branches: raw >= 0.8, or
+            # normalized >= 0.8 with hw control >= 0.9
+            if s["efficiency"] >= 0.8:
+                return False
+            hw, norm = s["hw_control_efficiency"], s["normalized_efficiency"]
+            return not (hw is not None and hw >= 0.9
+                        and norm is not None and norm >= 0.8)
+
+        # documented self-retry (module docstring): when the attempt
+        # misses BOTH branches of the bar, the whole block runs once
+        # more; the second attempt becomes the headline regardless of
+        # direction, with the first preserved — a remeasure, not a
+        # best-of
+        if scaling and _misses_bar(scaling):
+            retry = _scaling_attempt(lo, hi)
+            if retry:
+                retry["first_attempt"] = scaling
+                retry["retried"] = True
+                scaling = retry
+
     spark = _make_session(CPUS)
     import __spark_entry__ as entrymod
 
@@ -440,36 +515,6 @@ def main() -> None:
                  or os.environ.get("SPARK_GRAFT_BENCH_SKIP_WEIGHTS") == "1"
                  else _weight_ladder(spark))
     spark.stop()
-
-    scaling = None
-    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING") != "1":
-        if not scaling_only:
-            # settle: let the box drain the suite/ladder phase's
-            # transient before the first probe (see burn-in note)
-            time.sleep(45)
-        lo, hi = max(CPUS // 4, 1), CPUS
-        scaling = _scaling_attempt(lo, hi)
-
-        def _misses_bar(s: dict) -> bool:
-            # the done-bar has two branches: raw >= 0.8, or
-            # normalized >= 0.8 with hw control >= 0.9
-            if s["efficiency"] >= 0.8:
-                return False
-            hw, norm = s["hw_control_efficiency"], s["normalized_efficiency"]
-            return not (hw is not None and hw >= 0.9
-                        and norm is not None and norm >= 0.8)
-
-        # documented self-retry (module docstring): when the attempt
-        # misses BOTH branches of the bar, the whole block runs once
-        # more; the second attempt becomes the headline regardless of
-        # direction, with the first preserved — a remeasure, not a
-        # best-of
-        if scaling and _misses_bar(scaling):
-            retry = _scaling_attempt(lo, hi)
-            if retry:
-                retry["first_attempt"] = scaling
-                retry["retried"] = True
-                scaling = retry
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
