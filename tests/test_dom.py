@@ -256,3 +256,34 @@ def test_text_only_strays_reach_body():
     # ordering with both pre-html strays and html lead text
     t3 = parse_html("<b>warn</b><html>intro<head></head><body>x</body></html>")
     assert get_body(t3).text_content() == "warnintrox"
+
+
+def test_traversal_matches_recursive_reference():
+    """iter/iterdesc/find_all must visit nodes in exact recursive
+    pre-order (the stack-based implementations carry leaf-skip and
+    bound-method micro-optimizations; this differential pins their
+    order against the naive definition on fuzzed tag soup)."""
+    import random
+
+    def rec_preorder(node, out):
+        out.append(node)
+        for c in node.children:
+            rec_preorder(c, out)
+        return out
+
+    rng = random.Random(99)
+    frags = ["<div>", "</div>", "<p>", "</p>", "<span>", "</span>",
+             "<ul>", "<li>", "</li>", "</ul>", "<a href='x'>t</a>",
+             "x ", "<table><tr><td>c</td></tr></table>", "<br>",
+             "<em>e</em>", "<h2>h</h2>"]
+    for _ in range(120):
+        html = "".join(rng.choice(frags) for _ in range(rng.randint(0, 60)))
+        tree = parse_html(html)
+        ref = rec_preorder(tree, [])
+        assert list(tree.iter()) == ref
+        assert list(tree.iterdesc()) == ref[1:]
+        want = {"div", "p"}
+        assert [n for n in tree.iterdesc("div", "p")] == \
+            [n for n in ref[1:] if n.tag in want]
+        assert tree.find_all("div", "p") == \
+            [n for n in ref[1:] if n.tag in want]

@@ -99,21 +99,27 @@ class Node:
         """Pre-order iteration including self; optionally filter by tag."""
         stack = [self]
         want = set(tags) if tags else None
+        pop = stack.pop
+        extend = stack.extend
         while stack:
-            node = stack.pop()
+            node = pop()
             if want is None or node.tag in want:
                 yield node
-            stack.extend(reversed(node.children))
+            if node.children:
+                extend(reversed(node.children))
 
     def iterdesc(self, *tags: str):
         """Pre-order iteration of descendants (excluding self)."""
         stack = list(reversed(self.children))
         want = set(tags) if tags else None
+        pop = stack.pop
+        extend = stack.extend
         while stack:
-            node = stack.pop()
+            node = pop()
             if want is None or node.tag in want:
                 yield node
-            stack.extend(reversed(node.children))
+            if node.children:
+                extend(reversed(node.children))
 
     def find_all(self, *tags: str) -> list["Node"]:
         # explicit loop: full-scan callers skip generator resume overhead
@@ -561,7 +567,16 @@ class _FastBuilder:
         if tag in _NEEDS_IMPLIED:
             self._implied_close(tag)
         parent = stack[-1]
-        node = Node(tag, amap, parent)
+        # __new__ + direct slot writes: skips the __init__ dispatch, which
+        # is measurable at ~320 start tags per page (same trick as
+        # Node.copy)
+        node = Node.__new__(Node)
+        node.tag = tag
+        node.attrs = amap
+        node.children = []
+        node.parent = parent
+        node.text = ""
+        node.tail = ""
         parent.children.append(node)
         if not self_closing and tag not in VOID_ELEMENTS:
             stack.append(node)
@@ -573,6 +588,12 @@ class _FastBuilder:
             # html5: mode switch only — see _TreeBuilder.handle_endtag
             return
         stack = self.stack
+        # well-formed fast path: the end tag closes the top of the stack
+        # (true for nearly every end tag on real pages)
+        if stack[-1].tag == tag:
+            if len(stack) > 1:
+                stack.pop()
+            return
         for i in range(len(stack) - 1, 0, -1):
             if stack[i].tag == tag:
                 del stack[i:]
