@@ -225,12 +225,14 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from trafilatura_spark.functions.textstats import quality_score, token_stats
+    from trafilatura_spark.functions.textstats import (quality_score,
+                                                       repetition_stats,
+                                                       token_stats)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return quality_score(token_stats(docs)).select(
+    return repetition_stats(quality_score(token_stats(docs))).select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
-        "avg_token_len", "quality")
+        "avg_token_len", "quality", "top_token_frac", "dup_ngram_frac")
 
 
 def q_extract_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1362,7 +1364,16 @@ SELECT doc_id, n::BIGINT AS n_tokens,
        round(least(n / 80.0, 1.0) * 0.4
              + (len(list_intersect(list_distinct(toks), {_EN_STOP}))::DOUBLE
                 / {float(len(_EN_STOP))}) * 0.3
-             + (len(list_distinct(toks))::DOUBLE / n) * 0.3, 6) AS quality
+             + (len(list_distinct(toks))::DOUBLE / n) * 0.3, 6) AS quality,
+       round(list_max(list_transform(list_distinct(toks),
+                 d -> len(list_filter(toks, x -> x = d))))::DOUBLE / n,
+             6) AS top_token_frac,
+       CASE WHEN n // 2 = 0 THEN 0.0::DOUBLE
+            ELSE round(1.0 - len(list_distinct(list_transform(
+                     range(1, n // 2 + 1),
+                     i -> array_to_string(toks[((i-1)*2+1):((i-1)*2+2)],
+                                          ' '))))::DOUBLE / (n // 2), 6)
+       END AS dup_ngram_frac
 FROM t
 """
 

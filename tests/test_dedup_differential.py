@@ -87,3 +87,37 @@ def test_lsh_pipeline_matches_bruteforce(spark, seed, threshold):
                                          threshold=threshold).collect()}
     want = _expected_pairs(docs, threshold)
     assert got == want, (got ^ want)
+
+
+def test_repetition_stats_match_python_reference(spark):
+    """repetition_stats (functions/textstats.py) differential: the
+    sorted-run top-token fraction and non-overlapping n-gram duplicate
+    fraction must equal a naive Counter-based Python reference on
+    seeded random texts, including edge shapes (single token, all-same
+    tokens, empty-ish strings, token count below the segment width)."""
+    from collections import Counter
+
+    from trafilatura_spark.functions.textstats import repetition_stats
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = ["x", "aa", "aa aa aa aa", "aa bb", "aa bb aa bb aa"]
+    texts += [" ".join(rng.choice(vocab)
+                       for _ in range(rng.randint(1, 40)))
+              for _ in range(60)]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["top_token_frac"], r["dup_ngram_frac"])
+           for r in repetition_stats(df, ngram=2).collect()}
+
+    for i, t in rows:
+        toks = t.split(" ")
+        n = len(toks)
+        top = round(max(Counter(toks).values()) / n, 6)
+        nseg = n // 2
+        if nseg == 0:
+            dup = 0.0
+        else:
+            segs = [" ".join(toks[j * 2:j * 2 + 2]) for j in range(nseg)]
+            dup = round(1.0 - len(set(segs)) / nseg, 6)
+        assert got[i] == (top, dup), (i, t, got[i], (top, dup))

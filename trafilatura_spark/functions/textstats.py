@@ -92,6 +92,60 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality", F.round(score, 6))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     ngram: int = 2) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1.3 —
+    public-paper quality rules for LLM training corpora), as zero-shuffle
+    JVM expressions:
+
+    - ``top_token_frac``: fraction of tokens taken by the single most
+      frequent token.  Computed as the longest equal-run in the SORTED
+      token array via an aggregate with a struct accumulator — O(n log n)
+      per row, unlike the naive distinct×filter scan (O(n·distinct)),
+      which matters at real web-document token counts.
+    - ``dup_ngram_frac``: fraction of consecutive non-overlapping
+      ``ngram``-token segments that are duplicates of an earlier segment
+      (the relational analog of the reference's segment dedup shape,
+      deduplication.dart:108-140, applied document-locally).  The
+      sentinel token " " can never equal a real token (tokens come from
+      a space split).
+
+    Both round to 6dp and are mirrored exactly by the DuckDB oracle."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    srt = F.array_sort(toks)
+    zero = F.lit(0).cast("int")
+    start = F.struct(F.lit(" ").alias("prev"), zero.alias("run"),
+                     zero.alias("best"))
+    longest_run = F.aggregate(
+        srt, start,
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)))
+            .alias("best")),
+        lambda acc: acc["best"])
+    k = F.lit(ngram)
+    nseg = F.floor(n / k).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(1), nseg),
+        lambda i: F.array_join(F.slice(toks, (i - 1) * k + 1, ngram), " "))
+    return (
+        df.withColumn("top_token_frac",
+                      F.round(longest_run.cast("double") / n.cast("double"),
+                              6))
+        .withColumn(
+            "dup_ngram_frac",
+            F.when(nseg > 0,
+                   F.round(F.lit(1.0)
+                           - F.size(F.array_distinct(segs)).cast("double")
+                           / nseg.cast("double"), 6))
+            .otherwise(F.lit(0.0))))
+
+
 ROLLING_MOD = 1_000_000_007
 ROLLING_BASE = 31
 
