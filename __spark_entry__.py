@@ -2195,12 +2195,19 @@ def q_extract_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = (q_extract_gate_boundaries(spark, sf_dir)
               .withColumn("family", F.lit("boundaries")))
     flat = q_extract_default_gates(spark, sf_dir)
+    # each span is encoded kind~offset~text so the hash compare still
+    # pins span KINDS and OFFSETS (not just the text sequence) — the
+    # pre-merge flat oracle verified those columns row-wise, and the
+    # merged family must not be weaker
     defaults = (
         flat.groupBy("doc_id", "status", "tier")
         .agg(F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("offset", "text"))),
-                lambda s: s["text"]), "|").alias("texts"))
+                F.array_sort(F.collect_list(
+                    F.struct("offset", "kind", "text"))),
+                lambda s: F.concat_ws("~", s["kind"],
+                                      s["offset"].cast("string"),
+                                      s["text"])), "|").alias("texts"))
         .withColumn("family", F.lit("defaults")))
     return bounds.unionByName(defaults.select(*bounds.columns))
 
@@ -2259,12 +2266,13 @@ fam AS (
     WHERE l1 >= 260 OR (l1 <= 240 AND l2 >= 260)
 )
 SELECT doc_id, 'defaults' AS family, 'ok' AS status, 'main' AS tier,
-       head || '|' || para1
-       || CASE m WHEN 0 THEN '' WHEN 1 THEN '|figure 0'
-               ELSE '|figure 0|figure 1' END
-       || '|' || para2
+       'head~0~' || head || '|p~1~' || para1
+       || CASE m WHEN 0 THEN '' WHEN 1 THEN '|graphic~2~figure 0'
+               ELSE '|graphic~2~figure 0|graphic~3~figure 1' END
+       || '|p~' || (2 + m) || '~' || para2
        || CASE WHEN single_copy THEN ''
-               ELSE '|' || para1 || '|' || para2 END AS texts
+               ELSE '|p~' || (3 + m) || '~' || para1
+                    || '|p~' || (4 + m) || '~' || para2 END AS texts
 FROM fam
 UNION ALL
 SELECT doc_id, 'boundaries' AS family, status, tier, texts

@@ -14,8 +14,9 @@ on one box — see BENCH.md): the same extraction job runs at local[N] and
 local[4N] over the same synthesized corpus (4x the throughput-headline
 corpus, so fixed per-action overhead cannot distort the level ratio —
 see SCALE_REPLICATE), in FIVE interleaved (lo, hi) sample windows; per
-probe we warm up, then take the best steady-state rate of 2 timed
-repetitions.  The scaling block runs FIRST, before the query suite and
+probe we warm up, then take the best steady-state rate of the timed
+repetitions (2 at the lo level, 3 at the hi level — shorter hi reps are
+noisier).  The scaling block runs FIRST, before the query suite and
 the weight ladder: measured on this box, hi-level rates climb ~30% over
 the ~20 min after a heavy all-cores phase (a slowly-draining host
 transient), so probing after the suite understates the 32-core level.
@@ -235,6 +236,11 @@ def _mp_control(n_lo: int, n_hi: int) -> float | None:
     except Exception:
         return None
     finally:
+        # release the corpus: scaling now runs FIRST, so keeping the
+        # tripled HTML corpus in module state would hold hundreds of MB
+        # across the whole suite + ladder AND fork-copy it into every
+        # later antagonist spinner
+        _CONTROL_HTMLS = []
         try:
             os.sched_setaffinity(0, range(os.cpu_count() or 1))
         except (AttributeError, OSError):
@@ -299,8 +305,9 @@ def _scaling_attempt(lo: int, hi: int) -> dict | None:
                 capture_output=True, text=True, timeout=1800,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
         except subprocess.TimeoutExpired:
-            # never discard the completed suite measurements over a
-            # hung probe — emit the result with whatever windows exist
+            # never fail the whole bench over a hung probe — the window
+            # loop drops the pair and the result carries whatever
+            # windows completed
             return None
         finally:
             _stop_antagonists(ants)

@@ -65,13 +65,31 @@ def main() -> None:
                      "parse_url), no Python eval",
                      plan_of(resolve_links(pages))))
 
-    from trafilatura_spark.functions.dedup import (inject_duplicates,
-                                                   near_duplicate_pairs)
-    nd = near_duplicate_pairs(inject_duplicates(base.select("doc_id", "text")))
-    sections.append(("MinHash→LSH→Jaccard: one shingle-explode shuffle into "
-                     "8 min-aggregates, groupBy-bucket pair explode (no "
-                     "self-join recompute), broadcast candidate verify",
-                     plan_of(nd)))
+    # captured from the SAME call path as the oracle query so the
+    # committed plan matches what the driver measures
+    import __spark_entry__ as entrymod
+    nd = entrymod.queries()["dedup_minhash"](spark, SF)
+    sections.append((
+        "MinHash→LSH→Jaccard: ZERO-shuffle signatures "
+        "(array_min over in-row digest array), groupBy-bucket "
+        "pair explode (no self-join recompute), broadcast "
+        "candidate verify",
+        "Captured from `queries()['dedup_minhash']` at sf0.01. The "
+        "signature stage\nis a pure Project over the scan — the earlier "
+        "explode + 8-way min-aggregate\nform paid one full shingle "
+        "shuffle (map-side combined, but still one\nhash-aggregate probe "
+        "per shingle; for char shinglers ~1 shingle/char that\ndominated "
+        "the pipeline). Shuffles at production defaults: (a) band-bucket\n"
+        "groupBy, (b) candidate-pair distinct, (c) final verified-pair "
+        "distinct.\nThe two extra Exchanges below are the opt-in "
+        "`n_partitions`\nrepartition used ONLY at bench scale where the "
+        "parquet scan yields fewer\nsplits than cores; production scans "
+        "already carry thousands of partitions\nand skip it "
+        "(near_duplicate_pairs(n_partitions=None), the default).\n"
+        "Null-text / empty-shingle docs are filtered before signing — a "
+        "shared null\nband would otherwise be one corpus-wide quadratic "
+        "hot bucket.",
+        plan_of(nd)))
 
     from trafilatura_spark.functions.similarity import embedding_near_dup_pairs
     nd_emb = embedding_near_dup_pairs(emb.select("vec_id", "embedding"),
@@ -118,8 +136,14 @@ def main() -> None:
             "produce; the properties called\nout in each heading are "
             "asserted by tests where load-bearing\n"
             "(tests/test_spark_pipeline.py).\n\n")
-        for title, plan in sections:
-            f.write(f"## {title}\n\n```\n{plan.strip()}\n```\n\n")
+        for section in sections:
+            if len(section) == 3:
+                title, prose, plan = section
+                f.write(f"## {title}\n\n{prose}\n\n"
+                        f"```\n{plan.strip()}\n```\n\n")
+            else:
+                title, plan = section
+                f.write(f"## {title}\n\n```\n{plan.strip()}\n```\n\n")
     print(f"wrote {out}")
     spark.stop()
 

@@ -3,7 +3,6 @@ serves a 3-host fixture site; the loop must respect robots.txt, stay
 on-site, resolve relative links, walk 2 hops, and feed extraction."""
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 
@@ -648,7 +647,7 @@ def test_polite_send_spaces_same_host():
     assert t["https://s.test/b"] - t["https://s.test/a"] >= 0.25
 
 
-def test_feed_driver_loop_cap(spark):
+def test_feed_driver_loop_cap(spark, tmp_path):
     """A crawl-scale seeds file must not serialize fetches on the driver:
     with 10k failing deep seeds, the distributed first round fetches all
     of them, but the driver-side tryHomepage retry loop is truncated at
@@ -660,7 +659,7 @@ def test_feed_driver_loop_cap(spark):
                                                  live_feed_pages)
 
     driver_pid = os.getpid()
-    log = tempfile.mktemp(suffix=".log")
+    log = str(tmp_path / "driver_fetch.log")
 
     def transport(method, url, headers, timeout, max_bytes=None):
         # only driver-process calls land in the log: executor-side calls

@@ -532,6 +532,22 @@ def test_job_lang_filter(spark, tmp_path):
     assert run("default") == {"en1", "fr1"}
     assert run("filtered", "--lang-filter") == {"en1"}
 
+    # validation fires BEFORE any Spark work: a --target-lang outside the
+    # classifier's stopword vocabulary would silently drop 100% of docs,
+    # so the CLI rejects it at parse time (argparse exits with code 2)
+    import pytest as _pytest
+    with _pytest.raises(SystemExit) as exc:
+        job_main(["--input", inp, "--output", str(tmp_path / "never"),
+                  "--progress", str(tmp_path / "never_p"),
+                  "--run-id", "bad", "--lang-filter",
+                  "--target-lang", "it"])
+    assert exc.value.code == 2
+    with _pytest.raises(SystemExit) as exc2:
+        job_main(["--input", inp, "--output", str(tmp_path / "never2"),
+                  "--progress", str(tmp_path / "never2_p"),
+                  "--run-id", "bad2", "--lang-filter"])
+    assert exc2.value.code == 2
+
 
 def test_train_ivf_centroids(spark):
     """Pure-DataFrame Lloyd k-means (the ivf_topk(centroids=...)

@@ -222,11 +222,10 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
             wave_df.mapInPandas(extract_fn, schema)
             .withColumn("bucket", bucket_col)
         )
-        if serialize and not in_stage_fmt:
-            # json/csv derive from the output columns JVM-side
-            from .operators.serialize import serialize_column
-            extracted = serialize_column(extracted, serialize)
         if lang_filter:
+            # BEFORE serialization: rendering rows the filter is about to
+            # drop would be wasted work proportional to the dropped
+            # fraction (the filter reads only spans/status)
             from .functions.textstats import lang_id
             joined = F.array_join(
                 F.transform("spans", lambda s: s["text"]), " ")
@@ -236,6 +235,10 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
                 .filter((F.col("status") != "ok")
                         | (F.col("_lf_lang") == lang_filter))
                 .drop("_lf_text", "_lf_lang"))
+        if serialize and not in_stage_fmt:
+            # json/csv derive from the output columns JVM-side
+            from .operators.serialize import serialize_column
+            extracted = serialize_column(extracted, serialize)
         # per-bucket metrics ride the write itself as observe() accumulator
         # expressions (4 per bucket in the wave) — ONE pass over the data;
         # naive re-reads of the whole output table would be a full second
@@ -455,6 +458,20 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
             p.error(f"--seeds is required for --mode {args.mode}")
     elif args.mode != "crawl" and not args.input:
         p.error(f"--input is required for --mode {args.mode}")
+    if args.lang_filter:
+        # validated BEFORE the session is built / the input is read: the
+        # stopword classifier can only ever emit the languages it has
+        # stopword sets for (plus 'und'), so any other --target-lang would
+        # silently drop 100% of extracted docs
+        from .functions.textstats import LANG_STOPWORDS
+        if not args.target_lang:
+            p.error("--lang-filter requires --target-lang")
+        if args.target_lang not in LANG_STOPWORDS:
+            p.error(
+                f"--lang-filter cannot classify {args.target_lang!r}: the "
+                "stopword classifier supports "
+                f"{sorted(LANG_STOPWORDS)} (anything else would drop every "
+                "extracted document)")
     spark = make_session()
 
     blacklist: frozenset = frozenset()
@@ -624,8 +641,6 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
         docs = spark.read.table(args.input)
     else:
         docs = spark.read.parquet(args.input)
-    if args.lang_filter and not args.target_lang:
-        p.error("--lang-filter requires --target-lang")
     summary = run_extraction(spark, docs, args.output, args.progress,
                              run_id=args.run_id, options=options,
                              n_buckets=args.buckets, wave_size=args.wave_size,
