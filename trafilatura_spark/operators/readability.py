@@ -64,12 +64,15 @@ def _link_density(elem: Node) -> float:
     return link_len / total
 
 
+# innerHTML regex probe vocabulary (readability_lxml.dart:286-297): a div
+# containing any of these stays a div; childless-of-these divs become <p>
+_BLOCK_MARKUP = frozenset(
+    ("a", "blockquote", "dl", "div", "img", "ol", "p", "pre", "table", "ul"))
+
+
 def _has_block_child_markup(elem: Node) -> bool:
     """Stand-in for the innerHTML regex probe (readability_lxml.dart:286-297)."""
-    return any(
-        c.tag in ("a", "blockquote", "dl", "div", "img", "ol", "p", "pre", "table", "ul")
-        for c in elem.iterdesc()
-    )
+    return any(c.tag in _BLOCK_MARKUP for c in elem.iterdesc())
 
 
 class ReadabilityDocument:
@@ -79,6 +82,9 @@ class ReadabilityDocument:
         self.doc = doc
         self.min_text_length = min_text_length
         self.retry_length = retry_length
+        # class/id strings repeat heavily within one page; regex verdicts
+        # depend only on the string, so memoize per document
+        self._cw_cache: dict[tuple, float] = {}
 
     def summary(self) -> Node | None:
         for elem in self.doc.find_all("script", "style"):
@@ -161,14 +167,19 @@ class ReadabilityDocument:
         return candidates
 
     def _class_weight(self, elem: Node) -> float:
+        key = (elem.attrs.get("class"), elem.attrs.get("id"))
+        cached = self._cw_cache.get(key)
+        if cached is not None:
+            return cached
         weight = 0.0
-        for attribute in (elem.attrs.get("class"), elem.attrs.get("id")):
+        for attribute in key:
             if not attribute:
                 continue
             if REGEXES["negative"].search(attribute):
                 weight -= 25
             if REGEXES["positive"].search(attribute):
                 weight += 25
+        self._cw_cache[key] = weight
         return weight
 
     def _score_node(self, elem: Node) -> list:
@@ -185,24 +196,72 @@ class ReadabilityDocument:
         return [score, elem]
 
     def _remove_unlikely_candidates(self) -> None:
-        for elem in self.doc.find_all():
-            if elem.parent is None:
-                continue
-            attrs = f"{elem.attrs.get('class', '')} {elem.attrs.get('id', '')}".strip()
-            if len(attrs) < 2:
-                continue
-            if elem.tag not in _FRAME_TAGS and REGEXES["unlikely"].search(attrs) \
-               and not REGEXES["maybe"].search(attrs):
-                elem.drop_tree()
+        # one pre-order pass; a dropped node's subtree is skipped outright
+        # (the snapshot version re-tested detached descendants: pure waste —
+        # drops inside a detached subtree can't affect the document).
+        # Verdicts are memoized per (class, id): nav/footer class strings
+        # repeat dozens of times on real pages.
+        unlikely = REGEXES["unlikely"].search
+        maybe = REGEXES["maybe"].search
+        verdicts: dict[tuple, bool] = {}
+        stack = list(reversed(self.doc.children))
+        pop = stack.pop
+        extend = stack.extend
+        while stack:
+            elem = pop()
+            key = (elem.attrs.get("class", ""), elem.attrs.get("id", ""))
+            if key[0] or key[1]:
+                drop = verdicts.get(key)
+                if drop is None:
+                    attrs = f"{key[0]} {key[1]}".strip()
+                    drop = len(attrs) >= 2 and bool(unlikely(attrs)) \
+                        and not maybe(attrs)
+                    verdicts[key] = drop
+                if drop and elem.tag not in _FRAME_TAGS:
+                    elem.drop_tree()
+                    continue
+            if elem.children:
+                extend(reversed(elem.children))
 
     def _transform_misused_divs(self) -> None:
+        # Mark block-markup-containing divs in ONE amortized pass instead of
+        # a full-subtree probe per div (O(n^2) on nested layout divs): every
+        # block-vocabulary node walks its ancestor chain marking unmarked
+        # divs, stopping at the first already-marked div (whose div
+        # ancestors were marked with it).  Renames can't change membership —
+        # div and p are both in the probe vocabulary — so doc order is free.
+        has_block: set[int] = set()
+        add_marked = has_block.add
+        for node in self.doc.iterdesc(*_BLOCK_MARKUP):
+            anc = node.parent
+            while anc is not None:
+                if anc.tag == "div":
+                    i = id(anc)
+                    if i in has_block:
+                        break
+                    add_marked(i)
+                anc = anc.parent
         for elem in self.doc.find_all("div"):
-            if not _has_block_child_markup(elem):
+            if id(elem) not in has_block:
                 elem.tag = "p"
-        for elem in self.doc.iterdesc("div"):
-            for br in elem.find_all("br"):
-                if br.parent is not None:
-                    br.drop_tree()
+        # drop every <br> under a (still-)div, in document order — one walk
+        # tracking div depth replaces the per-div find_all re-scan
+        brs: list[Node] = []
+        stack = [(c, 0) for c in reversed(self.doc.children)]
+        pop = stack.pop
+        while stack:
+            node, depth = pop()
+            tag = node.tag
+            if tag == "br":
+                if depth:
+                    brs.append(node)
+            elif node.children:
+                d2 = depth + 1 if tag == "div" else depth
+                for c in reversed(node.children):
+                    stack.append((c, d2))
+        for br in brs:
+            if br.parent is not None:
+                br.drop_tree()
 
     def _sanitize(self, node: Node, candidates: dict) -> Node | None:
         """readability_lxml.dart:317-410 feature-count cleaning."""
@@ -233,15 +292,26 @@ class ReadabilityDocument:
             if weight + score < 0:
                 elem.drop_tree()
                 continue
-            if len(elem.text_content().split(",")) >= 10:
+            content = elem.text_content()
+            if content.count(",") + 1 >= 10:
                 continue
-            counts = {kind: len(elem.find_all(kind)) for kind in TEXT_CLEAN_ELEMS}
+            # one subtree walk for all feature counts + link text (the dict
+            # comprehension re-scanned the subtree once per kind, and the
+            # length/density helpers twice more)
+            counts = dict.fromkeys(TEXT_CLEAN_ELEMS, 0)
+            link_len = 0
+            for d in elem.iterdesc():
+                t = d.tag
+                if t in counts:
+                    counts[t] += 1
+                    if t == "input":
+                        if d.attrs.get("type") == "hidden":
+                            counts["input"] -= 1
+                    elif t == "a":
+                        link_len += len(trim(d.text_content()))
             counts["li"] -= 100
-            counts["input"] -= sum(
-                1 for i in elem.iterdesc("input") if i.attrs.get("type") == "hidden"
-            )
-            content_length = _text_length(elem)
-            link_density = _link_density(elem)
+            content_length = len(trim(content))
+            link_density = (link_len / content_length) if content_length else 0.0
             to_remove = True
             if counts["p"] > 0 and counts["img"] > 1 + counts["p"] * 1.3:
                 pass
