@@ -158,7 +158,7 @@ def trafilatura_sequence(converted_tree: Node, cleaned_backup: Node,
         # cleaned_backup is consumed here (it has no later reader), so it
         # is passed without a defensive copy
         postbody, temp_text, len_text, tier = compare_extraction(
-            cleaned_backup, raw_body_fn(), postbody, temp_text,
+            cleaned_backup, raw_body_fn, postbody, temp_text,
             len_text, options)
     if len_text < options.min_extracted_size and options.focus != "precision":
         postbody, temp_text, len_text = baseline(raw_body_fn())

@@ -50,10 +50,15 @@ def sanitize_readability_tree(tree: Node, options: Options) -> tuple[Node, str, 
     return body, text, len(text)
 
 
-def compare_extraction(cleaned_tree: Node, backup_tree: Node, body: Node,
+def compare_extraction(cleaned_tree: Node, backup_fn, body: Node,
                        text: str, len_text: int, options: Options
                        ) -> tuple[Node, str, int, str]:
-    """Decision table (external.dart:36-115).  Returns (body, text, len, tier)."""
+    """Decision table (external.dart:36-115).  Returns (body, text, len, tier).
+
+    ``backup_fn`` supplies a PRISTINE, freely-mutable body tree per call
+    (the reference hands compareExtraction a copy of the raw tree); the
+    supplier form lets readability's rare retry path re-derive its input
+    instead of every document paying a defensive copy."""
     tier = "main"
     if options.focus == "recall" and len_text > options.min_extracted_size * 10:
         return body, text, len_text, tier
@@ -61,10 +66,14 @@ def compare_extraction(cleaned_tree: Node, backup_tree: Node, body: Node,
     use_readability = False
     jt_result = False
 
-    if options.focus == "precision":
-        backup_tree = prune_unwanted_nodes(backup_tree, select_overall_discard_elements)
+    def pristine_backup() -> Node:
+        backup_tree = backup_fn()
+        if options.focus == "precision":
+            backup_tree = prune_unwanted_nodes(
+                backup_tree, select_overall_discard_elements)
+        return get_body(backup_tree)
 
-    temppost_algo = try_readability(get_body(backup_tree))
+    temppost_algo = try_readability(pristine_backup(), refetch=pristine_backup)
     algo_text = trim(temppost_algo.text_content())
     len_algo = len(algo_text)
 

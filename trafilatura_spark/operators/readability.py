@@ -78,20 +78,38 @@ def _has_block_child_markup(elem: Node) -> bool:
 class ReadabilityDocument:
     """readability_lxml.dart:79-410."""
 
-    def __init__(self, doc: Node, min_text_length: int = 25, retry_length: int = 250):
+    def __init__(self, doc: Node, min_text_length: int = 25, retry_length: int = 250,
+                 refetch=None):
         self.doc = doc
         self.min_text_length = min_text_length
         self.retry_length = retry_length
+        # optional supplier of a fresh pristine copy of ``doc``: when the
+        # caller owns the input and can re-derive it, the per-document
+        # defensive ``saved`` copy is skipped and the (~10% of real pages)
+        # non-ruthless retry re-fetches instead
+        self._refetch = refetch
         # class/id strings repeat heavily within one page; regex verdicts
         # depend only on the string, so memoize per document
         self._cw_cache: dict[tuple, float] = {}
 
-    def summary(self) -> Node | None:
-        for elem in self.doc.find_all("script", "style"):
+    def _strip_scripts(self, doc: Node) -> Node:
+        for elem in doc.find_all("script", "style"):
             if elem.parent is not None:
                 elem.drop_tree()
+        return doc
+
+    def summary(self) -> Node | None:
+        self._strip_scripts(self.doc)
         ruthless = True
-        saved = self.doc.copy()
+        # the retry path needs the pre-ruthless document back; a refetch
+        # supplier replaces the every-document copy with an on-retry rebuild
+        saved = None if self._refetch is not None else self.doc.copy()
+
+        def restore() -> Node:
+            if saved is not None:
+                return saved
+            return self._strip_scripts(self._refetch())
+
         while True:
             if ruthless:
                 self._remove_unlikely_candidates()
@@ -105,7 +123,7 @@ class ReadabilityDocument:
                     # final attempt: saved has no later reader, hand it
                     # over without the defensive copy
                     ruthless = False
-                    self.doc = saved
+                    self.doc = restore()
                     continue
                 body = self.doc.find("body")
                 article = body if body is not None else self.doc
@@ -113,7 +131,7 @@ class ReadabilityDocument:
             article_length = len(cleaned.text_content()) if cleaned is not None else 0
             if ruthless and article_length < self.retry_length:
                 ruthless = False
-                self.doc = saved
+                self.doc = restore()
                 continue
             return cleaned
 
@@ -346,10 +364,13 @@ class ReadabilityDocument:
         return node
 
 
-def try_readability(htmlinput: Node) -> Node:
-    """external.dart:25-33."""
+def try_readability(htmlinput: Node, refetch=None) -> Node:
+    """external.dart:25-33.  ``refetch`` (optional) supplies a fresh
+    pristine copy of ``htmlinput`` so the retry path can rebuild instead
+    of every document paying a defensive copy up front."""
     try:
-        doc = ReadabilityDocument(htmlinput, min_text_length=25, retry_length=250)
+        doc = ReadabilityDocument(htmlinput, min_text_length=25,
+                                  retry_length=250, refetch=refetch)
         return doc.summary() or Node("div")
     except Exception:
         return Node("div")
