@@ -17,6 +17,7 @@ those terms.
 from __future__ import annotations
 
 import re as _re_mod
+from html import unescape as _unescape
 from html.parser import HTMLParser
 
 VOID_ELEMENTS = frozenset(
@@ -446,9 +447,8 @@ class _FastBuilder:
     _start_gate = _TreeBuilder._start_gate
 
     def feed(self, s: str) -> None:
-        from html import unescape
-        import re
-        name_re = _FAST_NAME_RE
+        unescape = _unescape
+        start_match = _FAST_START_RE.match
         attr_re = _FAST_ATTR_RE
         n = len(s)
         find = s.find
@@ -485,34 +485,50 @@ class _FastBuilder:
                 gt = find(">", lt)
                 i = gt + 1 if gt >= 0 else n
             elif c.isalpha():
-                gt = find(">", lt + 1)
-                if gt < 0:
-                    add_text(s[lt:])
-                    break
-                seg = s[lt + 1:gt]
-                # a quoted attribute value may contain '>': odd quote
-                # parity in the fast slice means the first '>' may sit
-                # inside a value (or a value holds a bare apostrophe) —
-                # resolve with a real quote-state scan instead of blindly
-                # extending to the next '>' (which swallowed page content
-                # whenever an attribute held a lone apostrophe)
-                if seg.count('"') % 2 or seg.count("'") % 2:
-                    gt2 = _scan_tag_end(s, lt + 1, n)
-                    if gt2 >= 0:
-                        gt = gt2
-                        seg = s[lt + 1:gt]
-                self_closing = seg.endswith("/")
-                if self_closing:
-                    seg = seg[:-1]
-                m = name_re.match(seg)
+                # fused scan: one anchored regex yields the name, the
+                # attribute segment and the '>' position in a single C
+                # call (separate find + slice + name-match was the single
+                # hottest stretch of the parser)
+                m = start_match(s, lt + 1)
                 if m is None:
+                    # ASCII-name regex failed: either no '>' ahead, or a
+                    # non-[a-zA-Z] lead char (unicode isalpha) — emit the
+                    # pseudo-tag as text, honoring the same quote-parity
+                    # '>'-extension the tag path applies
+                    gt = find(">", lt + 1)
+                    if gt < 0:
+                        add_text(s[lt:])
+                        break
+                    seg = s[lt + 1:gt]
+                    if seg.count('"') % 2 or seg.count("'") % 2:
+                        gt2 = _scan_tag_end(s, lt + 1, n)
+                        if gt2 >= 0:
+                            gt = gt2
                     add_text(s[lt:gt + 1])
                     i = gt + 1
                     continue
-                tag = m.group(1).lower()
+                tag, rest = m.group(1, 2)
+                gt = m.end() - 1
+                # a quoted attribute value may contain '>': odd quote
+                # parity means the first '>' may sit inside a value (or a
+                # value holds a bare apostrophe) — resolve with a real
+                # quote-state scan instead of blindly extending to the
+                # next '>' (which swallowed page content whenever an
+                # attribute held a lone apostrophe).  The name can carry
+                # quotes too ([^\s/>] admits them), so count both parts.
+                if (tag.count('"') + rest.count('"')) % 2 or \
+                   (tag.count("'") + rest.count("'")) % 2:
+                    gt2 = _scan_tag_end(s, lt + 1, n)
+                    if gt2 >= 0:
+                        gt = gt2
+                        rest = s[lt + 1 + len(tag):gt]
+                tag = tag.lower()
+                self_closing = rest.endswith("/")
+                if self_closing:
+                    rest = rest[:-1]
                 amap: dict = {}
-                if m.end() < len(seg):
-                    for am in attr_re.finditer(seg, m.end()):
+                if rest:
+                    for am in attr_re.finditer(rest):
                         aname = am.group(1).lower()
                         if aname in amap:
                             continue
@@ -632,6 +648,9 @@ def _scan_tag_end(s: str, start: int, n: int) -> int:
 
 
 _FAST_NAME_RE = _re_mod.compile(r"([a-zA-Z][^\s/>]*)")
+# fused start-tag scanner: name + attribute segment + terminating '>' in
+# one anchored match (see _FastBuilder.feed)
+_FAST_START_RE = _re_mod.compile(r"([a-zA-Z][^\s/>]*)([^>]*)>")
 _FAST_ATTR_RE = _re_mod.compile(
     r"([a-zA-Z_:@][-.:\w@]*)"
     r"(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]*)))?")
