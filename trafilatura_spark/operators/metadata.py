@@ -478,9 +478,10 @@ def _extract_json_parse_error(text: str, meta: dict) -> dict:
     return meta
 
 
-def extract_meta_json(tree: Node, meta: dict) -> dict:
+def extract_meta_json(tree: Node, meta: dict,
+                      scripts: list | None = None) -> dict:
     """metadata.dart:187-211."""
-    for elem in tree.iterdesc("script"):
+    for elem in (scripts if scripts is not None else tree.iterdesc("script")):
         if elem.attrs.get("type") not in ("application/ld+json",
                                           "application/settings+json"):
             continue
@@ -507,14 +508,19 @@ def _examine_title_element(tree: Node) -> tuple[str, str | None, str | None]:
     return title, None, None
 
 
-def extract_title(tree: Node) -> str | None:
+def extract_title(tree: Node, walk: "_MetaWalk | None" = None) -> str | None:
     """metadata.dart:378-415."""
-    h1s = tree.find_all("h1")
+    if walk is not None:
+        h1s = walk.buckets["h1"]
+        titled = select_title_elements(tree, walk.buckets, walk.title_classed)
+    else:
+        h1s = tree.find_all("h1")
+        titled = None
     if len(h1s) == 1:
         t = trim(h1s[0].text_content())
         if t:
             return t
-    for elem in select_title_elements(tree):
+    for elem in (titled if titled is not None else select_title_elements(tree)):
         content = trim(elem.text_content())
         if content and 2 < len(content) < 200:
             return content
@@ -524,7 +530,7 @@ def extract_title(tree: Node) -> str | None:
             return t
     if h1s:
         return h1s[0].text_content()
-    h2s = tree.find_all("h2")
+    h2s = walk.buckets["h2"] if walk is not None else tree.find_all("h2")
     if h2s:
         return h2s[0].text_content()
     return title_text or None
@@ -553,12 +559,12 @@ def _text_content_excluding(node: Node, excluded: set) -> str:
     return "".join(parts)
 
 
-def extract_author(tree: Node) -> str | None:
+def extract_author(tree: Node, buckets: dict | None = None) -> str | None:
     """metadata.dart:418-431.  Equivalent to copy→prune→select, without
     the full-tree copy (a per-document hot spot): discarded subtrees are
     excluded from both candidate selection and candidate text."""
-    excluded = {id(e) for e in select_author_discard_elements(tree)}
-    for elem in select_author_elements(tree):
+    excluded = {id(e) for e in select_author_discard_elements(tree, buckets)}
+    for elem in select_author_elements(tree, buckets):
         if excluded:
             n, skip = elem, False
             while n is not None:
@@ -617,6 +623,67 @@ def extract_sitename(tree: Node) -> str | None:
     return None
 
 
+class _MetaWalk:
+    """All full-tree scans extract_metadata needs, collected in ONE
+    pre-order walk.  Each bucket/list preserves document order, so every
+    consumer sees exactly what its private walk produced:
+
+    - ``buckets``: tag → elements, for the union of tags the selector
+      family reads (xpaths.dart author/category/tag/title selectors,
+      metadata.dart find_date/extract_license, JSON-LD scripts).
+    - ``title_classed``: class exactly entry-title/post-title (any tag).
+    - ``date_classed``: abbr/span/div/p whose class carries
+      published/post-date/entry-date (merged document order — find_date
+      scans these interleaved across tags).
+    - ``license_containers``: <footer> plus footer-classed <div>
+      (merged document order, extract_license's second pass).
+    """
+
+    __slots__ = ("buckets", "title_classed", "date_classed",
+                 "license_containers")
+
+    _TAGS = ("a", "address", "div", "link", "p", "span", "strong", "author",
+             "section", "time", "figure", "footer", "li", "header",
+             "h1", "h2", "h3", "meta", "abbr", "script")
+    _DATE_CLASS_TAGS = frozenset(("abbr", "span", "div", "p"))
+
+    def __init__(self, tree: Node):
+        buckets = {t: [] for t in self._TAGS}
+        self.buckets = buckets
+        self.title_classed = title_classed = []
+        self.date_classed = date_classed = []
+        self.license_containers = license_containers = []
+        get = buckets.get
+        date_tags = self._DATE_CLASS_TAGS
+        stack = list(reversed(tree.children))
+        pop = stack.pop
+        extend = stack.extend
+        while stack:
+            node = pop()
+            tag = node.tag
+            b = get(tag)
+            if b is not None:
+                b.append(node)
+            attrs = node.attrs
+            if attrs:
+                cls = attrs.get("class")
+                if cls is not None:
+                    if cls in ("entry-title", "post-title"):
+                        title_classed.append(node)
+                    if tag in date_tags:
+                        low = cls.lower()
+                        if "published" in low or "post-date" in low \
+                                or "entry-date" in low:
+                            date_classed.append(node)
+                if tag == "div" and ("footer" in attrs.get("class", "")
+                                     or "footer" in attrs.get("id", "")):
+                    license_containers.append(node)
+            if tag == "footer":
+                license_containers.append(node)
+            if node.children:
+                extend(reversed(node.children))
+
+
 def extract_catstags(metatype: str, tree: Node,
                      links: list | None = None) -> list[str]:
     """metadata.dart:483-527.  ``links`` lets the caller share one walk
@@ -659,27 +726,37 @@ def _parse_license_element(element: Node, strict: bool = False) -> str | None:
     return None
 
 
-def extract_license(tree: Node) -> str | None:
+def extract_license(tree: Node, walk: _MetaWalk | None = None) -> str | None:
     """metadata.dart:551-571.
 
     One tree walk instead of two: the rel=license anchor scan
     early-returns exactly like the reference's first loop, and the
     footer containers for the strict second pass are collected during
-    the same traversal (identical document order)."""
-    containers: list[Node] = []
-    for element in tree.iterdesc("a", "footer", "div"):
-        tag = element.tag
-        if tag == "a":
+    the same traversal (identical document order).  With ``walk`` the
+    anchors/containers come from the shared walk — same order, and the
+    container pass still only runs when no anchor produced a license."""
+    if walk is not None:
+        for element in walk.buckets["a"]:
             if element.attrs.get("rel") == "license" and "href" in element.attrs:
                 result = _parse_license_element(element, strict=False)
                 if result:
                     return result
-        elif tag == "footer":
-            containers.append(element)
-        else:
-            cls, eid = element.attrs.get("class", ""), element.attrs.get("id", "")
-            if "footer" in cls or "footer" in eid:
+        containers = walk.license_containers
+    else:
+        containers = []
+        for element in tree.iterdesc("a", "footer", "div"):
+            tag = element.tag
+            if tag == "a":
+                if element.attrs.get("rel") == "license" and "href" in element.attrs:
+                    result = _parse_license_element(element, strict=False)
+                    if result:
+                        return result
+            elif tag == "footer":
                 containers.append(element)
+            else:
+                cls, eid = element.attrs.get("class", ""), element.attrs.get("id", "")
+                if "footer" in cls or "footer" in eid:
+                    containers.append(element)
     for container in containers:
         for element in container.iterdesc("a"):
             if "href" in element.attrs:
@@ -702,26 +779,31 @@ def _parse_date(date_str: str) -> str | None:
     return None
 
 
-def find_date(tree: Node) -> str | None:
+def find_date(tree: Node, walk: _MetaWalk | None = None) -> str | None:
     """metadata.dart:765-811 (simplified htmldate).
 
     One traversal collects the three candidate categories (meta tags,
     <time> elements, date-classed elements); they are then evaluated in
     the reference's category order, so results are identical to the
     former three-walk form while touching the tree once."""
-    metas: list[Node] = []
-    times: list[Node] = []
-    classed: list[Node] = []
-    for elem in tree.iterdesc("meta", "time", "abbr", "span", "div", "p"):
-        tag = elem.tag
-        if tag == "meta":
-            metas.append(elem)
-        elif tag == "time":
-            times.append(elem)
-        else:
-            cls = elem.attrs.get("class", "").lower()
-            if "published" in cls or "post-date" in cls or "entry-date" in cls:
-                classed.append(elem)
+    if walk is not None:
+        metas = walk.buckets["meta"]
+        times = walk.buckets["time"]
+        classed = walk.date_classed
+    else:
+        metas = []
+        times = []
+        classed = []
+        for elem in tree.iterdesc("meta", "time", "abbr", "span", "div", "p"):
+            tag = elem.tag
+            if tag == "meta":
+                metas.append(elem)
+            elif tag == "time":
+                times.append(elem)
+            else:
+                cls = elem.attrs.get("class", "").lower()
+                if "published" in cls or "post-date" in cls or "entry-date" in cls:
+                    classed.append(elem)
     for elem in metas:
         for attr, want in _DATE_SELECT_META:
             if elem.attrs.get(attr, "").lower() == want and elem.attrs.get("content"):
@@ -767,23 +849,27 @@ def _clean_and_trim(meta: dict) -> dict:
 
 def extract_metadata(tree: Node, default_url: str | None = None,
                      author_blacklist: frozenset = frozenset()) -> dict:
-    """Orchestrator (metadata.dart:638-743)."""
+    """Orchestrator (metadata.dart:638-743).  One shared pre-order walk
+    (_MetaWalk) replaces the per-selector full-tree scans — each selector
+    receives its buckets in the same document order its private walk
+    produced, so results are byte-identical."""
+    walk = _MetaWalk(tree)
     meta = examine_meta(tree)
     if meta["author"] is not None and " " not in meta["author"]:
         meta["author"] = None
     try:
-        meta = extract_meta_json(tree, meta)
+        meta = extract_meta_json(tree, meta, scripts=walk.buckets["script"])
     except Exception:
         pass
     if meta["title"] is None:
-        meta["title"] = extract_title(tree)
+        meta["title"] = extract_title(tree, walk)
     if meta["author"] is not None and author_blacklist:
         kept = [a.strip() for a in meta["author"].split(";")
                 if a.strip() and a.strip().lower() not in
                 {b.lower() for b in author_blacklist}]
         meta["author"] = "; ".join(kept) if kept else None
     if meta["author"] is None:
-        meta["author"] = extract_author(tree)
+        meta["author"] = extract_author(tree, buckets=walk.buckets)
         if meta["author"] is not None and author_blacklist:
             kept = [a.strip() for a in meta["author"].split(";")
                     if a.strip() and a.strip().lower() not in
@@ -793,7 +879,7 @@ def extract_metadata(tree: Node, default_url: str | None = None,
         meta["url"] = extract_url(tree, default_url)
     if meta["url"] is not None:
         meta["hostname"] = extract_domain(meta["url"])
-    meta["date"] = find_date(tree)
+    meta["date"] = find_date(tree, walk)
     if meta["sitename"] is None:
         meta["sitename"] = extract_sitename(tree)
     if meta["sitename"] is not None:
@@ -806,11 +892,11 @@ def extract_metadata(tree: Node, default_url: str | None = None,
         if m:
             meta["sitename"] = m.group(1)
     if not meta["categories"] or not meta["tags"]:
-        cat_links, tag_links = select_cats_tags_links(tree)
+        cat_links, tag_links = select_cats_tags_links(tree, walk.buckets)
         if not meta["categories"]:
             meta["categories"] = extract_catstags("category", tree,
                                                   links=cat_links)
         if not meta["tags"]:
             meta["tags"] = extract_catstags("tag", tree, links=tag_links)
-    meta["license"] = extract_license(tree)
+    meta["license"] = extract_license(tree, walk)
     return _clean_and_trim(meta)

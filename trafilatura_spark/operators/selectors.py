@@ -302,11 +302,14 @@ _TAG_CLASS_RE = _contains_re(TAG_CLASS_PATTERNS)
 _TITLE_CLASS_RE = _contains_re(TITLE_CLASS_PATTERNS)
 
 
-def select_author_elements(tree: Node) -> list[Node]:
-    """xpaths.dart:524-560."""
+def select_author_elements(tree: Node, buckets: dict | None = None) -> list[Node]:
+    """xpaths.dart:524-560.  ``buckets`` lets extract_metadata share one
+    pre-order walk across all its selectors (same per-tag document
+    order as a private _by_tag walk, so results are identical)."""
     results = []
-    buckets = _by_tag(tree, ("a", "address", "div", "link", "p", "span",
-                             "strong", "author"))
+    if buckets is None:
+        buckets = _by_tag(tree, ("a", "address", "div", "link", "p", "span",
+                                 "strong", "author"))
     for tag in ("a", "address", "div", "link", "p", "span", "strong"):
         for elem in buckets[tag]:
             cls, eid = _class_id(elem)
@@ -323,10 +326,13 @@ def select_author_elements(tree: Node) -> list[Node]:
     return results
 
 
-def select_author_discard_elements(tree: Node) -> list[Node]:
+def select_author_discard_elements(tree: Node,
+                                   buckets: dict | None = None) -> list[Node]:
     """xpaths.dart:585-612."""
     results = []
-    buckets = _by_tag(tree, ("a", "div", "section", "span", "time", "figure"))
+    if buckets is None:
+        buckets = _by_tag(tree, ("a", "div", "section", "span", "time",
+                                 "figure"))
     for tag in ("a", "div", "section", "span"):
         for elem in buckets[tag]:
             cls, eid = _class_id(elem)
@@ -366,10 +372,13 @@ def select_tag_links(tree: Node) -> list[Node]:
     return results
 
 
-def select_cats_tags_links(tree: Node) -> tuple[list[Node], list[Node]]:
+def select_cats_tags_links(tree: Node, buckets: dict | None = None
+                           ) -> tuple[list[Node], list[Node]]:
     """Category and tag link selection sharing ONE tree walk — results are
     identical to calling the two selectors separately."""
-    buckets = _by_tag(tree, ("div", "p", "footer", "li", "span", "header"))
+    if buckets is None:
+        buckets = _by_tag(tree, ("div", "p", "footer", "li", "span",
+                                 "header"))
     cats: list[Node] = []
     for tag in ("div", "p", "footer", "li", "span", "header"):
         for elem in buckets[tag]:
@@ -389,17 +398,23 @@ def select_cats_tags_links(tree: Node) -> tuple[list[Node], list[Node]]:
     return cats, tags_links
 
 
-def select_title_elements(tree: Node) -> list[Node]:
-    """xpaths.dart:714-740."""
+def select_title_elements(tree: Node, buckets: dict | None = None,
+                          classed: list | None = None) -> list[Node]:
+    """xpaths.dart:714-740.  ``buckets``/``classed`` come from
+    extract_metadata's shared walk (classed = document-order elements
+    whose class is exactly entry-title/post-title)."""
     results = []
-    h_buckets = {"h1": [], "h2": [], "h3": []}
-    classed = []
-    for elem in tree.iterdesc():
-        b = h_buckets.get(elem.tag)
-        if b is not None:
-            b.append(elem)
-        if elem.attrs.get("class", "") in ("entry-title", "post-title"):
-            classed.append(elem)
+    if buckets is not None and classed is not None:
+        h_buckets = buckets
+    else:
+        h_buckets = {"h1": [], "h2": [], "h3": []}
+        classed = []
+        for elem in tree.iterdesc():
+            b = h_buckets.get(elem.tag)
+            if b is not None:
+                b.append(elem)
+            if elem.attrs.get("class", "") in ("entry-title", "post-title"):
+                classed.append(elem)
     for tag in ("h1", "h2", "h3"):
         for elem in h_buckets[tag]:
             cls, eid = _class_id(elem)
