@@ -41,17 +41,29 @@ def _overlap(tokens: Column, words: list[str]) -> Column:
 
 def lang_id(df: DataFrame, text_col: str = "text",
             out_col: str = "predicted_lang") -> DataFrame:
-    """Stopword-overlap argmax language classifier."""
-    toks = _tokens(text_col)
-    scores = [(lang, _overlap(toks, words))
-              for lang, words in sorted(LANG_STOPWORDS.items())]
-    best = None
-    for lang, score in scores:
-        pair = F.struct(score.alias("s"), F.lit(lang).alias("l"))
-        best = pair if best is None else F.when(
-            pair["s"] > best["s"], pair).otherwise(best)
-    return df.withColumn(
+    """Stopword-overlap argmax language classifier.
+
+    The argmax is one ``array_max`` over per-language score structs
+    (struct ordering: score, then negated alphabetical rank so ties keep
+    the alphabetically-first language — same semantics as a left-to-right
+    strict-greater scan).  The distinct-token array is projected once and
+    referenced per language; a naive nested when-chain re-inlines the
+    tokenizer subtree at every comparison, doubling the expression tree
+    per language (~40 copies at 4 languages in the captured plan).
+    """
+    tmp = f"_{out_col}_toks"
+    df = df.withColumn(tmp, F.array_distinct(F.split(F.col(text_col), " ")))
+    entries = []
+    for rank, (lang, words) in enumerate(sorted(LANG_STOPWORDS.items())):
+        arr = F.array(*[F.lit(w) for w in words])
+        entries.append(F.struct(
+            F.size(F.array_intersect(F.col(tmp), arr)).alias("s"),
+            F.lit(-rank).alias("r"),
+            F.lit(lang).alias("l")))
+    best = F.array_max(F.array(*entries))
+    return (df.withColumn(
         out_col, F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und")))
+        .drop(tmp))
 
 
 # BPE-ish pre-tokenizer (GPT-2-style split classes: contraction suffixes,
