@@ -501,3 +501,68 @@ def test_xpath_to_css_translation_table():
                 "/html/body/div", '//div[text()="x"]', "//"):
         with _pytest.raises(ValueError):
             xpath_to_css(bad)
+
+
+def test_clean_copy_matches_sequential_on_fuzzed_soup():
+    """clean_copy (fused copy+clean single walk) must be tree-exact
+    against tree_cleaning(tree.copy()) and must leave the source tree
+    untouched, across the tables/images/focus option matrix.  The same
+    differential ran over all 1,033 reference pages x 12 combos before
+    the fused form replaced the two-step one on the non-fast path."""
+    import random
+
+    from trafilatura_spark.core import get_body
+    from trafilatura_spark.dom import parse_html
+    from trafilatura_spark.operators.cleaning import clean_copy, tree_cleaning
+
+    def dump(n):
+        return (n.tag, tuple(sorted(n.attrs.items())), n.text, n.tail,
+                tuple(dump(c) for c in n.children))
+
+    rng = random.Random(4242)
+    frags = ["<div>", "</div>", "<p>", "</p>", "<aside>", "</aside>",
+             "<figure>", "</figure>", "<table><tr><td>c</td></tr></table>",
+             "<tbody>", "</tbody>", "<img src='i'>", "<ins>x</ins>",
+             "<span>", "</span>", "<span></span>", "text ", "tail ",
+             "<footer>f</footer>", "<form><input></form>", "<b></b>",
+             "<script>s</script>", "<meta x='y'>", "<li>", "</li>",
+             "<picture><source></picture>", "<svg>v</svg>", " ", "&amp;"]
+    opt_matrix = [Options(tables=t, images=i, focus=f)
+                  for t in (True, False) for i in (True, False)
+                  for f in ("balanced", "precision", "recall")]
+    for _ in range(150):
+        html = "<body>" + "".join(
+            rng.choice(frags) for _ in range(rng.randint(0, 60))) + "</body>"
+        tree = parse_html(html)
+        for opts in opt_matrix:
+            body = get_body(tree)
+            before = dump(body)
+            got = dump(clean_copy(body, opts))
+            assert dump(body) == before, "clean_copy mutated its source"
+            assert got == dump(tree_cleaning(body.copy(), opts))
+
+
+def test_clean_copy_deep_strip_nesting_falls_back():
+    """Adversarially nested strip-set tags must not crash (RecursionError
+    guard falls back to the sequential two-step form).  The parser's
+    implied-close rules flatten <tbody> soup, so the deep chain is built
+    directly on Node objects to genuinely exercise the guard."""
+    from trafilatura_spark.dom import Node
+    from trafilatura_spark.operators.cleaning import clean_copy, tree_cleaning
+
+    def deep_body() -> Node:
+        body = Node("body")
+        cur = body
+        for _ in range(5000):
+            nxt = Node("tbody")
+            cur.append(nxt)
+            cur = nxt
+        leaf = Node("p")
+        leaf.text = "deep"
+        cur.append(leaf)
+        return body
+
+    opts = Options()
+    got = clean_copy(deep_body(), opts)
+    want = tree_cleaning(deep_body(), opts)
+    assert got.text_content() == want.text_content() == "deep"

@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 from .dom import Node, get_body, parse_html
 from .functions.textutils import trim
 from .operators.baseline import baseline
-from .operators.cleaning import convert_tags, tree_cleaning
+from .operators.cleaning import clean_copy, convert_tags, tree_cleaning
 from .operators.deduplication import content_fingerprint
 from .operators.fallbacks import compare_extraction
 from .operators.main_extractor import extract_comments, extract_content
@@ -242,7 +242,10 @@ def bare_extraction(filecontent: str, options: Options | None = None,
             # copy from the source only when a rescue actually fires
             cleaned = tree_cleaning(working_body, options)
         else:
-            cleaned = tree_cleaning(working_body.copy(), options)
+            # fused copy+clean: one walk that never materializes the
+            # subtrees cleaning deletes (~8% of the default path was the
+            # full-body defensive copy); working_body stays pristine
+            cleaned = clean_copy(working_body, options)
 
         def pristine_body() -> Node:
             """A freely-mutable body in its pre-cleaning state.  Fast
@@ -278,8 +281,12 @@ def bare_extraction(filecontent: str, options: Options | None = None,
             # second chance (extract_content) calls this ONLY when the
             # main pass comes up short, replacing the every-document
             # backup copy with an on-miss rebuild
-            c = convert_tags(tree_cleaning(pristine_body(), options),
-                             options, url=conv_url)
+            # non-fast: fused copy+clean straight off the retained
+            # pristine body; fast: pristine_body() re-parses and the
+            # fresh tree is cleaned in place (it has no other reader)
+            c2 = clean_copy(working_body, options) if not fast \
+                else tree_cleaning(pristine_body(), options)
+            c = convert_tags(c2, options, url=conv_url)
             if options.comments:
                 c = extract_comments(c, options)[3]
             if options.focus == "precision":

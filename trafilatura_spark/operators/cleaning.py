@@ -63,6 +63,107 @@ def tree_cleaning(tree: Node, options: Options) -> Node:
     return prune_html(tree, options.focus)
 
 
+def clean_copy(tree: Node, options: Options) -> Node:
+    """``tree_cleaning(tree.copy(), options)`` in ONE walk, without ever
+    materializing the subtrees cleaning would delete.  ``tree`` is left
+    untouched (it stays the pristine body for the fallback suppliers).
+
+    Semantics are sequential-exact (differential-gated against the
+    two-step form over the full reference corpus + option matrix):
+
+    - figure→div retag happens before membership checks, so a
+      figure-containing-table escapes the delete list exactly as in
+      htmlprocessing.dart:50-59;
+    - STRIP membership is checked before DELETE: the strip pass runs
+      first in the sequential form, so a tag in both lists (e.g. ``ins``)
+      is stripped, not deleted;
+    - deleted nodes merge their tail into the preceding text position
+      (drop_tree keep_tail=True); stripped nodes merge text before and
+      tail after their promoted children;
+    - the empties prune stays a separate second pass over the BUILT tree
+      (already small): its semantics are cross-pass — a deleted node's
+      tail first merges into a preceding sibling, and if that sibling is
+      itself empty the precision prune discards the merged text with it,
+      which an interleaved single-pass check cannot reproduce.
+
+    focus="recall" falls back to the sequential form: its all-<p>-nuked
+    rollback needs the pre-delete tree (htmlprocessing.dart:82-88).
+    """
+    if options.focus == "recall":
+        return tree_cleaning(tree.copy(), options)
+
+    delete_set = set(MANUALLY_CLEANED)
+    strip_set = set(MANUALLY_STRIPPED)
+    retag_figures = options.tables
+    if not options.tables:
+        delete_set.update(("table", "td", "th", "tr"))
+    if options.images:
+        delete_set.difference_update(PRESERVE_IMG_CLEANING)
+        strip_set.discard("img")
+    new = Node.__new__
+    root = new(Node)
+    root.tag = tree.tag
+    root.attrs = dict(tree.attrs) if tree.attrs else {}
+    root.children = []
+    root.parent = None
+    root.text = tree.text
+    root.tail = tree.tail
+
+    def sink(dst: Node, s: str) -> None:
+        if s:
+            ch = dst.children
+            if ch:
+                ch[-1].tail += s
+            else:
+                dst.text += s
+
+    # one stack entry per node WITH children (mirrors Node.copy); leaves
+    # are handled inline.  Deferring a copied child's subtree via the
+    # stack is safe for text order: sinks at a level only touch that
+    # level's last-attached child's tail, which is final once appended.
+    # Recursion happens only through nested strip-set tags (depth = the
+    # strip-nesting chain, tiny on real markup; adversarial nesting falls
+    # back to the sequential form via the RecursionError guard below).
+    stack: list[tuple[Node, Node]] = []
+    push = stack.append
+
+    def emit_children(src: Node, dst: Node) -> None:
+        append = dst.children.append
+        for child in src.children:
+            tag = child.tag
+            if tag in strip_set:
+                sink(dst, child.text)
+                emit_children(child, dst)
+                sink(dst, child.tail)
+                continue
+            if retag_figures and tag == "figure" and \
+                    child.find("table") is not None:
+                tag = "div"
+            if tag in delete_set:
+                sink(dst, child.tail)
+                continue
+            c = new(Node)
+            c.tag = tag
+            c.attrs = dict(child.attrs) if child.attrs else {}
+            c.children = []
+            c.parent = dst
+            c.text = child.text
+            c.tail = child.tail
+            append(c)
+            if child.children:
+                push((child, c))
+
+    try:
+        push((tree, root))
+        pop = stack.pop
+        while stack:
+            src, dst = pop()
+            emit_children(src, dst)
+    except RecursionError:
+        return tree_cleaning(tree.copy(), options)
+    return prune_html(root, options.focus)
+
+
 def prune_html(tree: Node, focus: str = "balanced") -> Node:
     """Delete empty elements (htmlprocessing.dart:117-137)."""
     keep_tails = focus != "precision"
