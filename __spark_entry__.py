@@ -33,6 +33,7 @@ if _HERE not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from trafilatura_spark.functions.textstats import LANG_STOPWORDS as _LANGS
 from trafilatura_spark.operators.pipeline import extract_documents
 from trafilatura_spark.settings import Options
 from trafilatura_spark.sources.corpus import synthesize_documents_df
@@ -1320,29 +1321,30 @@ SELECT md5(segment) AS segment_md5, count(*) AS occurrences
 FROM segs GROUP BY 1 HAVING count(*) > 2
 """
 
-_LANGS = {
-    "de": ["der", "die", "das", "und", "nicht", "ist", "ich", "ein", "mit", "von"],
-    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
-    "es": ["el", "la", "de", "que", "y", "los", "una", "por", "con", "para"],
-    "fr": ["le", "la", "les", "des", "et", "une", "est", "dans", "pour", "que"],
-}
-
-
 def _lang_sql() -> str:
+    """DuckDB mirror of textstats.lang_id: stopword-overlap scores plus a
+    Han-codepoint count for zh (RE2 '[\\p{Han}]' ≡ Spark's Java
+    '\\p{IsHan}'), argmax with alphabetical-first tie-break ('zh' last —
+    the generated >= chain in sorted-language order encodes that)."""
+    langs = sorted(_LANGS) + ["zh"]
     exprs = ", ".join(
         f"len(list_intersect(toks, {[w for w in words]})) AS s_{lang}"
         for lang, words in sorted(_LANGS.items()))
+    exprs += ", len(regexp_extract_all(text, '[\\p{Han}]')) AS s_zh"
+    case = [f"CASE WHEN greatest({', '.join('s_' + l for l in langs)}) = 0 "
+            "THEN 'und'"]
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{m}" for m in langs[i + 1:])
+        case.append(f"WHEN {conds} THEN '{lang}'")
+    case.append(f"ELSE '{langs[-1]}' END")
     return f"""
 WITH t AS (
-    SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+    SELECT doc_id, text, list_distinct(string_split(text, ' ')) AS toks
+    FROM documents
 ),
 s AS (SELECT doc_id, {exprs} FROM t)
 SELECT doc_id,
-       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-            WHEN s_es >= s_fr THEN 'es'
-            ELSE 'fr' END AS predicted_lang
+       {' '.join(case)} AS predicted_lang
 FROM s
 """
 

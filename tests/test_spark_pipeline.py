@@ -540,7 +540,7 @@ def test_job_lang_filter(spark, tmp_path):
         job_main(["--input", inp, "--output", str(tmp_path / "never"),
                   "--progress", str(tmp_path / "never_p"),
                   "--run-id", "bad", "--lang-filter",
-                  "--target-lang", "it"])
+                  "--target-lang", "xx"])
     assert exc.value.code == 2
     with _pytest.raises(SystemExit) as exc2:
         job_main(["--input", inp, "--output", str(tmp_path / "never2"),

@@ -23,7 +23,21 @@ LANG_STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
     "es": ["el", "la", "de", "que", "y", "los", "una", "por", "con", "para"],
     "fr": ["le", "la", "les", "des", "et", "une", "est", "dans", "pour", "que"],
+    "it": ["il", "la", "di", "che", "e", "un", "per", "non", "sono", "con"],
+    "nl": ["de", "het", "een", "en", "van", "ik", "dat", "niet", "is", "op"],
+    "pt": ["o", "a", "de", "que", "e", "do", "da", "em", "um", "para"],
 }
+
+# Space-free scripts never match a word-split stopword set; zh scores by
+# Han-codepoint count in the SAME argmax instead ('zh' sorts last, so a
+# stopword-language tie always beats it).  Java regex (Spark) — the
+# DuckDB oracle mirrors it as RE2 '[\p{Han}]'.  Kanji are Han script,
+# so kanji-heavy Japanese reads as zh: documented heuristic limit.
+HAN_RE = r"\p{IsHan}"
+
+# every label lang_id can emit (the job's --lang-filter validates
+# --target-lang against this: anything else would drop 100% of docs)
+CLASSIFIER_LANGS = sorted(LANG_STOPWORDS) + ["zh"]
 
 EN_STOPWORDS = LANG_STOPWORDS["en"] + [
     "was", "on", "are", "as", "with", "his", "they", "at", "be", "this",
@@ -53,13 +67,16 @@ def lang_id(df: DataFrame, text_col: str = "text",
     """
     tmp = f"_{out_col}_toks"
     df = df.withColumn(tmp, F.array_distinct(F.split(F.col(text_col), " ")))
+    scores = [(lang,
+               F.size(F.array_intersect(
+                   F.col(tmp), F.array(*[F.lit(w) for w in words]))))
+              for lang, words in LANG_STOPWORDS.items()]
+    scores.append(
+        ("zh", F.size(F.regexp_extract_all(text_col, F.lit(HAN_RE), 0))))
     entries = []
-    for rank, (lang, words) in enumerate(sorted(LANG_STOPWORDS.items())):
-        arr = F.array(*[F.lit(w) for w in words])
+    for rank, (lang, score) in enumerate(sorted(scores, key=lambda p: p[0])):
         entries.append(F.struct(
-            F.size(F.array_intersect(F.col(tmp), arr)).alias("s"),
-            F.lit(-rank).alias("r"),
-            F.lit(lang).alias("l")))
+            score.alias("s"), F.lit(-rank).alias("r"), F.lit(lang).alias("l")))
     best = F.array_max(F.array(*entries))
     return (df.withColumn(
         out_col, F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und")))

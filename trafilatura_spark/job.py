@@ -463,14 +463,14 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
         # stopword classifier can only ever emit the languages it has
         # stopword sets for (plus 'und'), so any other --target-lang would
         # silently drop 100% of extracted docs
-        from .functions.textstats import LANG_STOPWORDS
+        from .functions.textstats import CLASSIFIER_LANGS
         if not args.target_lang:
             p.error("--lang-filter requires --target-lang")
-        if args.target_lang not in LANG_STOPWORDS:
+        if args.target_lang not in CLASSIFIER_LANGS:
             p.error(
                 f"--lang-filter cannot classify {args.target_lang!r}: the "
-                "stopword classifier supports "
-                f"{sorted(LANG_STOPWORDS)} (anything else would drop every "
+                "classifier supports "
+                f"{CLASSIFIER_LANGS} (anything else would drop every "
                 "extracted document)")
     spark = make_session()
 
