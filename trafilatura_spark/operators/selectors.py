@@ -78,7 +78,6 @@ HIDDEN_PATTERNS = [
 _DISCARD_TAGS = ("div", "item", "li", "p", "section", "span")
 
 
-
 import re as _re
 
 
@@ -94,6 +93,41 @@ def _prefix_re(patterns):
 
 def _class_id(elem: Node) -> tuple[str, str]:
     return elem.attrs.get("class", "").lower(), elem.attrs.get("id", "").lower()
+
+
+# class/id strings repeat heavily across elements AND documents (CMS
+# themes), so selector verdicts are memoized per (pattern, string).
+# Sound because every call site uses the match as a boolean only; the
+# cache is cleared wholesale at the cap so a long-lived worker stays
+# bounded.  (Same idea as readability's per-document memoized unlikely-
+# candidate verdicts, lifted to the cross-document scope.)
+_VERDICT_CACHE: dict = {}
+_VERDICT_CACHE_MAX = 1 << 18
+
+
+def _hit(regex, s: str) -> bool:
+    key = (id(regex), s)
+    cache = _VERDICT_CACHE
+    v = cache.get(key)
+    if v is None:
+        if len(cache) >= _VERDICT_CACHE_MAX:
+            cache.clear()
+        v = regex.search(s) is not None
+        cache[key] = v
+    return v
+
+
+def _hit_m(regex, s: str) -> bool:
+    """Anchored (match) variant of _hit, same cache."""
+    key = (id(regex), s, True)
+    cache = _VERDICT_CACHE
+    v = cache.get(key)
+    if v is None:
+        if len(cache) >= _VERDICT_CACHE_MAX:
+            cache.clear()
+        v = regex.match(s) is not None
+        cache[key] = v
+    return v
 
 
 def _by_tag(tree: Node, tags: tuple) -> dict:
@@ -137,8 +171,8 @@ def select_body_elements(tree: Node) -> list[Node]:
     for tag in _CANDIDATE_TAGS:
         for elem in buckets[tag]:
             cls, eid = _class_id(elem)
-            if _BODY_CLASS_RE.search(cls) or \
-               _BODY_ID_RE.search(eid) or \
+            if _hit(_BODY_CLASS_RE, cls) or \
+               _hit(_BODY_ID_RE, eid) or \
                elem.attrs.get("itemprop") == "articleBody":
                 results.append(elem)
     if results:
@@ -150,7 +184,7 @@ def select_body_elements(tree: Node) -> list[Node]:
     for tag in _CANDIDATE_TAGS:
         for elem in buckets[tag]:
             cls, eid = _class_id(elem)
-            if _SECONDARY_BODY_RE.search(cls) or _SECONDARY_BODY_RE.search(eid) or \
+            if _hit(_SECONDARY_BODY_RE, cls) or _hit(_SECONDARY_BODY_RE, eid) or \
                elem.attrs.get("role") == "article":
                 results.append(elem)
     if results:
@@ -159,7 +193,7 @@ def select_body_elements(tree: Node) -> list[Node]:
     for tag in _CANDIDATE_TAGS:
         for elem in buckets[tag]:
             cls, eid = _class_id(elem)
-            if _CONTENT_CLASS_RE.search(cls) or _CONTENT_CLASS_RE.search(eid) or \
+            if _hit(_CONTENT_CLASS_RE, cls) or _hit(_CONTENT_CLASS_RE, eid) or \
                eid == "content" or cls == "content":
                 results.append(elem)
     if results:
@@ -184,7 +218,7 @@ def select_comment_elements(tree: Node) -> list[Node]:
     for tag in ("div", "section", "ul", "ol"):
         for elem in buckets[tag]:
             cls, eid = _class_id(elem)
-            if _COMMENTS_CLASS_RE.search(cls) or _COMMENTS_CLASS_RE.search(eid):
+            if _hit(_COMMENTS_CLASS_RE, cls) or _hit(_COMMENTS_CLASS_RE, eid):
                 results.append(elem)
     return results
 
@@ -198,11 +232,11 @@ def select_elements_to_discard(tree: Node) -> list[Node]:
             cls, eid = _class_id(elem)
             role = elem.attrs.get("role", "").lower()
             style = elem.attrs.get("style", "").lower()
-            if _OVERALL_DISCARD_RE.search(cls) or _OVERALL_DISCARD_RE.search(eid) \
-                    or _OVERALL_DISCARD_RE.search(role):
+            if _hit(_OVERALL_DISCARD_RE, cls) or _hit(_OVERALL_DISCARD_RE, eid) \
+                    or _hit(_OVERALL_DISCARD_RE, role):
                 results.append(elem)
-            elif _HIDDEN_RE.search(cls) or _HIDDEN_RE.search(eid) \
-                    or _HIDDEN_RE.search(style):
+            elif _hit(_HIDDEN_RE, cls) or _hit(_HIDDEN_RE, eid) \
+                    or _hit(_HIDDEN_RE, style):
                 results.append(elem)
             elif elem.attrs.get("aria-hidden") == "true":
                 results.append(elem)
@@ -320,7 +354,7 @@ def select_author_elements(tree: Node, buckets: dict | None = None) -> list[Node
                "author" in itemprop or data_testid in ("AuthorCard", "AuthorURL"):
                 results.append(elem)
                 continue
-            if _AUTHOR_RE.search(cls) or _AUTHOR_RE.search(eid):
+            if _hit(_AUTHOR_RE, cls) or _hit(_AUTHOR_RE, eid):
                 results.append(elem)
     results.extend(buckets["author"])
     return results
@@ -337,8 +371,8 @@ def select_author_discard_elements(tree: Node,
         for elem in buckets[tag]:
             cls, eid = _class_id(elem)
             data_component = elem.attrs.get("data-component", "").lower()
-            if _AUTHOR_DISCARD_RE.search(cls) or _AUTHOR_DISCARD_RE.search(eid) \
-                    or _AUTHOR_DISCARD_RE.search(data_component):
+            if _hit(_AUTHOR_DISCARD_RE, cls) or _hit(_AUTHOR_DISCARD_RE, eid) \
+                    or _hit(_AUTHOR_DISCARD_RE, data_component):
                 results.append(elem)
     results.extend(buckets["time"])
     results.extend(buckets["figure"])
@@ -352,7 +386,7 @@ def select_category_links(tree: Node) -> list[Node]:
     for tag in ("div", "p", "footer", "li", "span", "header"):
         for elem in buckets[tag]:
             cls, eid = _class_id(elem)
-            if _CATEGORY_CLASS_RE.search(cls) or _CATEGORY_PREFIX_RE.match(eid):
+            if _hit(_CATEGORY_CLASS_RE, cls) or _hit_m(_CATEGORY_PREFIX_RE, eid):
                 results.extend(a for a in elem.iterdesc("a") if "href" in a.attrs)
     for elem in buckets["div"]:
         if elem.class_name in ("row", "tags"):
@@ -367,7 +401,7 @@ def select_tag_links(tree: Node) -> list[Node]:
     for tag in ("div", "p"):
         for elem in buckets[tag]:
             cls = elem.attrs.get("class", "").lower()
-            if _TAG_CLASS_RE.search(cls):
+            if _hit(_TAG_CLASS_RE, cls):
                 results.extend(a for a in elem.iterdesc("a") if "href" in a.attrs)
     return results
 
@@ -383,7 +417,7 @@ def select_cats_tags_links(tree: Node, buckets: dict | None = None
     for tag in ("div", "p", "footer", "li", "span", "header"):
         for elem in buckets[tag]:
             cls, eid = _class_id(elem)
-            if _CATEGORY_CLASS_RE.search(cls) or _CATEGORY_PREFIX_RE.match(eid):
+            if _hit(_CATEGORY_CLASS_RE, cls) or _hit_m(_CATEGORY_PREFIX_RE, eid):
                 cats.extend(a for a in elem.iterdesc("a") if "href" in a.attrs)
     for elem in buckets["div"]:
         if elem.class_name in ("row", "tags"):
@@ -392,7 +426,7 @@ def select_cats_tags_links(tree: Node, buckets: dict | None = None
     for tag in ("div", "p"):
         for elem in buckets[tag]:
             cls = elem.attrs.get("class", "").lower()
-            if _TAG_CLASS_RE.search(cls):
+            if _hit(_TAG_CLASS_RE, cls):
                 tags_links.extend(a for a in elem.iterdesc("a")
                                   if "href" in a.attrs)
     return cats, tags_links
@@ -419,8 +453,8 @@ def select_title_elements(tree: Node, buckets: dict | None = None,
         for elem in h_buckets[tag]:
             cls, eid = _class_id(elem)
             itemprop = elem.attrs.get("itemprop", "")
-            if _TITLE_CLASS_RE.search(cls) or _TITLE_CLASS_RE.search(eid) \
-                    or _TITLE_CLASS_RE.search(itemprop):
+            if _hit(_TITLE_CLASS_RE, cls) or _hit(_TITLE_CLASS_RE, eid) \
+                    or _hit(_TITLE_CLASS_RE, itemprop):
                 results.append(elem)
     results.extend(classed)
     return results
