@@ -576,3 +576,39 @@ def test_train_ivf_centroids(spark):
     want = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.5, recall
+
+
+def test_lang_id_zh_and_ties_match_duckdb_oracle(spark):
+    """The zh (Han-script) scoring path and the alphabetical tie-break
+    never fire on the driver testdata (its text is latin token soup), so
+    pin them directly: Spark lang_id vs the generated DuckDB oracle SQL
+    on hand-made CJK / mixed / tie rows, plus hand-computed expectations."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from trafilatura_spark.functions.textstats import lang_id
+
+    rows = [
+        (1, "中文网页的正文内容很长而且都是汉字"),          # pure Han -> zh
+        (2, "the of and to in is that it for a plain page"),  # en
+        (3, "der die das und nicht ist ich ein mit von"),     # de
+        (4, "mixed 中文 content with the of and to in is"),   # en stopwords beat 2 han
+        (5, "日本語のテキストです漢字が多い"),                 # kanji -> zh (documented)
+        (6, "xyzzy plugh qwerty"),                            # und
+        (7, "la de que para el y los una por con le les"),   # es/fr overlap tie -> es
+        (8, "中 the a of and to in is that it for"),          # 10 en vs 1 han -> en
+    ]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["predicted_lang"]
+           for r in lang_id(sdf).select("doc_id", "predicted_lang").collect()}
+    assert got[1] == "zh" and got[5] == "zh"
+    assert got[2] == "en" and got[3] == "de" and got[4] == "en"
+    assert got[6] == "und" and got[8] == "en"
+    assert got[7] == "es"  # alphabetical-first on the es/fr score tie
+
+    con = duckdb.connect()
+    con.execute("create table documents(doc_id int, text varchar)")
+    con.executemany("insert into documents values (?, ?)", rows)
+    oracle = {r[0]: r[1] for r in con.execute(
+        entry.oracle_sql()["text_lang_id"]).fetchall()}
+    assert got == oracle

@@ -16,7 +16,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from .dom import Node, get_body, parse_html
-from .functions.textutils import trim
 from .operators.baseline import baseline
 from .operators.cleaning import clean_copy, convert_tags, tree_cleaning
 from .operators.deduplication import content_fingerprint
