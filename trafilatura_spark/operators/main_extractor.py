@@ -37,6 +37,12 @@ def _class_token(elem: Node, token: str) -> bool:
     return token in elem.class_name.split()
 
 
+# prune_unwanted_sections token sets (main_extractor.dart: teaser/promo
+# and the precision extras) — tested as one isdisjoint per element
+_PROMO_TOKENS = frozenset(("teaser", "promo", "advertisement", "sponsored"))
+_PRECISION_TOKENS = frozenset(("related", "sidebar", "widget", "share"))
+
+
 def _new(tag: str, text: str = "", attrs: dict | None = None) -> Node:
     node = Node(tag, attrs or {})
     node.text = text
@@ -267,18 +273,22 @@ def prune_unwanted_sections(tree: Node, potential_tags: set, options: Options) -
                 elem.drop_tree()
 
     if options.focus != "recall":
-        for token in ("teaser", "promo", "advertisement", "sponsored"):
-            for elem in tree.find_all():
-                if elem.parent is not None and _class_token(elem, token):
-                    elem.drop_tree()
+        # one walk with an any-token test replaces the per-token snapshot
+        # loops (4 full walks; 8 with precision): final-tree-equivalent
+        # because drops remove whole subtrees — a later-token match inside
+        # an already-dropped fragment was a no-op in the sequential form
+        for elem in tree.find_all():
+            if elem.parent is not None and elem.attrs.get("class") and \
+                    not _PROMO_TOKENS.isdisjoint(elem.class_name.split()):
+                elem.drop_tree()
         if favor_precision:
             for elem in tree.find_all("aside"):
                 if elem.parent is not None:
                     elem.drop_tree()
-            for token in ("related", "sidebar", "widget", "share"):
-                for elem in tree.find_all():
-                    if elem.parent is not None and _class_token(elem, token):
-                        elem.drop_tree()
+            for elem in tree.find_all():
+                if elem.parent is not None and elem.attrs.get("class") and \
+                        not _PRECISION_TOKENS.isdisjoint(elem.class_name.split()):
+                    elem.drop_tree()
 
     for _ in range(2):
         delete_high_link_density(tree, "div", favor_precision)
