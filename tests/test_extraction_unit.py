@@ -566,3 +566,64 @@ def test_clean_copy_deep_strip_nesting_falls_back():
     got = clean_copy(deep_body(), opts)
     want = tree_cleaning(deep_body(), opts)
     assert got.text_content() == want.text_content() == "deep"
+
+
+try:
+    from hypothesis import given, settings as hyp_settings, strategies as st
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+    # recursive Node strategy biased toward cleaning-relevant tags so the
+    # strip/delete/retag/empties interactions all fire; texts include
+    # whitespace-only strings (the empties prune keys on text.strip())
+    _TAGS = ["div", "p", "span", "aside", "figure", "table", "tbody",
+             "img", "ins", "footer", "b", "section", "li", "picture",
+             "source", "form", "a", "em"]
+    _TXT = st.text(alphabet=" x\n\t", max_size=6)
+
+    def _node_strategy():
+        from trafilatura_spark.dom import Node
+
+        def build(children, tag, text, tail, cls):
+            n = Node(tag, {"class": cls} if cls else {})
+            n.text = text
+            n.tail = tail
+            for c in children:
+                n.append(c)
+            return n
+
+        return st.recursive(
+            st.builds(build, st.just([]), st.sampled_from(_TAGS),
+                      _TXT, _TXT, st.sampled_from(["", "c1", "ad box"])),
+            lambda kids: st.builds(
+                build, st.lists(kids, max_size=5), st.sampled_from(_TAGS),
+                _TXT, _TXT, st.sampled_from(["", "c1", "ad box"])),
+            max_leaves=25)
+
+    @given(st.lists(_node_strategy(), max_size=6),
+           st.booleans(), st.booleans(),
+           st.sampled_from(["balanced", "precision", "recall"]))
+    @hyp_settings(max_examples=200, deadline=None)
+    def test_clean_copy_property_matches_sequential(kids, tables, images, focus):
+        """Property form of the clean_copy differential: for ARBITRARY
+        trees over the cleaning-relevant tag set and the full option
+        space, the fused walk must be tree-exact vs the two-step form
+        and must leave its source untouched."""
+        from trafilatura_spark.dom import Node
+        from trafilatura_spark.operators.cleaning import (clean_copy,
+                                                          tree_cleaning)
+
+        def dump(n):
+            return (n.tag, tuple(sorted(n.attrs.items())), n.text, n.tail,
+                    tuple(dump(c) for c in n.children))
+
+        body = Node("body")
+        for k in kids:
+            body.append(k)
+        opts = Options(tables=tables, images=images, focus=focus)
+        before = dump(body)
+        got = dump(clean_copy(body, opts))
+        assert dump(body) == before, "clean_copy mutated its source"
+        assert got == dump(tree_cleaning(body.copy(), opts))
