@@ -322,7 +322,7 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                         "except crawl)")
     p.add_argument("--input-format", default="spans-parquet",
                    choices=["spans-parquet", "html-dir", "pdf-parquet",
-                            "table"],
+                            "warc", "table"],
                    help="'table' reads --input as a catalog table "
                         "identifier (spark.read.table) — with an Iceberg "
                         "catalog configured on the cluster this is the "
@@ -633,6 +633,10 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
     batches_fn = None
     if args.input_format == "html-dir":
         docs = read_html_dir(spark, args.input)
+    elif args.input_format == "warc":
+        # Common Crawl-shaped ingestion: directory of .warc/.warc.gz
+        from .sources.warc import read_warc
+        docs = read_warc(spark, args.input)
     elif args.input_format == "pdf-parquet":
         from .sources.pdf import make_pdf_batches
         docs = spark.read.parquet(args.input)

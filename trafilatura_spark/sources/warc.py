@@ -1,0 +1,155 @@
+"""WARC (Web ARChive, ISO 28500) source: the container format of
+Common Crawl-scale corpora — the canonical input shape for a 100 TB
+extraction run.
+
+Pure-stdlib record parser (the environment ships no warcio): a WARC
+file is a sequence of records, each ``WARC/1.x`` header block +
+``Content-Length``-delimited body, separated by CRLFCRLF; Common Crawl
+files additionally gzip each record as its own member, which
+``gzip.decompress`` (multi-member aware) handles transparently, as
+does a whole-file gzip.  ``response`` records carry an HTTP response
+as the body: status line + headers, CRLFCRLF, then the page payload.
+
+Distribution model mirrors ``job.read_html_dir``: a ``binaryFile``
+scan (one row per .warc/.warc.gz) fans out to an Arrow stage that
+parses records and emits one documents-row per response record —
+``doc_id`` = WARC-Target-URI (suffixed with the record offset on
+repeat captures of the same URI, so downstream doc_id keys stay
+unique), ``spans`` = the single-chunk html span shared by every
+raw-HTML ingestion path.  gzip members are not splittable, so the
+parallelism unit is the file — exactly how Common Crawl shards its
+corpus (~1 GB per file, thousands of files per crawl).
+
+The reference's closest surface is the --input-dir file pipeline
+(cli_utils.dart:270-360); WARC is an engine extension past the
+reference (its --archived flag consumes a live web service instead,
+cli.dart:62-64 — documented N/A).
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import zlib as _zlib
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _inflate(raw: bytes) -> bytes:
+    """Whole-file or member-per-record gzip → plain bytes (pass-through
+    for uncompressed input)."""
+    if raw[:2] == b"\x1f\x8b":
+        return _gzip.decompress(raw)  # multi-member aware
+    return raw
+
+
+def _parse_header_block(block: bytes) -> dict:
+    """WARC named fields: 'Name: value' lines after the version line;
+    names are case-insensitive (spec §4)."""
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n")[1:]:
+        name, sep, value = line.partition(b":")
+        if sep:
+            headers[name.strip().lower().decode("latin-1")] = \
+                value.strip().decode("latin-1", "replace")
+    return headers
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Minimal HTTP/1.1 chunked-transfer decoder (archived responses
+    occasionally retain the on-the-wire framing)."""
+    out = []
+    i = 0
+    n = len(body)
+    while i < n:
+        eol = body.find(b"\r\n", i)
+        if eol < 0:
+            break
+        size_token = body[i:eol].split(b";")[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        out.append(body[eol + 2:eol + 2 + size])
+        i = eol + 2 + size + 2  # chunk + its trailing CRLF
+    return b"".join(out)
+
+
+def iter_warc_records(raw: bytes):
+    """Yield (headers, body bytes) per WARC record.  Tolerant scan:
+    a record with a malformed Content-Length ends the file walk (the
+    remainder cannot be delimited) rather than raising."""
+    data = _inflate(raw)
+    i = 0
+    n = len(data)
+    while i < n:
+        start = data.find(b"WARC/", i)
+        if start < 0:
+            return
+        head_end = data.find(_CRLF2, start)
+        if head_end < 0:
+            return
+        headers = _parse_header_block(data[start:head_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        body_start = head_end + 4
+        body = data[body_start:body_start + length]
+        yield headers, body
+        i = body_start + length
+
+
+def warc_html_records(raw: bytes):
+    """Yield (target_uri, warc_date, html_bytes) for each ``response``
+    record whose HTTP payload is present.  Chunked transfer encoding is
+    decoded; other encodings (gzip content-encoding) ride through
+    ``decode_file``'s magic-byte sniff downstream."""
+    for headers, body in iter_warc_records(raw):
+        if headers.get("warc-type") != "response":
+            continue
+        uri = headers.get("warc-target-uri")
+        if not uri:
+            continue
+        split = body.find(_CRLF2)
+        if split < 0:
+            continue
+        http_head = body[:split].lower()
+        payload = body[split + 4:]
+        if b"transfer-encoding:" in http_head and b"chunked" in http_head:
+            payload = _dechunk(payload)
+        yield uri, headers.get("warc-date", ""), payload
+
+
+def read_warc(spark, input_path: str, glob: str = "*.warc*"):
+    """Directory (or file) of WARC archives → documents(doc_id, spans).
+
+    Same contract as ``job.read_html_dir``: feed the result straight to
+    ``run_extraction``/``extract_documents``.  doc_id is the
+    WARC-Target-URI; repeat captures of one URI within a file get a
+    ``#<n>`` suffix so the id keys stay unique.
+    """
+    from .corpus import DOCUMENTS_SCHEMA, single_html_span
+    from .loading import decode_file
+
+    binary = (spark.read.format("binaryFile")
+              .option("pathGlobFilter", glob)
+              .load(input_path)
+              .select("content"))
+
+    def to_docs(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                seen: dict[str, int] = {}
+                for uri, _date, payload in warc_html_records(bytes(content)):
+                    k = seen.get(uri, 0)
+                    seen[uri] = k + 1
+                    doc_id = uri if k == 0 else f"{uri}#{k}"
+                    rows.append(
+                        (doc_id, single_html_span(decode_file(payload))))
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return binary.mapInPandas(to_docs, DOCUMENTS_SCHEMA)
