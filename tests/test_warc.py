@@ -136,3 +136,23 @@ def test_job_cli_warc_input(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3
     assert got.filter("status = 'ok'").count() == 3
+
+
+def test_write_warc_roundtrip(spark, tmp_path):
+    """write_warc (crawl-archiving sink) -> read_warc -> the same pages:
+    the round trip that lets a crawl's --backup pages become a
+    re-extractable Common Crawl-shaped archive."""
+    from trafilatura_spark.sources.warc import write_warc
+
+    pages = [(f"http://site{i}.example/p", f"<html><body><p>page {i} body"
+              f"</p></body></html>") for i in range(20)]
+    df = spark.createDataFrame(pages, ["url", "html"]).repartition(4)
+    out = str(tmp_path / "archive")
+    n = write_warc(df, out)
+    assert n == 20
+    shards = sorted((tmp_path / "archive").glob("part-*.warc.gz"))
+    assert 1 <= len(shards) <= 4
+
+    docs = read_warc(spark, out)
+    got = {r["doc_id"]: r["spans"][0]["text"] for r in docs.collect()}
+    assert got == {u: h for u, h in pages}
