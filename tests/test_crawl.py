@@ -679,3 +679,23 @@ def test_feed_driver_loop_cap(spark, tmp_path):
     # every driver-side request is a homepage retry; the cap bounds them
     assert 0 < len(driver_urls) <= _DRIVER_LOOP_CAP
     assert all(u.endswith(".test/") for u in driver_urls)
+
+
+def test_job_cli_backup_format_warc(spark, tmp_path):
+    """--backup-format warc: the crawl backup becomes a Common
+    Crawl-layout archive, standalone re-extractable via read_warc /
+    --input-format warc (round trip over the fetched page)."""
+    from trafilatura_spark.job import main as job_main
+    from trafilatura_spark.sources.warc import read_warc
+
+    out = str(tmp_path / "bkw_out")
+    backup = str(tmp_path / "bkw_raw")
+    rc = job_main(["--mode", "crawl", "--seeds", "https://c.test/",
+                   "--output", out, "--max-hops", "0",
+                   "--backup-dir", backup, "--backup-format", "warc"],
+                  transport=fake_transport)
+    assert rc == 0
+    docs = read_warc(spark, backup)
+    rows = {r["doc_id"]: r["spans"][0]["text"] for r in docs.collect()}
+    assert set(rows) == {"https://c.test/"}
+    assert "from c." in rows["https://c.test/"]

@@ -390,6 +390,12 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                    help="crawl/explore: also write the raw fetched pages "
                         "(url[, hop], status, html) as parquet here "
                         "(reference --backup-dir)")
+    p.add_argument("--backup-format", default="parquet",
+                   choices=["parquet", "warc"],
+                   help="warc archives the fetched pages as Common "
+                        "Crawl-layout .warc.gz shards (re-extractable "
+                        "standalone via --input-format warc); parquet "
+                        "keeps the full (url, hop, status, html) table")
     p.add_argument("--url-filter", action="append", default=None,
                    help="substring filter, repeatable (reference "
                         "--url-filter, cli_utils.dart:162-165): discovery "
@@ -587,7 +593,8 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                     serialize=args.serialize,
                     url_filter=args.url_filter,
                     url_blacklist=blacklist,
-                    backup_path=args.backup_dir)
+                    backup_path=args.backup_dir,
+                    backup_format=args.backup_format)
         ex.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print({"mode": args.mode, "docs": n})
@@ -621,7 +628,8 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                                serialize=args.serialize,
                                url_filter=args.url_filter,
                                url_blacklist=blacklist,
-                               backup_path=args.backup_dir)
+                               backup_path=args.backup_dir,
+                    backup_format=args.backup_format)
         ex.write.mode("overwrite").parquet(args.output)
         # count the written files, not ex.count() — that would re-run
         # the whole fetch+extract lineage a second time

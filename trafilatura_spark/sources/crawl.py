@@ -203,6 +203,20 @@ def crawl_site(spark: SparkSession, seeds: list[str],
     return pages
 
 
+def _write_backup(pages, path: str, fmt: str) -> None:
+    """Backup sink dispatch: parquet keeps the full (url, hop, status,
+    html) contract; warc archives the successfully-fetched pages as
+    Common Crawl-layout .warc.gz shards (status/hop live in the fetch
+    table, not the archive — an archive is re-extractable on its own
+    via read_warc / --input-format warc)."""
+    if fmt == "warc":
+        from pyspark.sql import functions as F
+        from .warc import write_warc
+        write_warc(pages.filter(F.col("html").isNotNull()), path)
+    else:
+        pages.write.mode("overwrite").parquet(path)
+
+
 def crawl_and_extract(spark: SparkSession, seeds: list[str],
                       transport=default_transport, options=None,
                       max_hops: int = 2, per_host_quota: int = 10,
@@ -211,7 +225,8 @@ def crawl_and_extract(spark: SparkSession, seeds: list[str],
                       serialize: str | None = None,
                       url_filter: list[str] | None = None,
                       url_blacklist: frozenset | None = None,
-                      backup_path: str | None = None) -> DataFrame:
+                      backup_path: str | None = None,
+                      backup_format: str = "parquet") -> DataFrame:
     """The one-call analog of the reference CLI's crawl entry point
     (cli_utils.dart:379-406): crawl, then run the standard extraction
     operator over every fetched page (doc_id = url).  ``serialize``
@@ -228,7 +243,7 @@ def crawl_and_extract(spark: SparkSession, seeds: list[str],
                        partitions=partitions, url_filter=url_filter,
                        url_blacklist=url_blacklist)
     if backup_path:
-        pages.write.mode("overwrite").parquet(backup_path)
+        _write_backup(pages, backup_path, backup_format)
     return extract_fetched_pages(pages, options, serialize=serialize)
 
 
@@ -444,7 +459,8 @@ def explore_and_extract(spark: SparkSession, seeds: list[str],
                         serialize: str | None = None,
                         url_filter: list[str] | None = None,
                         url_blacklist: frozenset | None = None,
-                        backup_path: str | None = None) -> DataFrame:
+                        backup_path: str | None = None,
+                        backup_format: str = "parquet") -> DataFrame:
     """The reference CLI's --explore path (cli.dart:344 → cliDiscovery →
     urlProcessingPipeline): live sitemap discovery from the seed hosts,
     then fetch every discovered page URL (per-host partitioned,
@@ -463,7 +479,8 @@ def explore_and_extract(spark: SparkSession, seeds: list[str],
                                   partitions=partitions, serialize=serialize,
                                   url_filter=url_filter,
                                   url_blacklist=url_blacklist,
-                                  backup_path=backup_path)
+                                  backup_path=backup_path,
+                                  backup_format=backup_format)
 
 
 def gate_urls(df: DataFrame, url_filter: list[str] | None = None,
@@ -491,7 +508,8 @@ def fetch_and_extract_urls(page_urls: DataFrame, transport=default_transport,
                            serialize: str | None = None,
                            url_filter: list[str] | None = None,
                            url_blacklist: frozenset | None = None,
-                           backup_path: str | None = None) -> DataFrame:
+                           backup_path: str | None = None,
+                           backup_format: str = "parquet") -> DataFrame:
     """Shared tail of the discovery-driven drivers (explore/feed): gate
     the discovered URL list (loadInputDict semantics), fetch per-host
     partitioned, optionally back up the raw pages (url, hop, status,
@@ -506,7 +524,7 @@ def fetch_and_extract_urls(page_urls: DataFrame, transport=default_transport,
                F.col("content").cast("string")).alias("html")) \
         .localCheckpoint()
     if backup_path:
-        pages.write.mode("overwrite").parquet(backup_path)
+        _write_backup(pages, backup_path, backup_format)
     return extract_fetched_pages(pages.drop("status", "hop"), options,
                                  serialize=serialize)
 
@@ -519,7 +537,8 @@ def feed_and_extract(spark: SparkSession, seeds: list[str],
                      serialize: str | None = None,
                      url_filter: list[str] | None = None,
                      url_blacklist: frozenset | None = None,
-                     backup_path: str | None = None) -> DataFrame:
+                     backup_path: str | None = None,
+                     backup_format: str = "parquet") -> DataFrame:
     """The reference CLI's --feed path (cliDiscovery with findFeedUrls):
     live feed discovery from the seeds, then fetch + extract every
     discovered article URL."""
@@ -533,7 +552,8 @@ def feed_and_extract(spark: SparkSession, seeds: list[str],
                                   partitions=partitions, serialize=serialize,
                                   url_filter=url_filter,
                                   url_blacklist=url_blacklist,
-                                  backup_path=backup_path)
+                                  backup_path=backup_path,
+                                  backup_format=backup_format)
 
 
 def live_feed_pages(spark: SparkSession, seeds: list[str],
