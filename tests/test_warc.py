@@ -156,3 +156,32 @@ def test_write_warc_roundtrip(spark, tmp_path):
     docs = read_warc(spark, out)
     got = {r["doc_id"]: r["spans"][0]["text"] for r in docs.collect()}
     assert got == {u: h for u, h in pages}
+
+
+try:
+    from hypothesis import given, settings as hyp_settings, strategies as st
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+    _URI = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789:/._-%?=&#é中",
+        min_size=1, max_size=60).map(lambda s: "http://h.example/" + s)
+    _HTML = st.text(max_size=400)
+
+    @given(st.lists(st.tuples(_URI, _HTML), min_size=1, max_size=8),
+           st.booleans())
+    @hyp_settings(max_examples=120, deadline=None)
+    def test_build_warc_roundtrips_through_parser(pairs, compress):
+        """build_warc -> iter/warc_html_records must recover every
+        (uri, payload) pair in order, for arbitrary unicode URIs and
+        payload text (incl. text containing CRLF and WARC/-like bytes),
+        with and without member-per-record gzip."""
+        from trafilatura_spark.sources.warc import (build_warc,
+                                                    warc_html_records)
+        blob = build_warc(pairs, compress=compress)
+        got = [(u, p) for u, _d, p in warc_html_records(blob)]
+        want = [(u.encode("utf-8", "replace").decode("latin-1"),
+                 h.encode("utf-8", "replace")) for u, h in pairs]
+        assert got == want
