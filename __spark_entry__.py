@@ -1324,13 +1324,18 @@ FROM segs GROUP BY 1 HAVING count(*) > 2
 def _lang_sql() -> str:
     """DuckDB mirror of textstats.lang_id: stopword-overlap scores plus a
     Han-codepoint count for zh (RE2 '[\\p{Han}]' ≡ Spark's Java
-    '\\p{IsHan}'), argmax with alphabetical-first tie-break ('zh' last —
-    the generated >= chain in sorted-language order encodes that)."""
+    '\\p{IsHan}'; eligible only when Han ≥ 1/4 of codepoints, capped at
+    the 10-word stopword scale), argmax with alphabetical-first
+    tie-break ('zh' last — the generated >= chain in sorted-language
+    order encodes that)."""
     langs = sorted(_LANGS) + ["zh"]
     exprs = ", ".join(
         f"len(list_intersect(toks, {[w for w in words]})) AS s_{lang}"
         for lang, words in sorted(_LANGS.items()))
-    exprs += ", len(regexp_extract_all(text, '[\\p{Han}]')) AS s_zh"
+    exprs += (", CASE WHEN len(regexp_extract_all(text, '[\\p{Han}]')) * 4"
+              " >= len(text)"
+              " THEN least(len(regexp_extract_all(text, '[\\p{Han}]')), 10)"
+              " ELSE 0 END AS s_zh")
     case = [f"CASE WHEN greatest({', '.join('s_' + l for l in langs)}) = 0 "
             "THEN 'und'"]
     for i, lang in enumerate(langs[:-1]):

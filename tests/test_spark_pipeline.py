@@ -597,6 +597,15 @@ def test_lang_id_zh_and_ties_match_duckdb_oracle(spark):
         (6, "xyzzy plugh qwerty"),                            # und
         (7, "la de que para el y los una por con le les"),   # es/fr overlap tie -> es
         (8, "中 the a of and to in is that it for"),          # 10 en vs 1 han -> en
+        # English article quoting a full Chinese sentence (13 Han chars,
+        # > the 10-word stopword cap): before the Han-fraction guard the
+        # unbounded Han count beat the en overlap; Han is < 1/4 of the
+        # codepoints here so zh scores 0 and en wins
+        (9, "the of and to in is that it for a long article quoting "
+            "中文网页的正文内容很长而且汉字 inline once"),
+        # majority-Han doc with a couple of latin tokens still reads zh
+        # (Han ≥ 1/4 of codepoints; capped score 10 beats the 2 en hits)
+        (10, "中文网页的正文内容很长而且都是汉字中文网页的正文 the of"),
     ]
     sdf = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r["doc_id"]: r["predicted_lang"]
@@ -605,6 +614,7 @@ def test_lang_id_zh_and_ties_match_duckdb_oracle(spark):
     assert got[2] == "en" and got[3] == "de" and got[4] == "en"
     assert got[6] == "und" and got[8] == "en"
     assert got[7] == "es"  # alphabetical-first on the es/fr score tie
+    assert got[9] == "en" and got[10] == "zh"
 
     con = duckdb.connect()
     con.execute("create table documents(doc_id int, text varchar)")

@@ -97,6 +97,54 @@ def test_warc_truncated_and_garbage_are_tolerated():
              b"\r\nshort")
     [(h, body)] = list(iter_warc_records(trunc))
     assert body == b"short"
+    # NEGATIVE Content-Length: before the guard, i = body_start + length
+    # went negative, bytes.find clamped it to 0, and the same record was
+    # re-yielded forever — one corrupt record must end the walk, not
+    # wedge the executor task
+    neg = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://evil.example/\r\n"
+           b"Content-Length: -99999\r\n\r\n" + b"x" * 64)
+    assert list(iter_warc_records(neg)) == []
+    # ...including when a valid record follows the corrupt one: the
+    # remainder cannot be delimited, so the walk still terminates
+    assert len(list(iter_warc_records(neg + _sample_warc()))) <= 6
+
+
+def test_build_warc_emits_deterministic_record_ids():
+    """Every record carries the mandatory WARC-Record-ID (ISO 28500
+    §5.2), deterministic from (uri, date, payload) so archives stay
+    reproducible — two builds of the same pages are byte-identical."""
+    from trafilatura_spark.sources.warc import build_warc
+    pages = [("http://a.example/x", "<p>one</p>"),
+             ("http://a.example/y", "<p>two</p>")]
+    blob = build_warc(pages, compress=False)
+    ids = [h.get("warc-record-id") for h, _ in iter_warc_records(blob)]
+    assert len(ids) == 2 and all(
+        i and i.startswith("<urn:uuid:") and i.endswith(">") for i in ids)
+    assert ids[0] != ids[1]
+    assert blob == build_warc(pages, compress=False)
+    # different payload -> different id
+    blob2 = build_warc([("http://a.example/x", "<p>changed</p>")],
+                       compress=False)
+    [(h2, _)] = list(iter_warc_records(blob2))
+    assert h2["warc-record-id"] != ids[0]
+
+
+def test_write_warc_overwrites_stale_shards(spark, tmp_path):
+    """Re-running into the same directory must not leave shards from a
+    prior wider run for read_warc to silently mix in (parquet-sink
+    overwrite semantics)."""
+    from trafilatura_spark.sources.warc import write_warc
+    out = str(tmp_path / "arch")
+    wide = spark.createDataFrame(
+        [(f"http://s{i}.example/", "<p>old</p>") for i in range(8)],
+        ["url", "html"]).repartition(8)
+    assert write_warc(wide, out) == 8
+    narrow = spark.createDataFrame(
+        [("http://new.example/", "<p>new</p>")], ["url", "html"]).coalesce(1)
+    assert write_warc(narrow, out) == 1
+    got = {r["doc_id"] for r in read_warc(spark, out).collect()}
+    assert got == {"http://new.example/"}
 
 
 def test_read_warc_to_extraction_e2e(spark, tmp_path):
@@ -107,11 +155,16 @@ def test_read_warc_to_extraction_e2e(spark, tmp_path):
 
     docs = read_warc(spark, str(warc_dir))
     rows = {r["doc_id"] for r in docs.collect()}
-    # 3 response records per file; same ids across both files collide in
-    # doc_id space only across files (per-file suffixing), so the
-    # distinct set is the 3 per-file ids
-    assert rows == {"http://a.example/one", "http://a.example/one#1",
-                    "http://b.example/two"}
+    # 3 response records per file; the repeat capture of a.example/one
+    # inside each file gets a shard-salted #<md5(path)[:8]>-1 suffix, so
+    # the two files' repeats do NOT collide in doc_id space
+    import re
+    repeats = {r for r in rows if "#" in r}
+    assert len(repeats) == 2 and all(
+        re.fullmatch(r"http://a\.example/one#[0-9a-f]{8}-1", r)
+        for r in repeats)
+    assert rows - repeats == {"http://a.example/one",
+                              "http://b.example/two"}
     assert docs.count() == 6
 
     from trafilatura_spark.operators.pipeline import extract_documents

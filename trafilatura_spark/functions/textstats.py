@@ -31,9 +31,17 @@ LANG_STOPWORDS = {
 # Space-free scripts never match a word-split stopword set; zh scores by
 # Han-codepoint count in the SAME argmax instead ('zh' sorts last, so a
 # stopword-language tie always beats it).  Java regex (Spark) — the
-# DuckDB oracle mirrors it as RE2 '[\p{Han}]'.  Kanji are Han script,
-# so kanji-heavy Japanese reads as zh: documented heuristic limit.
+# DuckDB oracle mirrors it as RE2 '[\p{Han}]'.  Two scale guards keep
+# the raw count commensurable with the 10-word stopword overlaps: the
+# Han count only scores at all when Han codepoints are ≥ 1/4 of the
+# text (an English article quoting one Chinese sentence must NOT read
+# as zh), and the qualifying score is capped at 10 so it competes on
+# the stopword scale rather than winning on sheer codepoint volume.
+# Kanji are Han script, so kanji-heavy Japanese reads as zh:
+# documented heuristic limit.
 HAN_RE = r"\p{IsHan}"
+HAN_MIN_FRACTION_DENOM = 4  # zh eligible iff han_count * 4 >= n_chars
+HAN_SCORE_CAP = 10
 
 # every label lang_id can emit (the job's --lang-filter validates
 # --target-lang against this: anything else would drop 100% of docs)
@@ -71,8 +79,11 @@ def lang_id(df: DataFrame, text_col: str = "text",
                F.size(F.array_intersect(
                    F.col(tmp), F.array(*[F.lit(w) for w in words]))))
               for lang, words in LANG_STOPWORDS.items()]
+    han = F.size(F.regexp_extract_all(text_col, F.lit(HAN_RE), 0))
     scores.append(
-        ("zh", F.size(F.regexp_extract_all(text_col, F.lit(HAN_RE), 0))))
+        ("zh", F.when(han * HAN_MIN_FRACTION_DENOM >= F.length(text_col),
+                      F.least(han, F.lit(HAN_SCORE_CAP)))
+               .otherwise(F.lit(0))))
     entries = []
     for rank, (lang, score) in enumerate(sorted(scores, key=lambda p: p[0])):
         entries.append(F.struct(

@@ -94,10 +94,19 @@ def iter_warc_records(raw: bytes):
             length = int(headers.get("content-length", ""))
         except ValueError:
             return
+        if length < 0:
+            # a negative length cannot delimit the remainder — and left
+            # unchecked, i = body_start + length can go negative, which
+            # bytes.find clamps to 0, re-yielding the same record forever
+            # (one corrupt record in untrusted input must not wedge a
+            # task).  End the walk like any other malformed length.
+            return
         body_start = head_end + 4
         body = data[body_start:body_start + length]
         yield headers, body
-        i = body_start + length
+        # force forward progress even if a hostile header combination
+        # slips past the guards above
+        i = max(body_start + length, head_end + 4)
 
 
 def warc_html_records(raw: bytes):
@@ -126,8 +135,14 @@ def read_warc(spark, input_path: str, glob: str = "*.warc*"):
 
     Same contract as ``job.read_html_dir``: feed the result straight to
     ``run_extraction``/``extract_documents``.  doc_id is the
-    WARC-Target-URI; repeat captures of one URI within a file get a
-    ``#<n>`` suffix so the id keys stay unique.
+    WARC-Target-URI; repeat captures of one URI get a
+    ``#<shard>-<n>`` suffix (shard = md5 of the archive path, so the
+    suffix stays unique even when the same URI repeats in two different
+    shards).  First captures keep the bare URI: like Common Crawl's own
+    index, a URI that is captured once per shard in MULTIPLE shards
+    yields one row per shard with the same doc_id — global first-capture
+    uniqueness would require a corpus-wide shuffle and is the caller's
+    dedup stage (``functions.dedup.exact_duplicates``), not the reader's.
     """
     from .corpus import DOCUMENTS_SCHEMA, single_html_span
     from .loading import decode_file
@@ -135,18 +150,20 @@ def read_warc(spark, input_path: str, glob: str = "*.warc*"):
     binary = (spark.read.format("binaryFile")
               .option("pathGlobFilter", glob)
               .load(input_path)
-              .select("content"))
+              .select("path", "content"))
 
     def to_docs(batches):
+        import hashlib
         import pandas as pd
         for pdf in batches:
             rows = []
-            for content in pdf["content"]:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                shard = hashlib.md5(str(path).encode()).hexdigest()[:8]
                 seen: dict[str, int] = {}
                 for uri, _date, payload in warc_html_records(bytes(content)):
                     k = seen.get(uri, 0)
                     seen[uri] = k + 1
-                    doc_id = uri if k == 0 else f"{uri}#{k}"
+                    doc_id = uri if k == 0 else f"{uri}#{shard}-{k}"
                     rows.append(
                         (doc_id, single_html_span(decode_file(payload))))
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
@@ -159,16 +176,27 @@ def build_warc(records, date: str = "1970-01-01T00:00:00Z",
     """Serialize (uri, html_text) pairs into WARC response records —
     one gzip member per record when ``compress`` (the Common Crawl
     layout, so shards stay record-seekable).  ``date`` is caller-fixed:
-    archives must be reproducible from their inputs alone."""
+    archives must be reproducible from their inputs alone — the
+    mandatory WARC-Record-ID (ISO 28500 §5.2) is therefore a
+    deterministic urn:uuid derived from (uri, date, payload md5) rather
+    than a random uuid4."""
+    import hashlib
+    import uuid
+
     out = []
     for uri, html in records:
         payload = html.encode("utf-8", "replace")
+        digest = hashlib.md5(
+            uri.encode("utf-8", "replace") + b"\x00" + date.encode()
+            + b"\x00" + payload).hexdigest()
+        record_id = f"<urn:uuid:{uuid.UUID(digest)}>"
         http = (b"HTTP/1.1 200 OK\r\n"
                 b"Content-Type: text/html; charset=utf-8\r\n"
                 b"Content-Length: " + str(len(payload)).encode()
                 + b"\r\n\r\n" + payload)
         rec = (b"WARC/1.0\r\n"
                b"WARC-Type: response\r\n"
+               b"WARC-Record-ID: " + record_id.encode() + b"\r\n"
                b"WARC-Target-URI: " + uri.encode("utf-8", "replace") + b"\r\n"
                b"WARC-Date: " + date.encode() + b"\r\n"
                b"Content-Type: application/http; msgtype=response\r\n"
@@ -192,9 +220,15 @@ def write_warc(df, output_dir: str, url_col: str = "url",
     the Hadoop FileSystem API without touching the record builder.
     Returns the number of archived pages.
     """
+    import glob as _glob
     import os
 
     os.makedirs(output_dir, exist_ok=True)
+    # overwrite semantics, matching the parquet backup sink: a re-run
+    # with fewer partitions must not leave stale shards from the prior
+    # run for read_warc to silently mix in
+    for stale in _glob.glob(os.path.join(output_dir, "part-*.warc.gz")):
+        os.remove(stale)
     sel = df.select(url_col, html_col)
 
     def archive(pid, it):
