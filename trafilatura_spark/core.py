@@ -26,6 +26,7 @@ from .operators.normalize import normalize_output_tree
 from .operators.render import emit_spans, render_txt
 from .operators.selectors import select_comment_elements
 from .settings import Options
+from .watchdog import DocTimeout, check_deadline, doc_budget
 
 
 @dataclass
@@ -35,7 +36,7 @@ class ExtractionResult:
     meta: dict | None = None
     text: str = ""
     comments_text: str = ""
-    status: str = "ok"      # ok | empty | error | rejected
+    status: str = "ok"      # ok | empty | error | rejected | timeout
     tier: str = "main"      # main | readability | justext | baseline | none
     len_text: int = 0
     body: Node | None = None           # output-vocabulary tree (for sinks)
@@ -153,12 +154,14 @@ def trafilatura_sequence(converted_tree: Node, cleaned_backup: Node,
     postbody, temp_text, len_text = extract_content(converted_tree, options,
                                                     backup_factory)
     tier = "main"
+    check_deadline()  # tier boundary: main → fallback comparison
     if not options.fast:
         # cleaned_backup is consumed here (it has no later reader), so it
         # is passed without a defensive copy
         postbody, temp_text, len_text, tier = compare_extraction(
             cleaned_backup, raw_body_fn, postbody, temp_text,
             len_text, options)
+    check_deadline()  # tier boundary: fallbacks → baseline rescue
     if len_text < options.min_extracted_size and options.focus != "precision":
         postbody, temp_text, len_text = baseline(raw_body_fn())
         tier = "baseline"
@@ -194,180 +197,193 @@ def _apply_prune_patterns(working_body: Node, options: Options) -> None:
 
 def bare_extraction(filecontent: str, options: Options | None = None,
                     doc_id: str = "") -> ExtractionResult:
-    """Full per-document pipeline (core.dart:147-336)."""
+    """Full per-document pipeline (core.dart:147-336), wall-clock-bounded.
+
+    The reference bounds per-document exceptions only (core.dart:333-335);
+    ``options.doc_timeout_sec`` additionally bounds per-document TIME
+    (watchdog.py) — a budget overrun yields ``status='timeout'`` the same
+    way a failure yields ``status='error'``: the task never dies, the row
+    is counted."""
     options = options or Options()
     result = ExtractionResult(doc_id=doc_id)
     try:
-        if filecontent is None or \
-           not (options.min_file_size <= len(filecontent) <= options.max_file_size):
-            result.status = "rejected"
-            result.tier = "none"
-            return result
-        tree = load_html(filecontent)
-        if tree is None:
-            result.status = "rejected"
-            result.tier = "none"
-            return result
-
-        if options.lang and not check_html_lang(tree, options.lang):
-            result.status = "rejected"
-            result.tier = "none"
-            return result
-
-        meta = None
-        if options.with_metadata:
-            meta = extract_metadata(tree, default_url=options.url,
-                                    author_blacklist=options.author_blacklist)
-            if options.url_blacklist and meta.get("url") in options.url_blacklist:
-                result.status = "rejected"
-                result.tier = "none"
-                return result
-            if options.only_with_metadata and not (
-                meta.get("date") and meta.get("title") and meta.get("url")
-            ):
-                result.status = "rejected"
-                result.tier = "none"
-                return result
-
-        working_body = get_body(tree)
-        _apply_prune_patterns(working_body, options)
-        conv_url = options.url or (meta or {}).get("url")
-
-        fast = options.fast
-        if fast:
-            # fast path: compare_extraction never runs, so nothing reads
-            # the pristine working_body afterwards on the success path —
-            # clean it IN PLACE and let pristine_body() re-derive a fresh
-            # copy from the source only when a rescue actually fires
-            cleaned = tree_cleaning(working_body, options)
-        else:
-            # fused copy+clean: one walk that never materializes the
-            # subtrees cleaning deletes (~8% of the default path was the
-            # full-body defensive copy); working_body stays pristine
-            cleaned = clean_copy(working_body, options)
-
-        def pristine_body() -> Node:
-            """A freely-mutable body in its pre-cleaning state.  Fast
-            mode re-parses the source (working_body was consumed by the
-            in-place cleaning) — rescue-only, so the re-parse amortizes
-            to ~0; non-fast copies the retained pristine body."""
-            if not fast:
-                return working_body.copy()
-            t2 = load_html(filecontent)
-            b2 = get_body(t2)
-            _apply_prune_patterns(b2, options)
-            return b2
-
-        # the backup feeds compare_extraction only — skip the full-tree
-        # copy in fast mode (the bench/oracle hot path)
-        cleaned_backup = cleaned.copy() if not fast else cleaned
-        converted = convert_tags(cleaned, options, url=conv_url)
-
-        if options.comments:
-            commentsbody, temp_comments, len_comments, converted = \
-                extract_comments(converted, options)
-        else:
-            commentsbody, temp_comments, len_comments = Node("body"), "", 0
-
-        if options.focus == "precision":
-            for elem in select_comment_elements(converted):
-                if elem.parent is not None:
-                    elem.drop_tree()
-
-        def rebuild_converted() -> Node:
-            # deterministic replay of the cleaning→conversion→comment-
-            # removal steps above from a pristine body: the wild-text
-            # second chance (extract_content) calls this ONLY when the
-            # main pass comes up short, replacing the every-document
-            # backup copy with an on-miss rebuild
-            # non-fast: fused copy+clean straight off the retained
-            # pristine body; fast: pristine_body() re-parses and the
-            # fresh tree is cleaned in place (it has no other reader)
-            c2 = clean_copy(working_body, options) if not fast \
-                else tree_cleaning(pristine_body(), options)
-            c = convert_tags(c2, options, url=conv_url)
-            if options.comments:
-                c = extract_comments(c, options)[3]
-            if options.focus == "precision":
-                for elem in select_comment_elements(c):
-                    if elem.parent is not None:
-                        elem.drop_tree()
-            return c
-
-        postbody, temp_text, len_text, tier = trafilatura_sequence(
-            converted, cleaned_backup, pristine_body, options,
-            backup_factory=rebuild_converted)
-
-        # tree size guard (core.dart:285-296)
-        if options.max_tree_size is not None:
-            n_elems = sum(1 for _ in postbody.iterdesc())
-            if n_elems > options.max_tree_size:
-                from .dom import strip_tags
-                strip_tags(postbody, "hi")
-                if sum(1 for _ in postbody.iterdesc()) > options.max_tree_size:
-                    result.status = "rejected"
-                    result.tier = "none"
-                    return result
-
-        # size gates (core.dart:299-301)
-        if len_text < options.min_output_size and \
-                len_comments < options.min_output_comm_size:
-            result.status = "empty"
-            result.tier = tier
-            return result
-
-        # output normalization (xml_utils.dart:315-316 via controlXmlOutput):
-        # collapse nested head/code/p, drop word-char-less empties.  The
-        # reference runs this on the XML serialization path; the span table
-        # is this engine's serialization, so it runs before emit_spans (and
-        # thus also feeds render_txt — consistent across sinks).
-        normalize_output_tree(postbody, options.formatting)
-
-        result.tier = tier
-        result.body = postbody
-        result.commentsbody = commentsbody \
-            if options.comments and commentsbody.children else None
-        included_comments = commentsbody \
-            if options.comments and commentsbody.children else None
-        if options.dedup:
-            # deterministic per-document duplicateTest
-            # (deduplication.dart:335-349): the reference tests the cached
-            # count BEFORE incrementing, so max_repetitions+1 copies are
-            # kept and occurrences beyond that are dropped.  Duplicates are
-            # pruned from the TREE (as the reference does) so the span
-            # table, txt/csv/json renderings and the fingerprint all agree.
-            # The reference's cross-document LRU is order-dependent and
-            # lives as a relational stage instead (functions/dedup.py).
-            _prune_duplicate_elements(
-                [postbody] + ([included_comments] if included_comments
-                              is not None else []),
-                options)
-            if included_comments is not None and not included_comments.children:
-                included_comments = None
-        result.spans = emit_spans(
-            postbody,
-            included_comments,
-            include_formatting=options.formatting,
-        )
-        result.text = render_txt(postbody, options.formatting)
-        result.comments_text = render_txt(commentsbody, options.formatting) \
-            if commentsbody.children else ""
-        result.len_text = len_text
-        if meta is not None and options.fingerprint:
-            # core.dart:547-560: computed only when the output format is
-            # not in _txtFormats — Options.fingerprint carries that gate.
-            meta["fingerprint"] = content_fingerprint(
-                f"{meta.get('title') or ''} {result.text}")
-        result.meta = meta
-        if not result.spans:
-            result.status = "empty"
-        return result
+        with doc_budget(options.doc_timeout_sec):
+            return _bare_extraction_impl(filecontent, options, result)
+    except DocTimeout:
+        return ExtractionResult(doc_id=doc_id, status="timeout", tier="none")
     except Exception:
         # core.dart:333-335 — swallow, count, never fail the task
-        result.status = "error"
+        return ExtractionResult(doc_id=doc_id, status="error", tier="none")
+
+
+def _bare_extraction_impl(filecontent: str, options: Options,
+                          result: ExtractionResult) -> ExtractionResult:
+    if filecontent is None or \
+       not (options.min_file_size <= len(filecontent) <= options.max_file_size):
+        result.status = "rejected"
         result.tier = "none"
-        result.spans = []
         return result
+    tree = load_html(filecontent)
+    if tree is None:
+        result.status = "rejected"
+        result.tier = "none"
+        return result
+
+    if options.lang and not check_html_lang(tree, options.lang):
+        result.status = "rejected"
+        result.tier = "none"
+        return result
+
+    meta = None
+    if options.with_metadata:
+        meta = extract_metadata(tree, default_url=options.url,
+                                author_blacklist=options.author_blacklist)
+        if options.url_blacklist and meta.get("url") in options.url_blacklist:
+            result.status = "rejected"
+            result.tier = "none"
+            return result
+        if options.only_with_metadata and not (
+            meta.get("date") and meta.get("title") and meta.get("url")
+        ):
+            result.status = "rejected"
+            result.tier = "none"
+            return result
+
+    check_deadline()  # stage boundary: load + metadata → cleaning
+    working_body = get_body(tree)
+    _apply_prune_patterns(working_body, options)
+    conv_url = options.url or (meta or {}).get("url")
+
+    fast = options.fast
+    if fast:
+        # fast path: compare_extraction never runs, so nothing reads
+        # the pristine working_body afterwards on the success path —
+        # clean it IN PLACE and let pristine_body() re-derive a fresh
+        # copy from the source only when a rescue actually fires
+        cleaned = tree_cleaning(working_body, options)
+    else:
+        # fused copy+clean: one walk that never materializes the
+        # subtrees cleaning deletes (~8% of the default path was the
+        # full-body defensive copy); working_body stays pristine
+        cleaned = clean_copy(working_body, options)
+
+    def pristine_body() -> Node:
+        """A freely-mutable body in its pre-cleaning state.  Fast
+        mode re-parses the source (working_body was consumed by the
+        in-place cleaning) — rescue-only, so the re-parse amortizes
+        to ~0; non-fast copies the retained pristine body."""
+        if not fast:
+            return working_body.copy()
+        t2 = load_html(filecontent)
+        b2 = get_body(t2)
+        _apply_prune_patterns(b2, options)
+        return b2
+
+    # the backup feeds compare_extraction only — skip the full-tree
+    # copy in fast mode (the bench/oracle hot path)
+    cleaned_backup = cleaned.copy() if not fast else cleaned
+    converted = convert_tags(cleaned, options, url=conv_url)
+
+    if options.comments:
+        commentsbody, temp_comments, len_comments, converted = \
+            extract_comments(converted, options)
+    else:
+        commentsbody, temp_comments, len_comments = Node("body"), "", 0
+
+    if options.focus == "precision":
+        for elem in select_comment_elements(converted):
+            if elem.parent is not None:
+                elem.drop_tree()
+
+    def rebuild_converted() -> Node:
+        # deterministic replay of the cleaning→conversion→comment-
+        # removal steps above from a pristine body: the wild-text
+        # second chance (extract_content) calls this ONLY when the
+        # main pass comes up short, replacing the every-document
+        # backup copy with an on-miss rebuild
+        # non-fast: fused copy+clean straight off the retained
+        # pristine body; fast: pristine_body() re-parses and the
+        # fresh tree is cleaned in place (it has no other reader)
+        c2 = clean_copy(working_body, options) if not fast \
+            else tree_cleaning(pristine_body(), options)
+        c = convert_tags(c2, options, url=conv_url)
+        if options.comments:
+            c = extract_comments(c, options)[3]
+        if options.focus == "precision":
+            for elem in select_comment_elements(c):
+                if elem.parent is not None:
+                    elem.drop_tree()
+        return c
+
+    postbody, temp_text, len_text, tier = trafilatura_sequence(
+        converted, cleaned_backup, pristine_body, options,
+        backup_factory=rebuild_converted)
+    check_deadline()  # stage boundary: cascade → guards + emission
+
+    # tree size guard (core.dart:285-296)
+    if options.max_tree_size is not None:
+        n_elems = sum(1 for _ in postbody.iterdesc())
+        if n_elems > options.max_tree_size:
+            from .dom import strip_tags
+            strip_tags(postbody, "hi")
+            if sum(1 for _ in postbody.iterdesc()) > options.max_tree_size:
+                result.status = "rejected"
+                result.tier = "none"
+                return result
+
+    # size gates (core.dart:299-301)
+    if len_text < options.min_output_size and \
+            len_comments < options.min_output_comm_size:
+        result.status = "empty"
+        result.tier = tier
+        return result
+
+    # output normalization (xml_utils.dart:315-316 via controlXmlOutput):
+    # collapse nested head/code/p, drop word-char-less empties.  The
+    # reference runs this on the XML serialization path; the span table
+    # is this engine's serialization, so it runs before emit_spans (and
+    # thus also feeds render_txt — consistent across sinks).
+    normalize_output_tree(postbody, options.formatting)
+
+    result.tier = tier
+    result.body = postbody
+    result.commentsbody = commentsbody \
+        if options.comments and commentsbody.children else None
+    included_comments = commentsbody \
+        if options.comments and commentsbody.children else None
+    if options.dedup:
+        # deterministic per-document duplicateTest
+        # (deduplication.dart:335-349): the reference tests the cached
+        # count BEFORE incrementing, so max_repetitions+1 copies are
+        # kept and occurrences beyond that are dropped.  Duplicates are
+        # pruned from the TREE (as the reference does) so the span
+        # table, txt/csv/json renderings and the fingerprint all agree.
+        # The reference's cross-document LRU is order-dependent and
+        # lives as a relational stage instead (functions/dedup.py).
+        _prune_duplicate_elements(
+            [postbody] + ([included_comments] if included_comments
+                          is not None else []),
+            options)
+        if included_comments is not None and not included_comments.children:
+            included_comments = None
+    result.spans = emit_spans(
+        postbody,
+        included_comments,
+        include_formatting=options.formatting,
+    )
+    result.text = render_txt(postbody, options.formatting)
+    result.comments_text = render_txt(commentsbody, options.formatting) \
+        if commentsbody.children else ""
+    result.len_text = len_text
+    if meta is not None and options.fingerprint:
+        # core.dart:547-560: computed only when the output format is
+        # not in _txtFormats — Options.fingerprint carries that gate.
+        meta["fingerprint"] = content_fingerprint(
+            f"{meta.get('title') or ''} {result.text}")
+    result.meta = meta
+    if not result.spans:
+        result.status = "empty"
+    return result
 
 
 def extract_txt(filecontent: str, options: Options | None = None) -> str | None:

@@ -9,7 +9,7 @@ Checkpoint model: documents are assigned a stable ``bucket =
 pmod(xxhash64(doc_id), n_buckets)``.  Buckets are processed in waves;
 after each wave the output is written (partitioned by bucket) and one
 progress row per bucket is appended ``(run_id, bucket, docs,
-fallback_docs, empty_docs, error_docs, fallback_rate, empty_rate,
+fallback_docs, empty_docs, error_docs, timeout_docs, fallback_rate, empty_rate,
 committed_at)``.  A restarted run anti-joins committed buckets and only
 processes the remainder.  On Iceberg the output+progress appends are
 snapshot-atomic; on plain parquet (this sandbox) the progress append is
@@ -91,7 +91,8 @@ def read_html_dir(spark: SparkSession, input_path: str,
 _OBSERVE_BUCKET_CAP = 32
 
 _PROGRESS_SCHEMA = ("run_id string, bucket int, docs long, fallback_docs long, "
-                    "empty_docs long, error_docs long, fallback_rate double, "
+                    "empty_docs long, error_docs long, timeout_docs long, "
+                    "fallback_rate double, "
                     "empty_rate double, lineage string, n_buckets int")
 
 
@@ -240,12 +241,12 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
             from .operators.serialize import serialize_column
             extracted = serialize_column(extracted, serialize)
         # per-bucket metrics ride the write itself as observe() accumulator
-        # expressions (4 per bucket in the wave) — ONE pass over the data;
+        # expressions (5 per bucket in the wave) — ONE pass over the data;
         # naive re-reads of the whole output table would be a full second
         # scan of everything written at 100 TB.  Above _OBSERVE_BUCKET_CAP
-        # buckets the per-task accumulator payload (4×wave named sums on
+        # buckets the per-task accumulator payload (5×wave named sums on
         # every task result) outweighs a second look at the wave itself,
-        # so large waves observe 4 wave totals and split per bucket via a
+        # so large waves observe wave totals and split per bucket via a
         # partition-pruned (bucket ∈ wave only) + column-pruned
         # (status/tier only) read of the freshly written partitions.
         obs = Observation(f"wave-{i // wave_size}")
@@ -262,6 +263,8 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
                           ).alias(f"empty_{b}"),
                     F.sum((hit & (F.col("status") == "error")).cast("long")
                           ).alias(f"err_{b}"),
+                    F.sum((hit & (F.col("status") == "timeout")).cast("long")
+                          ).alias(f"to_{b}"),
                 ]
             observed = extracted.observe(obs, *exprs)
         else:
@@ -274,7 +277,8 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
         if per_bucket_obs:
             vals = obs.get
             counts = {b: (int(vals[f"docs_{b}"] or 0), int(vals[f"fb_{b}"] or 0),
-                          int(vals[f"empty_{b}"] or 0), int(vals[f"err_{b}"] or 0))
+                          int(vals[f"empty_{b}"] or 0), int(vals[f"err_{b}"] or 0),
+                          int(vals[f"to_{b}"] or 0))
                       for b in wave}
         else:
             split = (
@@ -286,15 +290,18 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
                     F.sum((F.col("status") == "empty").cast("long")
                           ).alias("empty"),
                     F.sum((F.col("status") == "error").cast("long")
-                          ).alias("err"))
+                          ).alias("err"),
+                    F.sum((F.col("status") == "timeout").cast("long")
+                          ).alias("to"))
                 .collect())
             counts = {r["bucket"]: (int(r["docs"]), int(r["fb"] or 0),
-                                    int(r["empty"] or 0), int(r["err"] or 0))
+                                    int(r["empty"] or 0), int(r["err"] or 0),
+                                    int(r["to"] or 0))
                       for r in split}
         rows = []
         for b in wave:
-            n_docs, n_fb, n_empty, n_err = counts.get(b, (0, 0, 0, 0))
-            rows.append((run_id, b, n_docs, n_fb, n_empty, n_err,
+            n_docs, n_fb, n_empty, n_err, n_to = counts.get(b, (0, 0, 0, 0, 0))
+            rows.append((run_id, b, n_docs, n_fb, n_empty, n_err, n_to,
                          n_fb / n_docs if n_docs else 0.0,
                          n_empty / n_docs if n_docs else 0.0,
                          lineage, n_buckets))
@@ -367,6 +374,13 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
     p.add_argument("--min-extracted-size", type=int, default=None,
                    help="override the MIN_EXTRACTED_SIZE gate (the "
                         "reference's config-file knob, settings.dart:26)")
+    p.add_argument("--doc-timeout", type=float, default=0.0,
+                   help="per-document wall-clock budget in seconds; overruns "
+                        "become status='timeout' rows counted in the wave "
+                        "metrics (0 = disabled). At web scale one "
+                        "adversarial page must not wedge a task: "
+                        "speculation re-runs a deterministic stall, a "
+                        "budget bounds it.")
     p.add_argument("--min-output-size", type=int, default=None,
                    help="override the MIN_OUTPUT_SIZE gate "
                         "(settings.dart:27)")
@@ -543,6 +557,7 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                       only_with_metadata=args.only_with_metadata,
                       dedup=args.deduplicate,
                       url_blacklist=blacklist,
+                      doc_timeout_sec=args.doc_timeout,
                       **size_overrides)
     if args.mode == "probe":
         # probeHomepage (cli_utils.dart:455-470): fetch, html2txt, keep

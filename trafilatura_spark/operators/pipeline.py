@@ -15,7 +15,10 @@ Scale design (SURVEY.md §4.3):
   HTML payloads are multi-MB;
 - **failure isolation**: a pathological document yields a
   ``status='error'`` row, never a task failure
-  (/root/reference/lib/src/core.dart:333-335).
+  (/root/reference/lib/src/core.dart:333-335); with
+  ``Options.doc_timeout_sec`` set, a document that exceeds its
+  wall-clock budget yields a ``status='timeout'`` row the same way
+  (watchdog.py) — speculation cannot rescue a deterministic stall.
 """
 
 from __future__ import annotations
@@ -171,6 +174,8 @@ def extraction_metrics(extracted: DataFrame) -> DataFrame:
                   ).alias("empty_docs"),
             F.sum(F.when(F.col("status") == "error", 1).otherwise(0)
                   ).alias("error_docs"),
+            F.sum(F.when(F.col("status") == "timeout", 1).otherwise(0)
+                  ).alias("timeout_docs"),
             F.sum("len_text").alias("total_chars"),
         )
         .withColumn("fallback_rate", F.col("fallback_docs") / F.col("docs"))

@@ -128,6 +128,12 @@ class Options:
     # serialization is requested.  The simhash is ~30% of per-document
     # extraction CPU, so span/txt paths must not pay it.
     fingerprint: bool = False
+    # per-document wall-clock budget in seconds (watchdog.py): at 10^12
+    # docs one adversarial page must not wedge a task forever — budget
+    # overruns become status='timeout' rows, counted separately from
+    # 'error' in the run metrics.  0 = disabled (the default): zero
+    # hot-path cost and byte-identical results.
+    doc_timeout_sec: float = 0.0
 
     @classmethod
     def reference_defaults(cls) -> "Options":
