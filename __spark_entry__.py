@@ -93,15 +93,50 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spans_flat(_extract(spark, sf_dir))
 
 
-def q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-trip identity: whitespace-join of non-graphic span texts must
-    equal the source text."""
-    ex = _extract(spark, sf_dir)
+def _roundtrip_cols(ex: DataFrame, id_col) -> DataFrame:
     return ex.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        id_col.alias("doc_id"),
         F.array_join(
             F.transform(F.filter("spans", lambda s: s["kind"] != "graphic"),
                         lambda s: s["text"]), " ").alias("extracted_text"))
+
+
+_WARC_ID_OFFSET = 10_000_000
+
+
+def q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip identity: whitespace-join of non-graphic span texts must
+    equal the source text — via TWO ingestion paths unioned: the direct
+    spans-parquet path (doc_id as-is), and the same corpus archived to
+    WARC shards (sources/warc.py write_warc) and re-read with read_warc
+    (doc_id + 10^7), proving the Common Crawl-shaped archive round trip
+    inside the driver gate rather than pytest-only."""
+    import tempfile
+
+    from trafilatura_spark.sources.warc import read_warc, write_warc
+
+    ex = _extract(spark, sf_dir)
+    direct = _roundtrip_cols(ex, F.col("doc_id").cast("long"))
+
+    docs = synthesize_documents_df(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://w.example/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.transform(
+                    "spans", lambda s: F.struct(s["offset"].alias("o"),
+                                                s["text"].alias("t")))),
+                lambda x: x["t"]), "").alias("html"))
+    warc_dir = tempfile.mkdtemp(prefix="tfs_warc_oracle_")
+    write_warc(pages, warc_dir)
+    opts = Options(fast=True, comments=False, with_metadata=True, **RELAXED)
+    via_warc = extract_documents(read_warc(spark, warc_dir), opts)
+    warc_rows = _roundtrip_cols(
+        via_warc,
+        (F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long")
+         + F.lit(_WARC_ID_OFFSET)))
+    return direct.unionByName(warc_rows)
 
 
 def q_extract_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,7 +192,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicate_groups(inject_duplicates(docs))
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trafilatura_spark.functions.dedup import (
         inject_duplicates, near_duplicate_pairs)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
@@ -168,25 +203,40 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 n_partitions=_cpu_partitions(spark))
 
 
-def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-n-gram Jaccard near-dup (the tokenization-free variant
-    for CJK/code/concatenated boilerplate): the SAME minhash→LSH→verify
-    pipeline with char_shingles(n=12) as the shingler.  Injected
-    duplicates carry a per-doc suffix, so their Jaccard is genuinely
-    below 1 (the exact-copy case would not exercise the char shingler)
-    but above the 0.5 threshold."""
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both minhash→LSH→exact-Jaccard near-dup shinglers in one proof,
+    keyed by ``variant``: 'word' = k-word shingles over an
+    exact-duplicate injection; 'char' = character-12-gram shingles (the
+    tokenization-free variant for CJK/code/concatenated boilerplate)
+    over suffix-perturbed duplicates, so the char Jaccard is genuinely
+    below 1 but above the 0.5 threshold.  (r4's dedup_minhash +
+    dedup_ngram rows merged to hold the 50-entry driver window.)"""
     from trafilatura_spark.functions.dedup import (char_shingles,
                                                    near_duplicate_pairs)
+    word = _minhash_word_pairs(spark, sf_dir) \
+        .withColumn("variant", F.lit("word"))
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat("text", F.lit(" tail"), F.col("doc_id")).alias("text"))
     corpus = docs.unionByName(dups)
-    return near_duplicate_pairs(
+    char = near_duplicate_pairs(
         corpus, n_hashes=N_HASHES, band_size=BAND_SIZE, threshold=0.5,
         shingler=lambda c: char_shingles(c, 12),
-        n_partitions=_cpu_partitions(spark))
+        n_partitions=_cpu_partitions(spark)) \
+        .withColumn("variant", F.lit("char"))
+    return word.unionByName(char)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters → canonical survivor: connected components by
+    iterative min-label propagation over the word-shingle near-dup pair
+    table, emitting (doc_id, cluster_id = component-min doc_id,
+    is_survivor).  The "keep one per cluster" stage a 100 TB dedup run
+    needs after pair finding; DuckDB mirror is a recursive CTE."""
+    from trafilatura_spark.functions.dedup import resolve_clusters
+    return resolve_clusters(_minhash_word_pairs(spark, sf_dir))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1075,6 +1125,8 @@ SELECT * FROM (
 
 _ORACLE_ROUNDTRIP = """
 SELECT doc_id, text AS extracted_text FROM documents
+UNION ALL
+SELECT doc_id + 10000000, text AS extracted_text FROM documents
 """
 
 _ORACLE_COMMENTS = """
@@ -1180,8 +1232,8 @@ sh AS (
 )
 """
 
-_ORACLE_DEDUP_MINHASH = f"""
-WITH {_DUPED}, {_SHINGLES},
+_MINHASH_WORD_PAIR_CTES = f"""
+{_DUPED}, {_SHINGLES},
 hashed AS (
     SELECT doc_id, md5(shingle) AS h0 FROM sh
 ),
@@ -1212,17 +1264,26 @@ cand AS (
 ),
 sets AS (
     SELECT doc_id, list(DISTINCT shingle) AS shset FROM sh GROUP BY doc_id
+),
+word_pairs AS (
+    SELECT id_a, id_b,
+           round(len(list_intersect(a.shset, b.shset))::DOUBLE
+                 / len(list_distinct(list_concat(a.shset, b.shset))), 6) AS jaccard
+    FROM cand JOIN sets a ON cand.id_a = a.doc_id
+              JOIN sets b ON cand.id_b = b.doc_id
+    WHERE round(len(list_intersect(a.shset, b.shset))::DOUBLE
+                / len(list_distinct(list_concat(a.shset, b.shset))), 6) >= 0.5
 )
-SELECT id_a, id_b,
-       round(len(list_intersect(a.shset, b.shset))::DOUBLE
-             / len(list_distinct(list_concat(a.shset, b.shset))), 6) AS jaccard
-FROM cand JOIN sets a ON cand.id_a = a.doc_id
-          JOIN sets b ON cand.id_b = b.doc_id
-WHERE round(len(list_intersect(a.shset, b.shset))::DOUBLE
-            / len(list_distinct(list_concat(a.shset, b.shset))), 6) >= 0.5
 """
 
-_ORACLE_DEDUP_NGRAM = f"""
+# both shingler variants in ONE row set, keyed by `variant` (mirrors the
+# merged q_dedup_minhash; the char branch nests its own CTE chain as a
+# subquery so the two chains cannot collide)
+_ORACLE_DEDUP_MINHASH = f"""
+WITH {_MINHASH_WORD_PAIR_CTES.strip()}
+SELECT id_a, id_b, jaccard, 'word' AS variant FROM word_pairs
+UNION ALL
+SELECT id_a, id_b, jaccard, 'char' AS variant FROM (
 WITH duped AS (
     SELECT doc_id, text FROM documents
     UNION ALL
@@ -1273,7 +1334,30 @@ FROM cand JOIN sets a ON cand.id_a = a.doc_id
           JOIN sets b ON cand.id_b = b.doc_id
 WHERE round(len(list_intersect(a.shset, b.shset))::DOUBLE
             / len(list_distinct(list_concat(a.shset, b.shset))), 6) >= 0.5
+)
 """
+
+# pairs -> connected components -> canonical survivor, as a recursive
+# CTE (transitive reachability; min id per component = cluster_id) —
+# the independent mirror of functions/dedup.resolve_clusters
+_ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_MINHASH_WORD_PAIR_CTES.strip()},
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM word_pairs
+    UNION
+    SELECT id_b, id_a FROM word_pairs
+),
+reach(doc_id, cluster_id) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.cluster_id
+    FROM edges e JOIN reach r ON r.doc_id = e.src
+)
+SELECT doc_id, min(cluster_id) AS cluster_id,
+       doc_id = min(cluster_id) AS is_survivor
+FROM reach GROUP BY doc_id
+"""
+
 
 _ORACLE_DEDUP_SIMHASH = """
 WITH th AS (
@@ -2314,7 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_metrics": q_extraction_metrics,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
-        "dedup_ngram": q_dedup_ngram,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "segment_dedup": q_segment_dedup,
         "text_lang_id": q_text_lang_id,
@@ -2372,7 +2456,7 @@ def oracle_sql() -> dict[str, str]:
         "extraction_metrics": _ORACLE_METRICS,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash": _ORACLE_DEDUP_MINHASH,
-        "dedup_ngram": _ORACLE_DEDUP_NGRAM,
+        "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "segment_dedup": _ORACLE_SEGMENT_DEDUP,
         "text_lang_id": _lang_sql(),

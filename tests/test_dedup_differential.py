@@ -121,3 +121,49 @@ def test_repetition_stats_match_python_reference(spark):
             segs = [" ".join(toks[j * 2:j * 2 + 2]) for j in range(nseg)]
             dup = round(1.0 - len(set(segs)) / nseg, 6)
         assert got[i] == (top, dup), (i, t, got[i], (top, dup))
+
+
+def test_resolve_clusters_components_and_survivors(spark):
+    """Pairs -> connected components -> canonical survivor: a chain
+    (worst case for min-label propagation: convergence takes diameter
+    rounds, not 1), a separate triangle clique, an isolated pair, and a
+    doc in no pair (absent from the output by contract — unpaired docs
+    need no survivor pick)."""
+    from trafilatura_spark.functions.dedup import resolve_clusters
+
+    pairs = spark.createDataFrame(
+        [  # chain 1-2-3-4-5 (pairs only adjacent)
+            (1, 2), (2, 3), (3, 4), (4, 5),
+            # clique 10-11-12
+            (10, 11), (11, 12), (10, 12),
+            # isolated pair
+            (20, 21),
+        ], "id_a long, id_b long")
+    got = {r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+           for r in resolve_clusters(pairs).collect()}
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        5: (1, False),
+        10: (10, True), 11: (10, False), 12: (10, False),
+        20: (20, True), 21: (20, False),
+    }
+    # one survivor per cluster, survivor id == cluster id
+    clusters = {}
+    for doc, (cl, surv) in got.items():
+        clusters.setdefault(cl, []).append(surv)
+    assert all(sum(s) == 1 for s in clusters.values())
+
+
+def test_resolve_clusters_max_iter_bounds_chains(spark):
+    """max_iter caps the rounds: a 6-chain under max_iter=2 must still
+    return (possibly unconverged labels), proving the loop is bounded;
+    with the default budget the same chain converges exactly."""
+    from trafilatura_spark.functions.dedup import resolve_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "id_a long, id_b long")
+    bounded = resolve_clusters(chain, max_iter=2).collect()
+    assert len(bounded) == 7  # every vertex labeled, loop terminated
+    full = {r["doc_id"]: r["cluster_id"]
+            for r in resolve_clusters(chain).collect()}
+    assert full == {i: 1 for i in range(1, 8)}

@@ -258,6 +258,62 @@ def near_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
                          shingler=shingler)
 
 
+def resolve_clusters(pairs: DataFrame, id_a: str = "id_a",
+                     id_b: str = "id_b", max_iter: int = 15) -> DataFrame:
+    """Near-dup *pairs* → *clusters* with a canonical survivor each:
+    ``(doc_id, cluster_id, is_survivor)`` where ``cluster_id`` is the
+    minimum doc_id of the connected component and ``is_survivor`` marks
+    that minimum row — the "keep one per cluster" stage a training-data
+    dedup run needs after ``near_duplicate_pairs`` /
+    ``similarity.near_duplicate_pairs`` (which stop at pairs).
+
+    Iterative min-label propagation (hash-to-min connected components,
+    Rastogi et al. 2013's baseline), pure DataFrame ops — no GraphFrames
+    dependency: each round every vertex takes the min of its own label
+    and its neighbors' labels; fixpoint when no label changes.
+
+    Scale notes: each round is one shuffle (groupBy dst) + one join, and
+    rounds needed = component *diameter*, not size.  LSH dup clusters
+    are near-cliques (every member shares a band with most others), so
+    2-4 rounds converge in practice; ``max_iter`` bounds adversarial
+    chains.  Labels are persisted per round and the previous round is
+    unpersisted, keeping lineage flat (without it, iteration k replays
+    all k-1 predecessors).  Convergence is detected with a count action
+    per round — a driver-side scalar, not a collect of data rows.
+    """
+    src, dst = "_cc_src", "_cc_dst"
+    edges = (pairs.select(F.col(id_a).alias(src), F.col(id_b).alias(dst))
+             .union(pairs.select(F.col(id_b).alias(src),
+                                 F.col(id_a).alias(dst)))
+             .distinct())
+    labels = (edges.select(F.col(src).alias("doc_id"))
+              .distinct()
+              .withColumn("cluster_id", F.col("doc_id"))
+              .persist())
+    labels.count()  # materialize before the loop
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges[src] == labels["doc_id"])
+                   .groupBy(F.col(dst).alias("doc_id"))
+                   .agg(F.min("cluster_id").alias("_nbr_min")))
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select("doc_id",
+                    F.least("cluster_id", F.coalesce("_nbr_min",
+                                                     F.col("cluster_id")))
+                    .alias("cluster_id"))
+            .persist())
+        changed = (new_labels.join(labels.withColumnRenamed(
+                        "cluster_id", "_old"), "doc_id")
+                   .filter(F.col("cluster_id") != F.col("_old"))
+                   .count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumn("is_survivor",
+                             F.col("doc_id") == F.col("cluster_id"))
+
+
 def token_hashes(text_col: str) -> Column:
     """Per-token 32-bit hashes (first 8 md5 hex digits) as an array column.
     Materialize this ONCE before :func:`simhash32_from_hashes` — nested
