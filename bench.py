@@ -38,7 +38,14 @@ hardware control >= 0.9), the whole scaling block runs ONCE more and
 the second attempt becomes the headline regardless of which way it
 moves — a remeasure, not a best-of — with the first attempt preserved
 under `first_attempt`.  An attempt that clears either branch is never
-retried.
+retried.  The hardware CONTROL has its own retry trail: it is a
+ceiling measurement (interference only depresses a reading), so it
+reruns up to 3 times until >= 0.9, every reading is recorded under
+`hw_control_attempts`, and the reported control is the max.  If the
+control never reaches 0.9, `normalized_efficiency` is WITHHELD (None
+plus `normalized_note`) — dividing by a depressed control would
+overstate the job's relative efficiency; the raw number must then
+stand on its own.
 
 During every lo-level probe, antagonist spinner processes keep the
 non-probe cores busy.  Rationale: this box boosts per-core clocks when
@@ -375,19 +382,43 @@ def _scaling_attempt(lo: int, hi: int) -> dict | None:
     med_lo = round(med(w["docs_per_sec_lo"] for w in windows), 1)
     med_hi = round(med(w["docs_per_sec_hi"] for w in windows), 1)
     eff = round((med_hi / med_lo) / (hi / lo), 3)
-    hw = _mp_control(lo, hi)
-    return {"cpus_lo": lo, "cpus_hi": hi,
-            "docs_per_sec_lo": med_lo,
-            "docs_per_sec_hi": med_hi,
-            "efficiency": eff,
-            "efficiency_best_window": effs[-1],
-            "efficiency_window_median": round(med(effs), 3),
-            "efficiency_windows": windows,
-            "efficiency_spread": round(effs[-1] - effs[0], 3),
-            "burnin_rates_hi": [round(r, 1) for r in burnin_rates],
-            "hw_control_efficiency": hw,
-            "normalized_efficiency":
-                round(min(eff / hw, 1.0), 3) if hw else None}
+    # hardware control with a persisted retry trail: the control is a
+    # CEILING measurement (interference can only depress a reading, so
+    # max-of-attempts is the least-biased estimator), retried up to 3
+    # times until it reads >= 0.9.  A normalized efficiency over a
+    # sub-0.9 control would divide by an interference artifact and
+    # overstate — in that case normalized is withheld (None + note)
+    # rather than recorded; every attempt's reading stays in the
+    # artifact either way.
+    hw_attempts: list[float] = []
+    for _ in range(3):
+        h = _mp_control(lo, hi)
+        if h is None:
+            break
+        hw_attempts.append(h)
+        if h >= 0.9:
+            break
+    hw = max(hw_attempts) if hw_attempts else None
+    trusted = hw is not None and hw >= 0.9
+    res = {"cpus_lo": lo, "cpus_hi": hi,
+           "docs_per_sec_lo": med_lo,
+           "docs_per_sec_hi": med_hi,
+           "efficiency": eff,
+           "efficiency_best_window": effs[-1],
+           "efficiency_window_median": round(med(effs), 3),
+           "efficiency_windows": windows,
+           "efficiency_spread": round(effs[-1] - effs[0], 3),
+           "burnin_rates_hi": [round(r, 1) for r in burnin_rates],
+           "hw_control_efficiency": hw,
+           "hw_control_attempts": hw_attempts,
+           "normalized_efficiency":
+               round(min(eff / hw, 1.0), 3) if trusted else None}
+    if hw_attempts and not trusted:
+        res["normalized_note"] = (
+            "hw control stayed < 0.9 after "
+            f"{len(hw_attempts)} attempts; normalized efficiency "
+            "withheld (dividing by a depressed control would overstate)")
+    return res
 
 
 def _page_weight_bytes(boiler: int, n_sample: int = 8) -> int:
