@@ -33,8 +33,8 @@ import time
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from .operators.pipeline import extract_documents, extraction_metrics  # noqa: F401
-from .operators.pipeline import (EXTRACTED_SCHEMA, extracted_schema,  # noqa: F401
-                                 make_extract_batches)
+from .operators.pipeline import (EXTRACTED_SCHEMA, doc_size_bytes,  # noqa: F401
+                                 extracted_schema, make_extract_batches)
 from .settings import Options
 
 
@@ -150,7 +150,8 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
                    lineage: str | None = None,
                    serialize: str | None = None,
                    batches_fn=None,
-                   lang_filter: str | None = None) -> dict:
+                   lang_filter: str | None = None,
+                   size_split_bytes: int = 0) -> dict:
     """Resumable batch extraction.  Returns run summary metrics.
 
     ``n_buckets`` is the checkpoint granularity (at 100 TB: hundreds —
@@ -167,6 +168,10 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
     (utils.dart:452-472), whose --target-lang gates on HTML metadata
     only.  Pure JVM column expressions appended to the extraction
     stage: no extra shuffle, no extra pass.
+    ``size_split_bytes`` (the job's --size-split-bytes, 0 = off) routes
+    docs above the threshold to a dedicated extraction pass per wave so
+    heavy pages cannot straggle a mixed task — see
+    operators.pipeline.extract_documents_routed for the cost model.
     """
     options = options or Options()
     if lineage is None:
@@ -214,15 +219,35 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
     schema = extracted_schema(in_stage_fmt)
     for i in range(0, len(pending), wave_size):
         wave = pending[i:i + wave_size]
-        wave_df = (
-            docs.filter(F.col("bucket").isin(wave))
+        wave_src = docs.filter(F.col("bucket").isin(wave))
+        if size_split_bytes > 0:
+            # two-tier size routing (--size-split-bytes, SURVEY §4.3):
+            # heavy docs get their own pass — the mixed wave's straggler
+            # is the task drawing the Poisson-max heavy count on top of
+            # a full small-doc share; see extract_documents_routed
+            sz = doc_size_bytes()
+            branches = [
+                # heavy pass FIRST (FIFO scheduling: its few long tasks
+                # get cores at t=0, the small pass backfills — the
+                # reverse order measurably serializes the two passes);
+                # keyless round-robin for exact count balance (hash only
+                # equalizes the EXPECTATION; the straggler is the
+                # Poisson-max task)
+                wave_src.filter(sz > size_split_bytes)
+                .repartition(tasks_per_wave),
+                # salted round-robin for the small pass: i.i.d. cost mix
+                wave_src.filter(sz <= size_split_bytes)
+                .repartition(tasks_per_wave, F.xxhash64("doc_id")),
+            ]
+        else:
             # salted round-robin inside the wave: i.i.d. cost mix per task
-            .repartition(tasks_per_wave, F.xxhash64("doc_id"))
-        )
-        extracted = (
-            wave_df.mapInPandas(extract_fn, schema)
-            .withColumn("bucket", bucket_col)
-        )
+            branches = [wave_src.repartition(tasks_per_wave,
+                                             F.xxhash64("doc_id"))]
+        parts = [br.mapInPandas(extract_fn, schema) for br in branches]
+        extracted = parts[0]
+        for p in parts[1:]:
+            extracted = extracted.unionByName(p)
+        extracted = extracted.withColumn("bucket", bucket_col)
         if lang_filter:
             # BEFORE serialization: rendering rows the filter is about to
             # drop would be wasted work proportional to the dropped
@@ -374,6 +399,15 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
     p.add_argument("--min-extracted-size", type=int, default=None,
                    help="override the MIN_EXTRACTED_SIZE gate (the "
                         "reference's config-file knob, settings.dart:26)")
+    p.add_argument("--size-split-bytes", type=int, default=0,
+                   help="two-tier size routing: docs whose total span "
+                        "bytes exceed this go to a dedicated "
+                        "count-balanced extraction pass per wave, "
+                        "scheduled first. Use for corpora with RARE "
+                        "multi-MB outliers (per-doc cost comparable to "
+                        "a whole task's share) — for ordinary weight "
+                        "spread the default salting already balances "
+                        "and the split only adds a stage. 0 = off.")
     p.add_argument("--doc-timeout", type=float, default=0.0,
                    help="per-document wall-clock budget in seconds; overruns "
                         "become status='timeout' rows counted in the wave "
@@ -674,7 +708,8 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                              lineage=args.input, serialize=args.serialize,
                              batches_fn=batches_fn,
                              lang_filter=(args.target_lang
-                                          if args.lang_filter else None))
+                                          if args.lang_filter else None),
+                             size_split_bytes=args.size_split_bytes)
     print(summary)
     return 0
 
