@@ -627,3 +627,69 @@ if HAVE_HYP:
         got = dump(clean_copy(body, opts))
         assert dump(body) == before, "clean_copy mutated its source"
         assert got == dump(tree_cleaning(body.copy(), opts))
+
+
+# -- readability one-pass metrics monoid (operators/readability.py) -----------
+
+def _naive_metrics(node):
+    """Ground-truth per-node values straight from the definitions the
+    monoid pass replaces: len(trim(text_content())), text_content comma
+    count, and the iterdesc('a')-including-self trimmed link total."""
+    from trafilatura_spark.functions.textutils import trim
+    text = node.text_content()
+    links = sum(len(trim(a.text_content())) for a in node.iterdesc("a"))
+    if node.tag == "a":
+        links += len(trim(text))
+    return len(trim(text)), text.count(","), links
+
+
+def test_readability_metrics_monoid_real_pages():
+    """_collect_metrics must agree with the naive per-node definitions on
+    every node of a sample of real cache pages (whitespace seams, nested
+    anchors, comments, script remnants all occur naturally there)."""
+    import pathlib
+    from trafilatura_spark.operators.readability import _collect_metrics
+    from trafilatura_spark.sources.loading import decode_file
+
+    cache = pathlib.Path("/root/reference/test/cache")
+    if not cache.exists():
+        import pytest
+        pytest.skip("corpus missing")
+    pages = sorted(cache.glob("*.html"))[::9][:13]
+    for page in pages:
+        tree = load_html(decode_file(page.read_bytes()))
+        if tree is None:
+            continue
+        metrics = _collect_metrics(tree)
+        stack = [tree]
+        while stack:
+            node = stack.pop()
+            stack.extend(node.children)
+            core, _, _, commas, links = metrics[id(node)]
+            want = _naive_metrics(node)
+            assert (core, commas, links) == want, (page.name, node.tag)
+
+
+def test_readability_metrics_monoid_seams():
+    """Constructed whitespace-seam edge cases: empty texts, whitespace-only
+    pieces between non-empty ones, anchors inside anchors, tails."""
+    from trafilatura_spark.operators.readability import _collect_metrics
+
+    cases = [
+        "<div><p>a</p><p>b</p></div>",
+        "<div>  <p> a </p>x<p>b</p>  tail, here </div>",
+        "<div><span></span><span> </span><span>c</span></div>",
+        "<div><a href='#'>one <a href='#'>two</a> three</a> out</div>",
+        "<div><b>x</b>,<i>y</i> <u>z</u></div>",
+        "<div><p>\n\t</p><p>only</p><p>\n</p></div>",
+        "<div>lead<span>\n</span>trail</div>",
+    ]
+    for html in cases:
+        tree = load_html("<html><body>%s</body></html>" % html)
+        metrics = _collect_metrics(tree)
+        stack = [tree]
+        while stack:
+            node = stack.pop()
+            stack.extend(node.children)
+            core, _, _, commas, links = metrics[id(node)]
+            assert (core, commas, links) == _naive_metrics(node), (html, node.tag)

