@@ -350,16 +350,26 @@ def q_render_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: media spans → payloads → Arrow-batched decode
-    (deterministic fake codec) → per-image features."""
+    → per-image features.  TWO payload passes through the same decode
+    stage: the deterministic fake codec AND real image bytes (24-bit
+    BMP / PPM P6 full pixel decode with Rec.601 luma + 8x8 average
+    hash, GIF header parse) — the oracle mirrors the decoded features
+    (luma_sum, phash bit pattern) from the generator's closed forms."""
     from trafilatura_spark.functions.multimodal import (
-        image_features, media_table, with_fake_payloads)
+        image_features, media_table, with_fake_payloads, with_real_payloads)
     docs = synthesize_documents_df(spark, sf_dir)
-    feats = image_features(with_fake_payloads(media_table(docs)))
-    return feats.select("media_ref",
-                        F.col("width").cast("long").alias("width"),
-                        F.col("height").cast("long").alias("height"),
-                        F.col("channels").cast("long").alias("channels"),
-                        "phash")
+    media = media_table(docs)
+
+    def sel(feats: DataFrame) -> DataFrame:
+        return feats.select(
+            "media_ref", "codec",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("channels").cast("long").alias("channels"),
+            "luma_sum", "phash")
+
+    return sel(image_features(with_fake_payloads(media))).unionByName(
+        sel(image_features(with_real_payloads(media))))
 
 
 def q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1481,18 +1491,78 @@ FROM derived
 """
 
 _ORACLE_MEDIA = """
+-- Fake-codec rows mirror the FAKE0 header math; real-codec rows mirror
+-- what the BMP/PPM/GIF decoders must produce for the generator's
+-- grayscale gradient luma(x,y) = base + x + y (no wraparound by
+-- construction): luma_sum in closed form, and the 8x8 average-hash
+-- bits recomputed from exact per-block sums (bit k = j*8 + i, two
+-- zero-padded 32-bit hex halves — the decoder's sign-safe rendering).
 WITH refs AS (
     SELECT 'm-' || doc_id || '-' || g.i AS media_ref
     FROM documents,
          LATERAL (SELECT unnest(generate_series(0, doc_id % 3 - 1)) AS i) g
     WHERE doc_id % 3 > 0
+),
+hb AS (
+    SELECT media_ref,
+           ('0x' || substr(md5(media_ref), 1, 2))::BIGINT AS h0,
+           ('0x' || substr(md5(media_ref), 3, 2))::BIGINT AS h1,
+           ('0x' || substr(md5(media_ref), 5, 2))::BIGINT AS h2,
+           ('0x' || substr(md5(media_ref), 11, 2))::BIGINT AS h5
+    FROM refs
+),
+fake AS (
+    SELECT media_ref, 'fake' AS codec,
+           64 + h0 * 4 AS width, 64 + h1 * 4 AS height,
+           3::BIGINT AS channels, NULL::BIGINT AS luma_sum,
+           substr(md5(media_ref), 1, 16) AS phash
+    FROM hb
+),
+gif AS (
+    SELECT media_ref, 'gif' AS codec,
+           16 + h0 AS width, 16 + h1 AS height,
+           NULL::BIGINT AS channels, NULL::BIGINT AS luma_sum,
+           NULL::VARCHAR AS phash
+    FROM hb WHERE h5 % 3 = 2
+),
+dims AS (
+    SELECT media_ref,
+           CASE WHEN h5 % 3 = 0 THEN 'bmp' ELSE 'ppm' END AS codec,
+           1 + h0 % 3 AS bx, 1 + h1 % 3 AS by, h2 // 2 AS base,
+           8 * (1 + h0 % 3) AS w, 8 * (1 + h1 % 3) AS h
+    FROM hb WHERE h5 % 3 < 2
+),
+tot AS (
+    SELECT *, w * h * base + h * (w * (w - 1) // 2)
+              + w * (h * (h - 1) // 2) AS total
+    FROM dims
+),
+bits AS (
+    SELECT t.media_ref, j.j * 8 + i.i AS k,
+           CASE WHEN (bx * by * base
+                      + by * (bx * bx * i.i + bx * (bx - 1) // 2)
+                      + bx * (by * by * j.j + by * (by - 1) // 2))
+                     * w * h > total * bx * by
+                THEN 1 ELSE 0 END AS bit
+    FROM tot t,
+         (SELECT unnest(generate_series(0, 7)) AS i) i,
+         (SELECT unnest(generate_series(0, 7)) AS j) j
+),
+ph AS (
+    SELECT media_ref,
+           printf('%08x%08x',
+               sum(CASE WHEN bit = 1 AND k >= 32
+                        THEN (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT,
+               sum(CASE WHEN bit = 1 AND k < 32
+                        THEN (1::BIGINT << k) ELSE 0 END)::BIGINT) AS phash
+    FROM bits GROUP BY media_ref
 )
-SELECT media_ref,
-       64 + ('0x' || substr(md5(media_ref), 1, 2))::BIGINT * 4 AS width,
-       64 + ('0x' || substr(md5(media_ref), 3, 2))::BIGINT * 4 AS height,
-       3::BIGINT AS channels,
-       substr(md5(media_ref), 1, 16) AS phash
-FROM refs
+SELECT * FROM fake
+UNION ALL SELECT * FROM gif
+UNION ALL
+SELECT t.media_ref, t.codec, t.w AS width, t.h AS height,
+       3::BIGINT AS channels, t.total AS luma_sum, ph.phash
+FROM tot t JOIN ph USING (media_ref)
 """
 
 _ORACLE_SITEMAP = """

@@ -459,7 +459,40 @@ def _weight_ladder(spark) -> dict:
                       "docs_per_sec": r["docs_per_sec"],
                       "mb_per_sec": round(
                           r["docs_per_sec"] * page_bytes / 1e6, 1)}
+    out["media"] = _media_tier(spark)
     return out
+
+
+def _media_tier(spark) -> dict:
+    """Media-heavy ladder tier: throughput of the Arrow-batched image
+    decode stage over REAL bytes (24-bit BMP / PPM P6 full pixel decode
+    with Rec.601 luma + 8x8 average-hash, GIF header parse) for the
+    bench corpus's media spans.  Payloads are persisted first so the
+    timed pass is decode-only."""
+    from pyspark.sql import functions as F
+
+    from trafilatura_spark.functions.multimodal import (
+        image_features, media_table, real_media_bytes, with_real_payloads)
+    from trafilatura_spark.sources.corpus import synthesize_documents_df
+
+    docs = synthesize_documents_df(spark, SF_DIR, replicate=REPLICATE,
+                                   partitions=CPUS * 2)
+    media = with_real_payloads(media_table(docs)).persist()
+    n = media.count()
+    feats = image_features(media)
+    errors = feats.filter(F.col("error").isNotNull()).count()  # warm-up
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        feats.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    media.unpersist()
+    payload_bytes = int(sum(len(real_media_bytes(f"m-{i}-0"))
+                            for i in range(64)) / 64)
+    return {"payload_bytes": payload_bytes, "items": n, "errors": errors,
+            "items_per_sec": int(n / best),
+            "mb_per_sec": round(n / best * payload_bytes / 1e6, 1)}
 
 
 def _size_routing_run(spark, reps: int = 3) -> dict:

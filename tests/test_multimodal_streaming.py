@@ -243,3 +243,126 @@ def test_discovery_on_reference_resources(spark):
     guesses = guess_sitemap_urls("https://example.org/some/page")
     assert guesses[0] == "https://example.org/sitemap.xml"
     assert "https://example.org/sitemap_index.xml" in guesses
+
+
+# -- real pure-stdlib codecs (BMP / PPM / GIF header) --------------------------
+
+def _hand_bmp(pixels, top_down):
+    """Assemble a 24-bit BMP from a top-down row-major [[(r,g,b)]] grid
+    by hand — independent of real_media_bytes."""
+    import struct
+    h, w = len(pixels), len(pixels[0])
+    pad = (-(w * 3)) % 4
+    rows = bytearray()
+    order = pixels if top_down else pixels[::-1]
+    for row in order:
+        for r, g, b in row:
+            rows += bytes((b, g, r))
+        rows += b"\x00" * pad
+    off = 54
+    return (b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h if not top_down else -h,
+                          1, 24, 0, len(rows), 0, 0, 0, 0) + bytes(rows))
+
+
+def test_decode_bmp_hand_assembled():
+    from trafilatura_spark.functions.multimodal import _decode_image
+    px = [[(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+          [(10, 20, 30), (0, 0, 0), (255, 255, 255)]]
+    lumas = [(299 * r + 587 * g + 114 * b) // 1000
+             for row in px for r, g, b in row]
+    want_sum = sum(lumas)
+    for top_down in (False, True):
+        codec, w, h, c, mean, lsum, phash = _decode_image(
+            _hand_bmp(px, top_down))
+        assert (codec, w, h, c) == ("bmp", 3, 2, 3)
+        assert lsum == want_sum
+        assert abs(mean - want_sum / 6 / 255.0) < 1e-9
+    # orientation must not change any feature
+    a = _decode_image(_hand_bmp(px, False))
+    b = _decode_image(_hand_bmp(px, True))
+    assert a == b
+
+
+def test_decode_ppm_with_comment():
+    from trafilatura_spark.functions.multimodal import _decode_image
+    body = bytes(v for v in (5, 5, 5, 250, 250, 250, 100, 100, 100,
+                             200, 200, 200))
+    ppm = b"P6\n# a comment line\n2 2\n255\n" + body
+    codec, w, h, c, mean, lsum, phash = _decode_image(ppm)
+    assert (codec, w, h, c) == ("ppm", 2, 2, 3)
+    assert lsum == 5 + 250 + 100 + 200
+    assert len(phash) == 16
+
+
+def test_decode_gif_header_only():
+    from trafilatura_spark.functions.multimodal import _decode_image
+    gif = b"GIF89a" + (300).to_bytes(2, "little") + (70).to_bytes(2, "little") \
+        + bytes((0x70, 0, 0)) + b"\x3b"
+    assert _decode_image(gif) == ("gif", 300, 70, None, None, None, None)
+
+
+def test_decode_rejects_unsupported_variants():
+    import struct
+    import pytest as _pytest
+    from trafilatura_spark.functions.multimodal import _decode_image
+    # 8-bit BMP -> NotImplementedError (the codec seam)
+    bad = (b"BM" + struct.pack("<IHHI", 60, 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 4, 0, 0, 0, 0)
+           + b"\x00" * 8)
+    with _pytest.raises(NotImplementedError):
+        _decode_image(bad)
+    # truncated 24-bit BMP -> ValueError (corrupt, not unsupported)
+    trunc = _hand_bmp([[(1, 2, 3)]], False)[:-2]
+    with _pytest.raises(ValueError):
+        _decode_image(trunc)
+    # 16-bit PPM -> NotImplementedError
+    with _pytest.raises(NotImplementedError):
+        _decode_image(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+
+def test_real_payload_generator_round_trip():
+    """real_media_bytes -> _decode_image must agree with the generator's
+    closed forms (the same contract the DuckDB oracle mirrors)."""
+    import hashlib
+    from trafilatura_spark.functions.multimodal import (
+        _decode_image, real_media_bytes)
+    seen = set()
+    for i in range(40):
+        ref = f"m-{i}-0"
+        hd = hashlib.md5(ref.encode()).digest()
+        codec, w, h, c, mean, lsum, phash = _decode_image(
+            real_media_bytes(ref))
+        seen.add(codec)
+        if codec == "gif":
+            assert (w, h) == (16 + hd[0], 16 + hd[1])
+            continue
+        bx, by, base = 1 + hd[0] % 3, 1 + hd[1] % 3, hd[2] // 2
+        assert (w, h, c) == (8 * bx, 8 * by, 3)
+        assert lsum == (w * h * base + h * (w * (w - 1) // 2)
+                        + w * (h * (h - 1) // 2))
+        # independent naive average-hash over the generator's luma grid
+        lumas = [[base + x + y for x in range(w)] for y in range(h)]
+        total = sum(map(sum, lumas))
+        bits = 0
+        for j in range(8):
+            for i2 in range(8):
+                bs = sum(lumas[y][x]
+                         for y in range(j * by, (j + 1) * by)
+                         for x in range(i2 * bx, (i2 + 1) * bx))
+                if bs * w * h > total * bx * by:
+                    bits |= 1 << (j * 8 + i2)
+        assert phash == "%016x" % bits
+    assert seen == {"bmp", "ppm", "gif"}
+
+
+def test_image_features_real_payloads_spark(spark, media):
+    from trafilatura_spark.functions.multimodal import (
+        image_features, with_real_payloads)
+    feats = image_features(with_real_payloads(media.limit(30))).collect()
+    assert len(feats) == 30
+    assert all(r["error"] is None for r in feats)
+    assert {r["codec"] for r in feats} <= {"bmp", "ppm", "gif"}
+    for r in feats:
+        if r["codec"] in ("bmp", "ppm"):
+            assert r["luma_sum"] > 0 and len(r["phash"]) == 16

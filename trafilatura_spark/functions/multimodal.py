@@ -8,11 +8,15 @@ signatures, partitioning — as REAL, tested code, with the codec step
 isolated behind ``_decode_*`` functions.
 
 The image/audio libraries are not available in this sandbox (and are a
-per-deployment choice), so the codecs are stubbed exactly as the round
-brief requires: a clearly-marked ``NotImplementedError`` for real
-payloads plus a deterministic fake format (``FAKE0`` header) so the whole
-pipeline is exercisable end-to-end in tests and benchmarks.
-"""
+per-deployment choice), so compressed codecs (JPEG/PNG/H.264) remain
+stubbed exactly as the round brief requires: a clearly-marked
+``NotImplementedError`` plus a deterministic fake format (``FAKE0``
+header) so the whole pipeline is exercisable end-to-end.  Three REAL
+pure-stdlib decoders now sit in front of that seam — uncompressed
+24-bit BMP and binary PPM (P6) with full pixel decode (Rec.601 luma,
+8x8 average-hash), and GIF header parsing (dimensions only) — so the
+Arrow-batched decode stage is exercised over genuine image bytes, not
+just the fake header."""
 
 from __future__ import annotations
 
@@ -33,10 +37,12 @@ MEDIA_SCHEMA = T.StructType([
 
 IMAGE_FEATURES_SCHEMA = T.StructType([
     T.StructField("media_ref", T.StringType(), False),
+    T.StructField("codec", T.StringType(), True),
     T.StructField("width", T.IntegerType(), True),
     T.StructField("height", T.IntegerType(), True),
     T.StructField("channels", T.IntegerType(), True),
     T.StructField("mean_luma", T.FloatType(), True),
+    T.StructField("luma_sum", T.LongType(), True),
     T.StructField("phash", T.StringType(), True),
     T.StructField("error", T.StringType(), True),
 ])
@@ -74,6 +80,56 @@ def fake_media_bytes(media_ref: str, kind: str = "image") -> bytes:
                                      n_frames) + h)
 
 
+def real_media_bytes(media_ref: str) -> bytes:
+    """Deterministic REAL image payload: md5(media_ref) picks the
+    container (BMP / PPM / GIF) and the pixel pattern.
+
+    BMP/PPM carry a grayscale gradient luma(x, y) = base + x + y with
+    base = h[2]//2 and w, h multiples of 8 no larger than 24, so every
+    value stays < 256 (no wraparound) and the decoded features —
+    luma_sum, 8x8 average-hash — have closed forms an external oracle
+    can reproduce from the generator contract alone.  GIF payloads are
+    a valid header + trailer (the decoder parses dimensions only)."""
+    h = hashlib.md5(media_ref.encode()).digest()
+    fmt = h[5] % 3
+    if fmt == 2:  # GIF89a: logical screen descriptor, no color table
+        return (b"GIF89a" + struct.pack("<HH", 16 + h[0], 16 + h[1])
+                + bytes((0x70, 0, 0)) + b"\x3b")
+    bx, by = 1 + h[0] % 3, 1 + h[1] % 3
+    w, hgt = 8 * bx, 8 * by
+    base = h[2] // 2
+    if fmt == 1:  # PPM P6, top-down row-major RGB
+        out = bytearray(b"P6\n%d %d\n255\n" % (w, hgt))
+        for y in range(hgt):
+            for x in range(w):
+                out += bytes((base + x + y,)) * 3
+        return bytes(out)
+    # BMP: 24-bit uncompressed, bottom-up rows padded to 4 bytes
+    pad = (-(w * 3)) % 4
+    rows = bytearray()
+    for y in range(hgt - 1, -1, -1):
+        for x in range(w):
+            rows += bytes((base + x + y,)) * 3  # B == G == R
+        rows += b"\x00" * pad
+    off = 14 + 40
+    return (b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, hgt, 1, 24, 0,
+                          len(rows), 2835, 2835, 0, 0)
+            + bytes(rows))
+
+
+def with_real_payloads(media: DataFrame) -> DataFrame:
+    """Attach deterministic REAL image payloads (BMP/PPM/GIF mix) —
+    the test/bench path exercising the actual decoders."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BinaryType())
+    def gen(refs: pd.Series) -> pd.Series:
+        return refs.map(real_media_bytes)
+
+    return media.withColumn("content", gen("media_ref"))
+
+
 def with_fake_payloads(media: DataFrame, kind: str = "image") -> DataFrame:
     """Attach deterministic fake binary payloads (test/bench path; in
     production this is a broadcast-free join against the blob table)."""
@@ -86,15 +142,107 @@ def with_fake_payloads(media: DataFrame, kind: str = "image") -> DataFrame:
     return media.withColumn("content", gen("media_ref"))
 
 
-def _decode_image(content: bytes) -> tuple[int, int, int, float, str]:
-    """Codec seam.  Real deployments plug Pillow/opencv here."""
+def _average_hash(lumas: list[list[int]], w: int, h: int) -> str:
+    """8x8 average-hash over a top-down luma grid: bit (i, j) is set
+    when block (i, j)'s mean luma exceeds the whole-image mean
+    (compared in exact integer arithmetic: block_sum * w * h >
+    total_sum * block_pixels).  Bit k = j*8 + i; rendered as two
+    zero-padded 32-bit hex halves (hi || lo) to stay sign-safe."""
+    total = sum(map(sum, lumas))
+    hi = lo = 0
+    for j in range(8):
+        y0, y1 = j * h // 8, (j + 1) * h // 8
+        for i in range(8):
+            x0, x1 = i * w // 8, (i + 1) * w // 8
+            bs = sum(sum(lumas[y][x0:x1]) for y in range(y0, y1))
+            if bs * w * h > total * ((y1 - y0) * (x1 - x0)):
+                k = j * 8 + i
+                if k >= 32:
+                    hi |= 1 << (k - 32)
+                else:
+                    lo |= 1 << k
+    return "%08x%08x" % (hi, lo)
+
+
+def _luma_features(lumas: list[list[int]], w: int, h: int):
+    total = sum(map(sum, lumas))
+    return (total / (w * h) / 255.0, total, _average_hash(lumas, w, h))
+
+
+def _decode_bmp(content: bytes):
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER or larger); negative
+    height means top-down storage.  Pure stdlib."""
+    off = struct.unpack_from("<I", content, 10)[0]
+    w, hgt = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0 or w <= 0 or hgt == 0:
+        raise NotImplementedError(f"BMP variant bpp={bpp} "
+                                  f"compression={compression} unsupported")
+    top_down, h = hgt < 0, abs(hgt)
+    stride = (w * 3 + 3) & ~3
+    if len(content) < off + stride * h:
+        raise ValueError("truncated BMP pixel array")
+    lumas = []
+    for row in range(h):
+        src = row if top_down else h - 1 - row
+        o = off + src * stride
+        lumas.append([(299 * content[o + 3 * x + 2]
+                       + 587 * content[o + 3 * x + 1]
+                       + 114 * content[o + 3 * x]) // 1000
+                      for x in range(w)])
+    mean, total, phash = _luma_features(lumas, w, h)
+    return "bmp", w, h, 3, mean, total, phash
+
+
+def _decode_ppm(content: bytes):
+    """Binary PPM (P6), maxval <= 255, with comment support."""
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos:pos + 1].isspace():
+            pos += 1
+        if content[pos:pos + 1] == b"#":
+            pos = content.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255 or w <= 0 or h <= 0:
+        raise NotImplementedError(f"PPM maxval={maxval} unsupported")
+    if len(content) < pos + 3 * w * h:
+        raise ValueError("truncated PPM raster")
+    lumas = [[(299 * content[o] + 587 * content[o + 1]
+               + 114 * content[o + 2]) // 1000
+              for x in range(w)
+              for o in (pos + 3 * (y * w + x),)]
+             for y in range(h)]
+    mean, total, phash = _luma_features(lumas, w, h)
+    return "ppm", w, h, 3, mean, total, phash
+
+
+def _decode_image(content: bytes):
+    """Codec dispatch: (codec, width, height, channels, mean_luma,
+    luma_sum, phash).  BMP/PPM decode fully; GIF yields header
+    dimensions only; FAKE0 is the deterministic test format.  Anything
+    else (JPEG/PNG/...) is the deployment seam — real installs plug
+    Pillow/opencv here."""
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
+    if content[:2] == b"P6":
+        return _decode_ppm(content)
+    if content[:5] in (b"GIF87", b"GIF89"):
+        w, h = struct.unpack_from("<HH", content, 6)
+        return "gif", w, h, None, None, None, None
     if content[:5] == FAKE_MAGIC:
         width, height, channels, _ = struct.unpack_from("<IIII", content, 5)
         digest = content[21:]
-        mean_luma = digest[0] / 255.0
-        return width, height, channels, mean_luma, digest[:8].hex()
+        return ("fake", width, height, channels, digest[0] / 255.0, None,
+                digest[:8].hex())
     raise NotImplementedError(
-        "real image codecs are not bundled in this environment; "
+        "compressed image codecs are not bundled in this environment; "
         "plug a decoder into trafilatura_spark.functions.multimodal._decode_image")
 
 
@@ -122,11 +270,13 @@ def image_features(media_with_bytes: DataFrame) -> DataFrame:
             rows = []
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 try:
-                    w, h, c, luma, phash = _decode_image(bytes(content))
-                    rows.append((ref, w, h, c, luma, phash, None))
+                    codec, w, h, c, luma, lsum, phash = _decode_image(
+                        bytes(content))
+                    rows.append((ref, codec, w, h, c, luma, lsum, phash,
+                                 None))
                 except Exception as exc:  # noqa: BLE001 — isolate per item
-                    rows.append((ref, None, None, None, None, None,
-                                 f"{type(exc).__name__}: {exc}"[:200]))
+                    rows.append((ref, None, None, None, None, None, None,
+                                 None, f"{type(exc).__name__}: {exc}"[:200]))
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               IMAGE_FEATURES_SCHEMA.fields])
     return media_with_bytes.select("media_ref", "content") \
