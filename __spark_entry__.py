@@ -356,7 +356,8 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, GIF header parse) — the oracle mirrors the decoded features
     (luma_sum, phash bit pattern) from the generator's closed forms."""
     from trafilatura_spark.functions.multimodal import (
-        image_features, media_table, with_fake_payloads, with_real_payloads)
+        audio_features, image_features, media_table, with_fake_payloads,
+        with_real_audio_payloads, with_real_payloads)
     docs = synthesize_documents_df(spark, sf_dir)
     media = media_table(docs)
 
@@ -366,10 +367,27 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("width").cast("long").alias("width"),
             F.col("height").cast("long").alias("height"),
             F.col("channels").cast("long").alias("channels"),
-            "luma_sum", "phash")
+            "luma_sum", "phash",
+            F.lit(None).cast("long").alias("sample_rate"),
+            F.lit(None).cast("long").alias("n_samples"),
+            F.lit(None).cast("long").alias("peak"),
+            F.lit(None).cast("long").alias("sq_sum"))
 
-    return sel(image_features(with_fake_payloads(media))).unionByName(
-        sel(image_features(with_real_payloads(media))))
+    audio = audio_features(with_real_audio_payloads(media)).select(
+        "media_ref", "codec",
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        F.lit(None).cast("long").alias("luma_sum"),
+        F.lit(None).cast("string").alias("phash"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_samples",
+        F.col("peak").cast("long").alias("peak"),
+        "sq_sum")
+
+    return (sel(image_features(with_fake_payloads(media)))
+            .unionByName(sel(image_features(with_real_payloads(media))))
+            .unionByName(audio))
 
 
 def q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1525,6 +1543,23 @@ gif AS (
            NULL::VARCHAR AS phash
     FROM hb WHERE h5 % 3 = 2
 ),
+-- WAV pass: sawtooth s_i = ((i*step + off) % 2048) - 1024; n, rate,
+-- step, off md5-derived — recompute peak and sum-of-squares exactly
+wav AS (
+    SELECT hb.media_ref,
+           (4000 + 100 * (h6 % 5))::BIGINT AS sample_rate,
+           (200 + h0 * 2)::BIGINT AS n_samples,
+           max(abs(s.v))::BIGINT AS peak,
+           sum(s.v * s.v)::BIGINT AS sq_sum
+    FROM (SELECT *, ('0x' || substr(md5(media_ref), 13, 2))::BIGINT AS h6,
+                 ('0x' || substr(md5(media_ref), 7, 2))::BIGINT AS h3
+          FROM hb) hb,
+         LATERAL (
+             SELECT ((g.i * (1 + h2) + 8 * h3) % 2048) - 1024 AS v
+             FROM (SELECT unnest(generate_series(
+                       0, 200 + h0 * 2 - 1)) AS i) g) s
+    GROUP BY hb.media_ref, h6, h0
+),
 dims AS (
     SELECT media_ref,
            CASE WHEN h5 % 3 = 0 THEN 'bmp' ELSE 'ppm' END AS codec,
@@ -1557,12 +1592,22 @@ ph AS (
                         THEN (1::BIGINT << k) ELSE 0 END)::BIGINT) AS phash
     FROM bits GROUP BY media_ref
 )
-SELECT * FROM fake
-UNION ALL SELECT * FROM gif
+SELECT *, NULL::BIGINT AS sample_rate, NULL::BIGINT AS n_samples,
+       NULL::BIGINT AS peak, NULL::BIGINT AS sq_sum
+FROM fake
+UNION ALL
+SELECT *, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT FROM gif
 UNION ALL
 SELECT t.media_ref, t.codec, t.w AS width, t.h AS height,
-       3::BIGINT AS channels, t.total AS luma_sum, ph.phash
+       3::BIGINT AS channels, t.total AS luma_sum, ph.phash,
+       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT
 FROM tot t JOIN ph USING (media_ref)
+UNION ALL
+SELECT media_ref, 'wav' AS codec, NULL::BIGINT AS width,
+       NULL::BIGINT AS height, 1::BIGINT AS channels,
+       NULL::BIGINT AS luma_sum, NULL::VARCHAR AS phash,
+       sample_rate, n_samples, peak, sq_sum
+FROM wav
 """
 
 _ORACLE_SITEMAP = """

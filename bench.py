@@ -472,27 +472,36 @@ def _media_tier(spark) -> dict:
     from pyspark.sql import functions as F
 
     from trafilatura_spark.functions.multimodal import (
-        image_features, media_table, real_media_bytes, with_real_payloads)
+        audio_features, image_features, media_table, real_audio_bytes,
+        real_media_bytes, with_real_audio_payloads, with_real_payloads)
     from trafilatura_spark.sources.corpus import synthesize_documents_df
 
     docs = synthesize_documents_df(spark, SF_DIR, replicate=REPLICATE,
                                    partitions=CPUS * 2)
-    media = with_real_payloads(media_table(docs)).persist()
-    n = media.count()
-    feats = image_features(media)
-    errors = feats.filter(F.col("error").isNotNull()).count()  # warm-up
-    best = None
-    for _ in range(2):
-        t0 = time.time()
-        feats.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        best = dt if best is None or dt < best else best
-    media.unpersist()
-    payload_bytes = int(sum(len(real_media_bytes(f"m-{i}-0"))
-                            for i in range(64)) / 64)
-    return {"payload_bytes": payload_bytes, "items": n, "errors": errors,
+    base = media_table(docs)
+    out = {}
+    for label, attach, decode, gen in (
+            ("image", with_real_payloads, image_features, real_media_bytes),
+            ("audio", with_real_audio_payloads, audio_features,
+             real_audio_bytes)):
+        media = attach(base).persist()
+        n = media.count()
+        feats = decode(media)
+        errors = feats.filter(F.col("error").isNotNull()).count()  # warm-up
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            feats.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        media.unpersist()
+        payload_bytes = int(sum(len(gen(f"m-{i}-0"))
+                                for i in range(64)) / 64)
+        out[label] = {
+            "payload_bytes": payload_bytes, "items": n, "errors": errors,
             "items_per_sec": int(n / best),
             "mb_per_sec": round(n / best * payload_bytes / 1e6, 1)}
+    return out
 
 
 def _size_routing_run(spark, reps: int = 3) -> dict:

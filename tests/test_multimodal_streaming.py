@@ -366,3 +366,88 @@ def test_image_features_real_payloads_spark(spark, media):
     for r in feats:
         if r["codec"] in ("bmp", "ppm"):
             assert r["luma_sum"] > 0 and len(r["phash"]) == 16
+
+
+# -- real WAV/PCM16 audio codec ------------------------------------------------
+
+def _hand_wav(samples, rate=8000, channels=1, extra_chunk=False):
+    """Assemble a PCM16 WAV by hand — independent of real_audio_bytes.
+    extra_chunk inserts an odd-sized LIST chunk before fmt to exercise
+    chunk walking + word alignment."""
+    import struct
+    pcm = struct.pack("<%dh" % len(samples), *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels,
+                      2 * channels, 16)
+    chunks = b""
+    if extra_chunk:
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_hand_assembled():
+    from trafilatura_spark.functions.multimodal import _decode_audio
+    samples = [0, 100, -200, 32767, -32768, 5]
+    for extra in (False, True):
+        codec, rate, ch, n, peak, sq = _decode_audio(
+            _hand_wav(samples, rate=44100, extra_chunk=extra))
+        assert (codec, rate, ch, n) == ("wav", 44100, 1, 6)
+        assert peak == 32768
+        assert sq == sum(s * s for s in samples)
+
+
+def test_decode_wav_stereo():
+    from trafilatura_spark.functions.multimodal import _decode_audio
+    codec, rate, ch, n, peak, sq = _decode_audio(
+        _hand_wav([10, -20, 30, -40], rate=16000, channels=2))
+    assert (codec, ch, n) == ("wav", 2, 4)  # n counts interleaved samples
+    assert (peak, sq) == (40, 100 + 400 + 900 + 1600)
+
+
+def test_decode_audio_unsupported_and_corrupt():
+    import struct
+    import pytest as _pytest
+    from trafilatura_spark.functions.multimodal import _decode_audio
+    # IEEE-float WAV -> NotImplementedError (the codec seam)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 16)
+    flt = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", 0))
+    with _pytest.raises(NotImplementedError):
+        _decode_audio(flt)
+    # mp3 magic -> NotImplementedError
+    with _pytest.raises(NotImplementedError):
+        _decode_audio(b"ID3\x04\x00\x00\x00\x00\x00\x00")
+    # RIFF without data chunk -> ValueError (corrupt)
+    nodata = (b"RIFF" + struct.pack("<I", 4 + 8 + 16) + b"WAVE"
+              + b"fmt " + struct.pack("<I", 16)
+              + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16))
+    with _pytest.raises(ValueError):
+        _decode_audio(nodata)
+
+
+def test_real_audio_generator_round_trip():
+    import hashlib
+    from trafilatura_spark.functions.multimodal import (
+        _decode_audio, real_audio_bytes)
+    for i in range(25):
+        ref = f"m-{i}-1"
+        h = hashlib.md5(ref.encode()).digest()
+        codec, rate, ch, n, peak, sq = _decode_audio(real_audio_bytes(ref))
+        assert (codec, ch) == ("wav", 1)
+        assert rate == 4000 + 100 * (h[6] % 5)
+        assert n == 200 + h[0] * 2
+        step, off = 1 + h[2], 8 * h[3]
+        want = [((k * step + off) % 2048) - 1024 for k in range(n)]
+        assert peak == max(abs(s) for s in want)
+        assert sq == sum(s * s for s in want)
+
+
+def test_audio_features_spark(spark, media):
+    from trafilatura_spark.functions.multimodal import (
+        audio_features, with_real_audio_payloads)
+    rows = audio_features(with_real_audio_payloads(media.limit(20))).collect()
+    assert len(rows) == 20
+    assert all(r["error"] is None and r["codec"] == "wav" for r in rows)
+    assert all(r["sq_sum"] > 0 and r["n_samples"] >= 200 for r in rows)

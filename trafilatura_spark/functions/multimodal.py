@@ -47,6 +47,17 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
     T.StructField("error", T.StringType(), True),
 ])
 
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("codec", T.StringType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("peak", T.IntegerType(), True),
+    T.StructField("sq_sum", T.LongType(), True),
+    T.StructField("error", T.StringType(), True),
+])
+
 FRAME_SAMPLE_SCHEMA = T.StructType([
     T.StructField("media_ref", T.StringType(), False),
     T.StructField("frame_idx", T.IntegerType(), False),
@@ -116,6 +127,35 @@ def real_media_bytes(media_ref: str) -> bytes:
             + struct.pack("<IiiHHIIiiII", 40, w, hgt, 1, 24, 0,
                           len(rows), 2835, 2835, 0, 0)
             + bytes(rows))
+
+
+def real_audio_bytes(media_ref: str) -> bytes:
+    """Deterministic REAL audio payload: mono 16-bit PCM WAV whose
+    sawtooth samples s_i = ((i*step + off) % 2048) - 1024 (step, off,
+    length and rate all md5-derived) give the decoded features —
+    n_samples, peak, sum of squares — closed forms an external oracle
+    can reproduce from the generator contract alone."""
+    h = hashlib.md5(media_ref.encode()).digest()
+    rate = 4000 + 100 * (h[6] % 5)
+    n = 200 + h[0] * 2
+    step, off = 1 + h[2], 8 * h[3]
+    pcm = struct.pack("<%dh" % n,
+                      *(((i * step + off) % 2048) - 1024 for i in range(n)))
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
+def with_real_audio_payloads(media: DataFrame) -> DataFrame:
+    """Attach deterministic REAL WAV payloads."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BinaryType())
+    def gen(refs: pd.Series) -> pd.Series:
+        return refs.map(real_audio_bytes)
+
+    return media.withColumn("content", gen("media_ref"))
 
 
 def with_real_payloads(media: DataFrame) -> DataFrame:
@@ -244,6 +284,67 @@ def _decode_image(content: bytes):
     raise NotImplementedError(
         "compressed image codecs are not bundled in this environment; "
         "plug a decoder into trafilatura_spark.functions.multimodal._decode_image")
+
+
+def _decode_wav(content: bytes):
+    """RIFF/WAVE 16-bit PCM decoder (any channel count, chunk-walking
+    so extra chunks like LIST are skipped).  Pure stdlib."""
+    if content[8:12] != b"WAVE":
+        raise ValueError("RIFF container is not WAVE")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        size = struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV format={audio_format} bits={bits} unsupported (PCM16 only); "
+            "plug a decoder into trafilatura_spark.functions.multimodal._decode_audio")
+    n = len(data) // 2
+    samples = struct.unpack("<%dh" % n, data[:2 * n])
+    return ("wav", rate, channels, n,
+            max(abs(s) for s in samples) if samples else 0,
+            sum(s * s for s in samples))
+
+
+def _decode_audio(content: bytes):
+    """Codec dispatch: (codec, sample_rate, channels, n_samples, peak,
+    sq_sum).  WAV/PCM16 decodes fully; compressed audio (MP3/AAC/OGG)
+    is the deployment seam."""
+    if content[:4] == b"RIFF":
+        return _decode_wav(content)
+    raise NotImplementedError(
+        "compressed audio codecs are not bundled in this environment; "
+        "plug a decoder into trafilatura_spark.functions.multimodal._decode_audio")
+
+
+def audio_features(media_with_bytes: DataFrame) -> DataFrame:
+    """Arrow-batched audio decode + feature extraction, same per-item
+    error isolation contract as image_features."""
+    def batches(it):
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                try:
+                    codec, rate, ch, n, peak, sq = _decode_audio(
+                        bytes(content))
+                    rows.append((ref, codec, rate, ch, n, peak, sq, None))
+                except Exception as exc:  # noqa: BLE001 — isolate per item
+                    rows.append((ref, None, None, None, None, None, None,
+                                 f"{type(exc).__name__}: {exc}"[:200]))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              AUDIO_FEATURES_SCHEMA.fields])
+    return media_with_bytes.select("media_ref", "content") \
+        .mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
 def _decode_video_frames(content: bytes, every_ms: int):
