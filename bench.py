@@ -472,8 +472,10 @@ def _media_tier(spark) -> dict:
     from pyspark.sql import functions as F
 
     from trafilatura_spark.functions.multimodal import (
-        audio_features, image_features, media_table, real_audio_bytes,
-        real_media_bytes, with_real_audio_payloads, with_real_payloads)
+        audio_features, frame_samples, image_features, media_table,
+        real_audio_bytes, real_media_bytes, real_video_bytes,
+        with_real_audio_payloads, with_real_payloads,
+        with_real_video_payloads)
     from trafilatura_spark.sources.corpus import synthesize_documents_df
 
     docs = synthesize_documents_df(spark, SF_DIR, replicate=REPLICATE,
@@ -483,11 +485,19 @@ def _media_tier(spark) -> dict:
     for label, attach, decode, gen in (
             ("image", with_real_payloads, image_features, real_media_bytes),
             ("audio", with_real_audio_payloads, audio_features,
-             real_audio_bytes)):
+             real_audio_bytes),
+            ("video", with_real_video_payloads,
+             lambda m: frame_samples(m, every_ms=0), real_video_bytes)):
         media = attach(base).persist()
         n = media.count()
         feats = decode(media)
-        errors = feats.filter(F.col("error").isNotNull()).count()  # warm-up
+        # warm-up pass; frame_samples has no error column (per-item
+        # failures are skipped), the feature stages report per-row errors
+        if "error" in feats.columns:
+            errors = feats.filter(F.col("error").isNotNull()).count()
+        else:
+            feats.count()
+            errors = 0
         best = None
         for _ in range(2):
             t0 = time.time()

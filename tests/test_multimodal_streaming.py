@@ -451,3 +451,96 @@ def test_audio_features_spark(spark, media):
     assert len(rows) == 20
     assert all(r["error"] is None and r["codec"] == "wav" for r in rows)
     assert all(r["sq_sum"] > 0 and r["n_samples"] >= 200 for r in rows)
+
+
+# -- real AVI video codec (uncompressed DIB frames) ----------------------------
+
+def _hand_avi(frames_px, period_us=40000):
+    """Assemble a minimal AVI by hand from top-down [[(r,g,b)]] frame
+    grids — independent of real_video_bytes."""
+    import struct
+    h, w = len(frames_px[0]), len(frames_px[0][0])
+    pad = (-(w * 3)) % 4
+    frames = []
+    for px in frames_px:
+        rows = bytearray()
+        for row in px[::-1]:  # bottom-up
+            for r, g, b in row:
+                rows += bytes((b, g, r))
+            rows += b"\x00" * pad
+        frames.append(bytes(rows))
+    avih = struct.pack("<IIIIIIIIII", period_us, 0, 0, 0, len(frames), 0,
+                       1, 0, w, h) + b"\x00" * 16
+    hdrl = b"avih" + struct.pack("<I", len(avih)) + avih
+    movi = b"movi"
+    for fr in frames:
+        movi += b"00db" + struct.pack("<I", len(fr)) + fr
+        if len(fr) & 1:
+            movi += b"\x00"
+    body = (b"AVI " + b"LIST" + struct.pack("<I", 4 + len(hdrl)) + b"hdrl"
+            + hdrl + b"LIST" + struct.pack("<I", len(movi)) + movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_avi_hand_assembled():
+    from trafilatura_spark.functions.multimodal import (
+        _average_hash, _decode_video_frames)
+    f0 = [[(255, 255, 255), (0, 0, 0)], [(10, 10, 10), (200, 200, 200)]]
+    f1 = [[(0, 0, 0), (0, 0, 0)], [(0, 0, 0), (255, 255, 255)]]
+    out = list(_decode_video_frames(_hand_avi([f0, f1], period_us=33000), 0))
+    assert [o[0] for o in out] == [0, 1]
+    assert [o[1] for o in out] == [0, 33]
+    for (idx, ts, ph), px in zip(out, (f0, f1)):
+        lumas = [[(299 * r + 587 * g + 114 * b) // 1000 for r, g, b in row]
+                 for row in px]
+        assert ph == _average_hash(lumas, 2, 2)
+
+
+def test_decode_avi_compressed_hits_seam():
+    import struct
+    import pytest as _pytest
+    from trafilatura_spark.functions.multimodal import _decode_video_frames
+    avih = struct.pack("<IIIIIIIIII", 40000, 0, 0, 0, 1, 0, 1, 0, 2, 2) \
+        + b"\x00" * 16
+    hdrl = b"avih" + struct.pack("<I", len(avih)) + avih
+    movi = b"movi" + b"00dc" + struct.pack("<I", 4) + b"\x00" * 4
+    body = (b"AVI " + b"LIST" + struct.pack("<I", 4 + len(hdrl)) + b"hdrl"
+            + hdrl + b"LIST" + struct.pack("<I", len(movi)) + movi)
+    with _pytest.raises(NotImplementedError):
+        list(_decode_video_frames(b"RIFF" + struct.pack("<I", len(body))
+                                  + body, 0))
+
+
+def test_real_video_generator_round_trip():
+    import hashlib
+    from trafilatura_spark.functions.multimodal import (
+        _average_hash, _decode_video_frames, real_video_bytes)
+    for i in range(20):
+        ref = f"m-{i}-2"
+        h = hashlib.md5(ref.encode()).digest()
+        bx, by = 1 + h[7] % 3, 1 + h[8] % 3
+        w, hgt = 8 * bx, 8 * by
+        n_frames = 2 + h[9] % 6
+        period_us = (20 + h[10] % 30) * 1000
+        out = list(_decode_video_frames(real_video_bytes(ref), 0))
+        assert len(out) == n_frames
+        for idx, ts, ph in out:
+            assert ts == (idx * period_us) // 1000
+            base = (h[2] + 5 * idx) % 128
+            lumas = [[base + x + y for x in range(w)] for y in range(hgt)]
+            assert ph == _average_hash(lumas, w, hgt)
+        # sampling every two frame periods keeps even indices only
+        out2 = list(_decode_video_frames(real_video_bytes(ref),
+                                         2 * period_us // 1000))
+        assert [o[0] for o in out2] == list(range(0, n_frames, 2))
+
+
+def test_frame_samples_real_avi_spark(spark, media):
+    from trafilatura_spark.functions.multimodal import (
+        frame_samples, with_real_video_payloads)
+    vids = with_real_video_payloads(media.limit(12))
+    rows = frame_samples(vids, every_ms=0).collect()
+    assert len(rows) >= 24  # >= 2 frames per ref
+    assert all(len(r["frame_phash"]) == 16 for r in rows)
+    again = frame_samples(vids, every_ms=0).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -158,6 +158,52 @@ def with_real_audio_payloads(media: DataFrame) -> DataFrame:
     return media.withColumn("content", gen("media_ref"))
 
 
+def real_video_bytes(media_ref: str) -> bytes:
+    """Deterministic REAL video payload: a minimal AVI (RIFF) container
+    holding 2-7 uncompressed DIB frames (BGR bottom-up, padded rows —
+    the BMP pixel-array layout).  Frame f carries the gradient
+    luma(x, y) = base_f + x + y with base_f = (h[2] + 5f) % 128, so
+    per-frame average-hashes have the same closed forms as the BMP
+    generator's."""
+    h = hashlib.md5(media_ref.encode()).digest()
+    bx, by = 1 + h[7] % 3, 1 + h[8] % 3
+    w, hgt = 8 * bx, 8 * by
+    n_frames = 2 + h[9] % 6
+    period_us = (20 + h[10] % 30) * 1000
+    pad = (-(w * 3)) % 4
+    frames = []
+    for f in range(n_frames):
+        base = (h[2] + 5 * f) % 128
+        rows = bytearray()
+        for y in range(hgt - 1, -1, -1):
+            for x in range(w):
+                rows += bytes((base + x + y,)) * 3
+            rows += b"\x00" * pad
+        frames.append(bytes(rows))
+    avih = struct.pack("<IIIIIIIIII", period_us, 0, 0, 0, n_frames, 0,
+                       1, 0, w, hgt) + b"\x00" * 16
+    hdrl = b"avih" + struct.pack("<I", len(avih)) + avih
+    movi = b"movi"
+    for fr in frames:
+        movi += b"00db" + struct.pack("<I", len(fr)) + fr
+        if len(fr) & 1:
+            movi += b"\x00"
+    body = (b"AVI " + b"LIST" + struct.pack("<I", 4 + len(hdrl)) + b"hdrl"
+            + hdrl + b"LIST" + struct.pack("<I", len(movi)) + movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def with_real_video_payloads(media: DataFrame) -> DataFrame:
+    """Attach deterministic REAL AVI payloads."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BinaryType())
+    def gen(refs: pd.Series) -> pd.Series:
+        return refs.map(real_video_bytes)
+
+    return media.withColumn("content", gen("media_ref"))
+
+
 def with_real_payloads(media: DataFrame) -> DataFrame:
     """Attach deterministic REAL image payloads (BMP/PPM/GIF mix) —
     the test/bench path exercising the actual decoders."""
@@ -347,8 +393,65 @@ def audio_features(media_with_bytes: DataFrame) -> DataFrame:
         .mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
+def _parse_avi(content: bytes):
+    """Minimal AVI (RIFF) walk: returns (width, height, n_frames,
+    period_us, [frame byte ranges]) for uncompressed '..db' streams.
+    Compressed ('..dc') frames hit the codec seam."""
+    if content[8:12] != b"AVI ":
+        raise ValueError("RIFF container is not AVI")
+    avih, frames = None, []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal avih
+        pos = lo
+        while pos + 8 <= hi:
+            cid = content[pos:pos + 4]
+            size = struct.unpack_from("<I", content, pos + 4)[0]
+            body_lo = pos + 8
+            if cid == b"LIST":
+                walk(body_lo + 4, body_lo + size)
+            elif cid == b"avih":
+                avih = struct.unpack_from("<IIIIIIIIII", content, body_lo)
+            elif cid[2:4] == b"db":
+                frames.append((body_lo, body_lo + size))
+            elif cid[2:4] == b"dc":
+                raise NotImplementedError(
+                    "compressed AVI streams are not bundled in this "
+                    "environment; plug a decoder into trafilatura_spark."
+                    "functions.multimodal._decode_video_frames")
+            pos = body_lo + size + (size & 1)
+
+    walk(12, 8 + struct.unpack_from("<I", content, 4)[0])
+    if avih is None:
+        raise ValueError("missing avih header")
+    period_us, n_frames, w, h = avih[0], avih[4], avih[8], avih[9]
+    return w, h, n_frames, period_us, frames
+
+
 def _decode_video_frames(content: bytes, every_ms: int):
-    """Codec seam for video frame sampling."""
+    """Video frame sampling.  Real path: AVI with uncompressed DIB
+    frames (BGR bottom-up padded rows — the BMP pixel-array layout),
+    one 8x8 average-hash per sampled frame, sampled every
+    max(1, every_ms*1000 // period_us) frames.  FAKE0 is the
+    deterministic test format; compressed codecs are the seam."""
+    if content[:4] == b"RIFF":
+        w, h, _, period_us, frames = _parse_avi(content)
+        if w <= 0 or h <= 0:
+            raise ValueError("bad AVI dimensions")
+        step = max(1, (every_ms * 1000) // max(period_us, 1))
+        stride = (w * 3 + 3) & ~3
+        for i in range(0, len(frames), step):
+            lo, hi = frames[i]
+            if hi - lo < stride * h:
+                raise ValueError("truncated DIB frame")
+            lumas = [[(299 * content[o + 3 * x + 2]
+                       + 587 * content[o + 3 * x + 1]
+                       + 114 * content[o + 3 * x]) // 1000
+                      for x in range(w)]
+                     for row in range(h)
+                     for o in (lo + (h - 1 - row) * stride,)]
+            yield i, (i * period_us) // 1000, _average_hash(lumas, w, h)
+        return
     if content[:5] == FAKE_MAGIC:
         _, _, _, n_frames = struct.unpack_from("<IIII", content, 5)
         digest = content[21:]
