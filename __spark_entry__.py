@@ -350,14 +350,19 @@ def q_render_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: media spans → payloads → Arrow-batched decode
-    → per-image features.  TWO payload passes through the same decode
-    stage: the deterministic fake codec AND real image bytes (24-bit
-    BMP / PPM P6 full pixel decode with Rec.601 luma + 8x8 average
-    hash, GIF header parse) — the oracle mirrors the decoded features
-    (luma_sum, phash bit pattern) from the generator's closed forms."""
+    → per-item features.  FOUR payload passes through the decode stages:
+    the deterministic fake codec, real image bytes (24-bit BMP / PPM P6
+    full pixel decode with Rec.601 luma + 8x8 average hash, GIF header
+    parse), real WAV/PCM16 audio, and real AVI video (uncompressed DIB
+    frames → per-frame average-hash via frame_samples; frame index and
+    timestamp ride the media_ref key) — the oracle mirrors every decoded
+    feature from the generators' closed forms (the video frames' base_f
+    luma shift cancels out of the block-vs-total mean comparison, so all
+    frames of a ref share one closed-form phash)."""
     from trafilatura_spark.functions.multimodal import (
-        audio_features, image_features, media_table, with_fake_payloads,
-        with_real_audio_payloads, with_real_payloads)
+        audio_features, frame_samples, image_features, media_table,
+        with_fake_payloads, with_real_audio_payloads, with_real_payloads,
+        with_real_video_payloads)
     docs = synthesize_documents_df(spark, sf_dir)
     media = media_table(docs)
 
@@ -385,9 +390,22 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("peak").cast("long").alias("peak"),
         "sq_sum")
 
+    video = frame_samples(with_real_video_payloads(media), every_ms=0) \
+        .select(
+            F.concat(F.col("media_ref"), F.lit("#"),
+                     F.col("frame_idx").cast("string"), F.lit("@"),
+                     F.col("ts_ms").cast("string")).alias("media_ref"),
+            F.lit("avi").alias("codec"),
+            *[F.lit(None).cast("long").alias(c)
+              for c in ("width", "height", "channels", "luma_sum")],
+            F.col("frame_phash").alias("phash"),
+            *[F.lit(None).cast("long").alias(c)
+              for c in ("sample_rate", "n_samples", "peak", "sq_sum")])
+
     return (sel(image_features(with_fake_payloads(media)))
             .unionByName(sel(image_features(with_real_payloads(media))))
-            .unionByName(audio))
+            .unionByName(audio)
+            .unionByName(video))
 
 
 def q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1560,6 +1578,48 @@ wav AS (
                        0, 200 + h0 * 2 - 1)) AS i) g) s
     GROUP BY hb.media_ref, h6, h0
 ),
+-- AVI pass: per-frame 8x8 average-hash of luma(x,y) = base_f + x + y;
+-- base_f shifts block and whole-frame means equally so it cancels out
+-- of the exact-integer comparison — one closed-form phash per ref,
+-- replicated over generate_series(0, n_frames-1) with the frame index
+-- and timestamp (f * period_us // 1000) encoded into the key
+vt AS (
+    SELECT media_ref,
+           1 + ('0x' || substr(md5(media_ref), 15, 2))::BIGINT % 3 AS bx,
+           1 + ('0x' || substr(md5(media_ref), 17, 2))::BIGINT % 3 AS by,
+           2 + ('0x' || substr(md5(media_ref), 19, 2))::BIGINT % 6
+               AS n_frames,
+           (20 + ('0x' || substr(md5(media_ref), 21, 2))::BIGINT % 30)
+               * 1000 AS period_us,
+           8 * (1 + ('0x' || substr(md5(media_ref), 15, 2))::BIGINT % 3)
+               AS w,
+           8 * (1 + ('0x' || substr(md5(media_ref), 17, 2))::BIGINT % 3)
+               AS h
+    FROM refs
+),
+vtot AS (
+    SELECT *, h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2) AS total
+    FROM vt
+),
+vbits AS (
+    SELECT t.media_ref, j.j * 8 + i.i AS k,
+           CASE WHEN (by * (bx * bx * i.i + bx * (bx - 1) // 2)
+                      + bx * (by * by * j.j + by * (by - 1) // 2))
+                     * w * h > total * bx * by
+                THEN 1 ELSE 0 END AS bit
+    FROM vtot t,
+         (SELECT unnest(generate_series(0, 7)) AS i) i,
+         (SELECT unnest(generate_series(0, 7)) AS j) j
+),
+vph AS (
+    SELECT media_ref,
+           printf('%08x%08x',
+               sum(CASE WHEN bit = 1 AND k >= 32
+                        THEN (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT,
+               sum(CASE WHEN bit = 1 AND k < 32
+                        THEN (1::BIGINT << k) ELSE 0 END)::BIGINT) AS phash
+    FROM vbits GROUP BY media_ref
+),
 dims AS (
     SELECT media_ref,
            CASE WHEN h5 % 3 = 0 THEN 'bmp' ELSE 'ppm' END AS codec,
@@ -1608,6 +1668,15 @@ SELECT media_ref, 'wav' AS codec, NULL::BIGINT AS width,
        NULL::BIGINT AS luma_sum, NULL::VARCHAR AS phash,
        sample_rate, n_samples, peak, sq_sum
 FROM wav
+UNION ALL
+SELECT v.media_ref || '#' || f.f || '@' || (f.f * v.period_us // 1000)
+           AS media_ref,
+       'avi' AS codec, NULL::BIGINT AS width, NULL::BIGINT AS height,
+       NULL::BIGINT AS channels, NULL::BIGINT AS luma_sum, vph.phash,
+       NULL::BIGINT AS sample_rate, NULL::BIGINT AS n_samples,
+       NULL::BIGINT AS peak, NULL::BIGINT AS sq_sum
+FROM vtot v JOIN vph USING (media_ref),
+     LATERAL (SELECT unnest(generate_series(0, v.n_frames - 1)) AS f) f
 """
 
 _ORACLE_SITEMAP = """
