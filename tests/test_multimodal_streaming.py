@@ -544,3 +544,76 @@ def test_frame_samples_real_avi_spark(spark, media):
     assert all(len(r["frame_phash"]) == 16 for r in rows)
     again = frame_samples(vids, every_ms=0).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_parse_avi_adversarial_inputs_terminate():
+    """Malformed chunk sizes must not hang or loop the RIFF walker
+    (the bug class ADVICE found in the WARC parser): every crafted
+    input either parses, raises, or yields nothing — in bounded time."""
+    import struct
+    from trafilatura_spark.functions.multimodal import (
+        _decode_video_frames, _parse_avi)
+    avih = struct.pack("<IIIIIIIIII", 40000, 0, 0, 0, 1, 0, 1, 0, 2, 2) \
+        + b"\x00" * 16
+    hdrl = b"avih" + struct.pack("<I", len(avih)) + avih
+
+    def wrap(movi_payload: bytes) -> bytes:
+        body = (b"AVI " + b"LIST" + struct.pack("<I", 4 + len(hdrl))
+                + b"hdrl" + hdrl + b"LIST"
+                + struct.pack("<I", 4 + len(movi_payload)) + b"movi"
+                + movi_payload)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    crafted = [
+        # chunk size overruns the buffer
+        wrap(b"00db" + struct.pack("<I", 0xFFFFFFF0) + b"\x00" * 8),
+        # zero-size chunks repeated (progress must still be >= 8/step)
+        wrap((b"00db" + struct.pack("<I", 0)) * 64),
+        # truncated header: size field cut mid-chunk
+        wrap(b"00db" + b"\x01"),
+        # frame range shorter than stride*h
+        wrap(b"00db" + struct.pack("<I", 3) + b"\x00" * 3),
+        # deeply nested LISTs (recursion must fail cleanly, not hang)
+        wrap(b"".join(b"LIST" + struct.pack("<I", 4 + 12 * d) + b"mov0"
+                      for d in range(63, -1, -1))),
+        # not an AVI at all
+        b"RIFF" + struct.pack("<I", 4) + b"WAVE",
+        # empty movi
+        wrap(b""),
+    ]
+    for content in crafted:
+        try:
+            list(_decode_video_frames(content, 0))
+        except Exception:
+            pass  # any exception is fine; hanging/looping is not
+
+
+def test_average_hash_property_vs_avi_round_trip():
+    """Property: for arbitrary small frame grids, hand-assembled AVI →
+    _decode_video_frames reproduces _average_hash of the Rec.601 lumas
+    (pixel-array layout: bottom-up rows, BGR, 4-byte padding)."""
+    from hypothesis import given, settings, strategies as st
+    from trafilatura_spark.functions.multimodal import (
+        _average_hash, _decode_video_frames)
+
+    px = st.tuples(st.integers(0, 255), st.integers(0, 255),
+                   st.integers(0, 255))
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(1, 3), st.integers(1, 3),
+           st.integers(1, 3), st.data())
+    def prop(bx, by, n_frames, data):
+        w, h = 8 * bx, 8 * by
+        frames = [data.draw(st.lists(st.lists(px, min_size=w, max_size=w),
+                                     min_size=h, max_size=h))
+                  for _ in range(n_frames)]
+        out = list(_decode_video_frames(_hand_avi(frames, period_us=25000),
+                                        0))
+        assert [o[0] for o in out] == list(range(n_frames))
+        assert [o[1] for o in out] == [i * 25 for i in range(n_frames)]
+        for (_, _, ph), grid in zip(out, frames):
+            lumas = [[(299 * r + 587 * g + 114 * b) // 1000
+                      for r, g, b in row] for row in grid]
+            assert ph == _average_hash(lumas, w, h)
+
+    prop()
