@@ -276,21 +276,25 @@ def resolve_clusters(pairs: DataFrame, id_a: str = "id_a",
     rounds needed = component *diameter*, not size.  LSH dup clusters
     are near-cliques (every member shares a band with most others), so
     2-4 rounds converge in practice; ``max_iter`` bounds adversarial
-    chains.  Labels are persisted per round and the previous round is
-    unpersisted, keeping lineage flat (without it, iteration k replays
-    all k-1 predecessors).  Convergence is detected with a count action
-    per round — a driver-side scalar, not a collect of data rows.
+    chains.  The edge table is loop-invariant and PERSISTED up front —
+    it typically descends from an expensive pair pipeline (MinHash/LSH,
+    embedding buckets) that must not replay once per round — and labels
+    are persisted per round with the previous round unpersisted, keeping
+    lineage flat (without it, iteration k replays all k-1 predecessors).
+    Convergence is detected with a count action per round — a
+    driver-side scalar, not a collect of data rows.
     """
     src, dst = "_cc_src", "_cc_dst"
     edges = (pairs.select(F.col(id_a).alias(src), F.col(id_b).alias(dst))
              .union(pairs.select(F.col(id_b).alias(src),
                                  F.col(id_a).alias(dst)))
-             .distinct())
+             .distinct()
+             .persist())
     labels = (edges.select(F.col(src).alias("doc_id"))
               .distinct()
               .withColumn("cluster_id", F.col("doc_id"))
               .persist())
-    labels.count()  # materialize before the loop
+    labels.count()  # materialize labels AND the cached edge table
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges[src] == labels["doc_id"])
                    .groupBy(F.col(dst).alias("doc_id"))
@@ -310,6 +314,9 @@ def resolve_clusters(pairs: DataFrame, id_a: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
+    # labels is fully materialized (the changed-count action ran over
+    # it), so the edge cache can go; lineage stays intact for recompute
+    edges.unpersist()
     return labels.withColumn("is_survivor",
                              F.col("doc_id") == F.col("cluster_id"))
 
