@@ -226,6 +226,16 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
             # is the task drawing the Poisson-max heavy count on top of
             # a full small-doc share; see extract_documents_routed
             sz = doc_size_bytes()
+            # PERSIST the wave around its write: the two tier branches
+            # rescan their input, and a shared exchange cannot help
+            # (predicate pushdown + CollapseRepartition split it back
+            # into two non-identical exchanges — see
+            # extract_documents_routed).  Unpersisted, routing cost
+            # ~1.9x the whole job's wall clock on a 1M-doc corpus with
+            # an EMPTY heavy side; the cache is bounded by wave size,
+            # the knob that already bounds per-wave work.
+            wave_cache = wave_src.persist()
+            branches_src = wave_cache
             branches = [
                 # heavy pass FIRST (FIFO scheduling: its few long tasks
                 # get cores at t=0, the small pass backfills — the
@@ -233,13 +243,14 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
                 # keyless round-robin for exact count balance (hash only
                 # equalizes the EXPECTATION; the straggler is the
                 # Poisson-max task)
-                wave_src.filter(sz > size_split_bytes)
+                branches_src.filter(sz > size_split_bytes)
                 .repartition(tasks_per_wave),
                 # salted round-robin for the small pass: i.i.d. cost mix
-                wave_src.filter(sz <= size_split_bytes)
+                branches_src.filter(sz <= size_split_bytes)
                 .repartition(tasks_per_wave, F.xxhash64("doc_id")),
             ]
         else:
+            wave_cache = None
             # salted round-robin inside the wave: i.i.d. cost mix per task
             branches = [wave_src.repartition(tasks_per_wave,
                                              F.xxhash64("doc_id"))]
@@ -298,6 +309,10 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
             # very per-task accumulator payload the cap exists to avoid
             observed = extracted
         observed.write.mode("append").partitionBy("bucket").parquet(output_path)
+        if wave_cache is not None:
+            # the write (the cache's only consumer) has committed; the
+            # above-cap metrics path re-reads the OUTPUT, not the input
+            wave_cache.unpersist()
 
         if per_bucket_obs:
             vals = obs.get

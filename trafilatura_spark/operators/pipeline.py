@@ -203,12 +203,19 @@ def extract_documents_routed(df: DataFrame, options: Options | None = None,
     cores at t=0 and the small pass backfills — light-first measurably
     SERIALIZES the two passes (wall ≈ light + heavy).
 
-    Cost: the two filters scan the wave input twice.  Extraction is
-    CPU-bound at 10-100× the scan cost per byte, so the second scan is
-    noise next to the tail-latency win; at 100 TB the wave is the unit
-    scanned, not the corpus.  (A one-pass alternative is a REBALANCE
-    shuffle split by byte size under AQE; the explicit two-tier split
-    is preferred because it also isolates the heavy pass's Arrow batch
+    Cost: the two tier branches RESCAN the input.  This cannot be fixed
+    declaratively: putting both filters above one shared salted Exchange
+    is defeated by the optimizer (predicate pushdown moves the filters
+    below the exchange and CollapseRepartition merges the heavy branch's
+    stacked shuffles, so the branches end up with non-identical
+    exchanges and no ReusedExchange — verified on the executed plan).
+    Callers whose input is expensive to re-produce must PERSIST it
+    first: the job persists each wave around its write (measured on a
+    1M-doc parquet corpus with an empty heavy side: unpersisted routing
+    cost ~1.9× the job wall clock; persisted it is within noise of the
+    unrouted path).  (A one-pass alternative is a REBALANCE shuffle
+    split by byte size under AQE; the explicit two-tier split is
+    preferred because it also isolates the heavy pass's Arrow batch
     behavior and failure domain.)  ``size_split_bytes <= 0`` falls back
     to the plain single-pass operator.
     """
