@@ -514,7 +514,7 @@ def _media_tier(spark) -> dict:
     return out
 
 
-def _size_routing_run(spark, reps: int = 3) -> dict:
+def _size_routing_run(spark, reps: int = 4) -> dict:
     """Mixed-corpus wall-clock with and without two-tier size routing
     (--size-split-bytes, SURVEY §4.3) — BOTH regimes, honestly:
 
@@ -531,7 +531,13 @@ def _size_routing_run(spark, reps: int = 3) -> dict:
       when-NOT-to-use guidance carries numbers (the SURVEY
       measured-and-rejected pattern).
 
-    Both plans run over the SAME persisted input; best-of-``reps``."""
+    Both plans run over the SAME persisted input.  Reps are
+    INTERLEAVED (unrouted, routed, unrouted, ...) so host drift lands
+    on both labels equally — the sequential all-of-A-then-all-of-B
+    protocol recorded a 0.27× and a 1.36× for the SAME regimes across
+    two runs on this host, pure drift (same lesson as the scaling
+    block's interleaved windows).  Headline = best-of-``reps`` per
+    label; the full per-rep trail is persisted in the artifact."""
     from pyspark.sql import functions as F
 
     from trafilatura_spark.operators.pipeline import (
@@ -561,20 +567,24 @@ def _size_routing_run(spark, reps: int = 3) -> dict:
                           opts).count()
         res = {"docs": n, "heavy_docs": n_heavy,
                "heavy_page_bytes": _page_weight_bytes(hboiler)}
-        for label, df in (
-                ("unrouted", extract_documents(mixed, opts,
-                                               num_partitions=CPUS)),
-                ("routed", extract_documents_routed(
-                    mixed, opts, num_partitions=CPUS,
-                    size_split_bytes=out["split_bytes"]))):
-            ex = df.filter(F.col("status") == "ok")
-            best = None
-            for _ in range(reps):
+        plans = {
+            "unrouted": extract_documents(
+                mixed, opts, num_partitions=CPUS)
+            .filter(F.col("status") == "ok"),
+            "routed": extract_documents_routed(
+                mixed, opts, num_partitions=CPUS,
+                size_split_bytes=out["split_bytes"])
+            .filter(F.col("status") == "ok"),
+        }
+        trail = {label: [] for label in plans}
+        for _ in range(reps):
+            for label, ex in plans.items():
                 t0 = time.time()
                 ex.count()
-                dt = time.time() - t0
-                best = dt if best is None or dt < best else best
-            res[f"{label}_sec"] = round(best, 3)
+                trail[label].append(round(time.time() - t0, 3))
+        for label, secs in trail.items():
+            res[f"{label}_sec"] = min(secs)
+            res[f"{label}_secs"] = secs
         mixed.unpersist()
         res["speedup"] = round(res["unrouted_sec"] / res["routed_sec"], 3)
         out[regime] = res
