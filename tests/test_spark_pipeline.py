@@ -700,3 +700,44 @@ def test_job_size_split_flag(spark, sf_dir, tmp_path):
     base = run("off")
     routed = run("on", "--size-split-bytes", str(split))
     assert routed == base
+
+
+def test_torn_wave_resume_with_size_routing(spark, sf_dir, tmp_path):
+    """The routed path (--size-split-bytes + the per-wave persist) must
+    survive the torn-wave scrub: crash between output append and progress
+    append, resume WITH routing still on, final rows value-identical to an
+    unrouted clean run (no duplicates, no drops through either branch)."""
+    from trafilatura_spark.operators.pipeline import doc_size_bytes
+
+    docs = synthesize_documents_df(spark, sf_dir)
+    split = int(docs.select(
+        F.percentile_approx(doc_size_bytes(), 0.5)).first()[0])
+
+    def snapshot(path):
+        df = spark.read.parquet(path)
+        return sorted(
+            (r["doc_id"], r["status"], r["tier"], r["text"])
+            for r in df.select("doc_id", "status", "tier", "text").collect())
+
+    # clean unrouted reference
+    ref_out, ref_prog = str(tmp_path / "rro"), str(tmp_path / "rrp")
+    run_extraction(spark, docs, ref_out, ref_prog, "ref", RELAXED,
+                   n_buckets=4, wave_size=2)
+    reference = snapshot(ref_out)
+
+    # routed run, then simulate the torn wave: drop bucket 1's progress
+    # row but keep its output partition (= crash after the wave's routed
+    # output write, before its progress commit)
+    out, prog = str(tmp_path / "rto"), str(tmp_path / "rtp")
+    run_extraction(spark, docs, out, prog, "rt1", RELAXED,
+                   n_buckets=4, wave_size=2, size_split_bytes=split)
+    kept = spark.read.parquet(prog).filter(F.col("bucket") != 1).collect()
+    schema = spark.read.parquet(prog).schema
+    shutil.rmtree(prog)
+    spark.createDataFrame(kept, schema).write.parquet(prog)
+
+    s = run_extraction(spark, docs, out, prog, "rt2", RELAXED,
+                       n_buckets=4, wave_size=2, size_split_bytes=split)
+    assert s["scrubbed_torn_buckets"] == 1
+    assert s["processed_buckets"] == 1
+    assert snapshot(out) == reference
