@@ -741,3 +741,25 @@ def test_torn_wave_resume_with_size_routing(spark, sf_dir, tmp_path):
     assert s["scrubbed_torn_buckets"] == 1
     assert s["processed_buckets"] == 1
     assert snapshot(out) == reference
+
+
+def test_ivf_precomputed_cells_seam(spark):
+    """ivf_topk accepts a precomputed ivf_assign output (the IVF index;
+    assign-once / query-many is the production serving shape): fed the
+    assignment it would compute inline, it returns identical rows."""
+    from trafilatura_spark.functions.similarity import ivf_assign, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cents = emb.filter(F.col("vec_id") % 40 == 0)
+    inline = ivf_topk(emb, queries, k=3, n_probe=4, centroids=cents)
+    index = ivf_assign(emb, cents).persist()
+    served = ivf_topk(emb, queries, k=3, n_probe=4, centroids=cents,
+                      cells=index)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(inline) == rows(served)
+    index.unpersist()
