@@ -160,10 +160,17 @@ def test_resolve_clusters_max_iter_bounds_chains(spark):
     with the default budget the same chain converges exactly."""
     from trafilatura_spark.functions.dedup import resolve_clusters
 
+    import warnings
+
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 7)], "id_a long, id_b long")
-    bounded = resolve_clusters(chain, max_iter=2).collect()
+    with pytest.warns(RuntimeWarning, match="max_iter"):
+        bounded = resolve_clusters(chain, max_iter=2).collect()
     assert len(bounded) == 7  # every vertex labeled, loop terminated
-    full = {r["doc_id"]: r["cluster_id"]
-            for r in resolve_clusters(chain).collect()}
+    # a converged run must NOT warn: split clusters are the only
+    # warning condition, not mere chain shape
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        full = {r["doc_id"]: r["cluster_id"]
+                for r in resolve_clusters(chain).collect()}
     assert full == {i: 1 for i in range(1, 8)}

@@ -276,7 +276,10 @@ def resolve_clusters(pairs: DataFrame, id_a: str = "id_a",
     rounds needed = component *diameter*, not size.  LSH dup clusters
     are near-cliques (every member shares a band with most others), so
     2-4 rounds converge in practice; ``max_iter`` bounds adversarial
-    chains.  The edge table is loop-invariant and PERSISTED up front —
+    chains — and exhausting it without a zero-change round emits a
+    ``RuntimeWarning``, because the returned labels may then SPLIT a
+    component into several clusters (silently wrong survivors at
+    production scale; raise ``max_iter`` for chain-shaped pair sets).  The edge table is loop-invariant and PERSISTED up front —
     it typically descends from an expensive pair pipeline (MinHash/LSH,
     embedding buckets) that must not replay once per round — and labels
     are persisted per round with the previous round unpersisted, keeping
@@ -295,6 +298,7 @@ def resolve_clusters(pairs: DataFrame, id_a: str = "id_a",
               .withColumn("cluster_id", F.col("doc_id"))
               .persist())
     labels.count()  # materialize labels AND the cached edge table
+    converged = False
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges[src] == labels["doc_id"])
                    .groupBy(F.col(dst).alias("doc_id"))
@@ -313,7 +317,15 @@ def resolve_clusters(pairs: DataFrame, id_a: str = "id_a",
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+        warnings.warn(
+            f"resolve_clusters: labels still changing after max_iter="
+            f"{max_iter} rounds (component diameter exceeds the budget);"
+            " returned clusters may split components — raise max_iter",
+            RuntimeWarning, stacklevel=2)
     # labels is fully materialized (the changed-count action ran over
     # it), so the edge cache can go; lineage stays intact for recompute
     edges.unpersist()
