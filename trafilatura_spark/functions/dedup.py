@@ -279,7 +279,8 @@ def resolve_clusters(pairs: DataFrame, id_a: str = "id_a",
     chains — and exhausting it without a zero-change round emits a
     ``RuntimeWarning``, because the returned labels may then SPLIT a
     component into several clusters (silently wrong survivors at
-    production scale; raise ``max_iter`` for chain-shaped pair sets).  The edge table is loop-invariant and PERSISTED up front —
+    production scale; raise ``max_iter`` for chain-shaped pair sets).
+    The edge table is loop-invariant and PERSISTED up front —
     it typically descends from an expensive pair pipeline (MinHash/LSH,
     embedding buckets) that must not replay once per round — and labels
     are persisted per round with the previous round unpersisted, keeping
