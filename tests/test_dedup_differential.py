@@ -89,6 +89,84 @@ def test_lsh_pipeline_matches_bruteforce(spark, seed, threshold):
     assert got == want, (got ^ want)
 
 
+@pytest.mark.parametrize("seed,threshold", [(1, 0.5), (3, 0.8)])
+def test_incremental_matches_full_run_restricted(spark, seed, threshold):
+    """near_duplicate_pairs_incremental contract: exactly the full-run
+    pairs that touch at least one new doc, same jaccard values — without
+    re-signaturing the corpus.  Even ids play the existing corpus, odd
+    ids the new batch (planted mutants follow their base consecutively,
+    so most planted pairs CROSS the corpus/batch boundary)."""
+    from trafilatura_spark.functions.dedup import (
+        minhash_signatures, near_duplicate_pairs_incremental)
+
+    docs = _corpus(seed)
+    old = {d: t for d, t in docs.items() if d % 2 == 0}
+    new = {d: t for d, t in docs.items() if d % 2 == 1}
+    new_ids = {str(d) for d in new}
+    want = {(a, b, j) for a, b, j in _expected_pairs(docs, threshold)
+            if a in new_ids or b in new_ids}
+
+    df_old = spark.createDataFrame(
+        [(str(d), t) for d, t in old.items()], "doc_id string, text string")
+    df_new = spark.createDataFrame(
+        [(str(d), t) for d, t in new.items()], "doc_id string, text string")
+    sigs = minhash_signatures(df_old, n_hashes=N_HASHES, k=K)
+    got = {(r["id_a"], r["id_b"], r["jaccard"])
+           for r in near_duplicate_pairs_incremental(
+               df_new, df_old, sigs, n_hashes=N_HASHES,
+               band_size=BAND_SIZE, k=K, threshold=threshold).collect()}
+    assert got == want, (got ^ want)
+
+
+def test_incremental_bucket_cap_matches_full(spark):
+    """With max_bucket_size set, the incremental path must apply the cap
+    to the FULL bucket (corpus + new members), i.e. match the capped
+    full run restricted to new-touching pairs — Spark-vs-Spark
+    differential (the Python replica does not model bucket caps)."""
+    from trafilatura_spark.functions.dedup import (
+        minhash_signatures, near_duplicate_pairs_incremental)
+
+    docs = _corpus(2)
+    df_all = spark.createDataFrame(
+        [(str(d), t) for d, t in docs.items()], "doc_id string, text string")
+    new_ids = {str(d) for d in docs if d % 2 == 1}
+    full = {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in near_duplicate_pairs(
+                df_all, n_hashes=N_HASHES, band_size=BAND_SIZE, k=K,
+                threshold=0.3, max_bucket_size=3).collect()}
+    want = {(a, b, j) for a, b, j in full
+            if a in new_ids or b in new_ids}
+
+    df_old = df_all.filter(~df_all["doc_id"].isin(new_ids))
+    df_new = df_all.filter(df_all["doc_id"].isin(new_ids))
+    sigs = minhash_signatures(df_old, n_hashes=N_HASHES, k=K)
+    got = {(r["id_a"], r["id_b"], r["jaccard"])
+           for r in near_duplicate_pairs_incremental(
+               df_new, df_old, sigs, n_hashes=N_HASHES,
+               band_size=BAND_SIZE, k=K, threshold=0.3,
+               max_bucket_size=3).collect()}
+    assert got == want, (got ^ want)
+
+
+def test_incremental_empty_corpus_equals_full_run(spark):
+    """Bootstrap case: against an empty store, the incremental path IS
+    the full run (every pair touches a new doc)."""
+    from trafilatura_spark.functions.dedup import (
+        minhash_signatures, near_duplicate_pairs_incremental)
+
+    docs = _corpus(1)
+    df_new = spark.createDataFrame(
+        [(str(d), t) for d, t in docs.items()], "doc_id string, text string")
+    df_old = spark.createDataFrame([], "doc_id string, text string")
+    got = {(r["id_a"], r["id_b"], r["jaccard"])
+           for r in near_duplicate_pairs_incremental(
+               df_new, df_old, minhash_signatures(df_old, n_hashes=N_HASHES,
+                                                  k=K),
+               n_hashes=N_HASHES, band_size=BAND_SIZE, k=K,
+               threshold=0.5).collect()}
+    assert got == _expected_pairs(docs, 0.5)
+
+
 def test_repetition_stats_match_python_reference(spark):
     """repetition_stats (functions/textstats.py) differential: the
     sorted-run top-token fraction and non-overlapping n-gram duplicate

@@ -129,6 +129,29 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
         F.array(*[_rot_min(s) for s in range(n_hashes)]).alias("sig"))
 
 
+def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id",
+              band_size: int = 2) -> DataFrame:
+    """(id, band_idx, band_hash): the LSH *band store* row shape — hash
+    each ``band_size``-wide slice of the minhash signature.  Pure
+    per-row expression (posexplode of an in-row transform), no shuffle.
+
+    This is the table a continuously-ingested corpus PERSISTS (bucketed
+    or partitioned by ``band_hash`` prefix at production scale) so that
+    later batches can dedup against it without re-signaturing the
+    corpus — see :func:`near_duplicate_pairs_incremental`."""
+    return sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0),
+                           F.floor(F.size("sig") / band_size).cast("int") - 1),
+                lambda b: F.md5(F.concat_ws(
+                    "|", F.slice("sig", b * band_size + 1, band_size))),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                         band_size: int = 2,
                         max_bucket_size: int | None = None) -> DataFrame:
@@ -141,17 +164,7 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
     shuffle replaces join-both-sides.  Bucket sizes are small by LSH
     construction; a pathological bucket (e.g. a corpus-wide boilerplate
     signature) produces quadratic pairs under either formulation."""
-    bands = sig_df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0),
-                           F.floor(F.size("sig") / band_size).cast("int") - 1),
-                lambda b: F.md5(F.concat_ws(
-                    "|", F.slice("sig", b * band_size + 1, band_size))),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    bands = lsh_bands(sig_df, id_col, band_size)
     buckets = (
         bands.groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -254,6 +267,92 @@ def near_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
     pairs = lsh_candidate_pairs(sigs, id_col, band_size,
                                 max_bucket_size=max_bucket_size)
     return jaccard_pairs(df, pairs, id_col, text_col, k, threshold,
+                         broadcast_candidates=broadcast_candidates,
+                         shingler=shingler)
+
+
+def near_duplicate_pairs_incremental(
+        new_docs: DataFrame, corpus_docs: DataFrame, corpus_sigs: DataFrame,
+        id_col: str = "doc_id", text_col: str = "text", n_hashes: int = 8,
+        band_size: int = 2, k: int = 3, threshold: float = 0.5,
+        max_bucket_size: int | None = None,
+        broadcast_candidates: bool = True, shingler=None,
+        new_sigs: DataFrame | None = None,
+        broadcast_new_bands: bool = True) -> DataFrame:
+    """Dedup a NEW batch against an already-signatured corpus: returns
+    exactly the pairs of ``near_duplicate_pairs(corpus ∪ new)`` that
+    touch at least one new doc (same params ⇒ same values; pinned by a
+    differential test) — without re-signaturing or re-shuffling the
+    corpus.
+
+    The production serving seam for continuous ingestion (the
+    assign-once / query-many shape, like ``similarity.ivf_topk(cells=)``):
+    a 10^12-doc corpus keeps a persisted signature store
+    (:func:`minhash_signatures` output; ``corpus_sigs``) — per batch,
+    only the batch pays signature cost.  Plan shape:
+
+    - new-batch signatures/bands: per-row expressions over the batch;
+    - the corpus band store is scanned ONCE, filtered by a broadcast
+      left-semi join against the batch's distinct bands (zero shuffle of
+      corpus data; a band-store layout partitioned by ``band_hash``
+      prefix additionally prunes the scan) — bands the batch does not
+      touch cannot produce a new-touching pair, so dropping them is
+      lossless;
+    - hit-band members (corpus + new) group into buckets and pair-
+      explode exactly like :func:`lsh_candidate_pairs` — so
+      ``max_bucket_size`` counts the FULL bucket (corpus + new members),
+      identical to the full-run semantics — keeping only pairs with a
+      new side;
+    - the verify stage is :func:`jaccard_pairs` over corpus ∪ new docs,
+      which shingles candidate docs only (broadcast roles join).
+
+    Maintaining the store: append ``minhash_signatures(new_docs)`` (pass
+    it as ``new_sigs`` to compute it once and persist).  Corpus and
+    batch ids must be disjoint (same contract as a union).
+    ``broadcast_new_bands=False`` switches the semi-filter and the
+    bucket groupBy input to shuffle joins for batches too large to
+    broadcast."""
+    if new_sigs is None:
+        new_sigs = minhash_signatures(new_docs, id_col, text_col, n_hashes,
+                                      k, shingler=shingler)
+    bands_new = lsh_bands(new_sigs, id_col, band_size)
+    hit_keys = bands_new.select("band_idx", "band_hash").distinct()
+    if broadcast_new_bands:
+        hit_keys = F.broadcast(hit_keys)
+    bands_hit = lsh_bands(corpus_sigs, id_col, band_size) \
+        .join(hit_keys, ["band_idx", "band_hash"], "left_semi")
+    members = (bands_hit.withColumn("_is_new", F.lit(False))
+               .unionByName(bands_new.withColumn("_is_new", F.lit(True))))
+    # struct sort orders by the leading field, so members sort by id —
+    # the same ascending order lsh_candidate_pairs' sort_array produces,
+    # hence identical (id_a < id_b) pair normalization
+    buckets = (
+        members.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list(
+            F.struct(F.col(id_col).alias("i"), "_is_new"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ms") <= max_bucket_size)
+    n = F.size("ms")
+    pair_structs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.slice("ms", i + 1, n),
+            lambda x: F.struct(F.element_at("ms", i).alias("a"),
+                               x.alias("b")),
+        ),
+    ))
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .filter(F.col("p.a._is_new") | F.col("p.b._is_new"))
+        .select(F.col("p.a.i").alias("id_a"), F.col("p.b.i").alias("id_b"))
+        .distinct()
+    )
+    all_docs = (corpus_docs.select(F.col(id_col), F.col(text_col))
+                .unionByName(new_docs.select(F.col(id_col),
+                                             F.col(text_col))))
+    return jaccard_pairs(all_docs, cand, id_col, text_col, k, threshold,
                          broadcast_candidates=broadcast_candidates,
                          shingler=shingler)
 
