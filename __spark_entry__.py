@@ -204,15 +204,22 @@ def _minhash_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both minhash→LSH→exact-Jaccard near-dup shinglers in one proof,
+    """All three minhash→LSH→exact-Jaccard near-dup paths in one proof,
     keyed by ``variant``: 'word' = k-word shingles over an
     exact-duplicate injection; 'char' = character-12-gram shingles (the
     tokenization-free variant for CJK/code/concatenated boilerplate)
     over suffix-perturbed duplicates, so the char Jaccard is genuinely
-    below 1 but above the 0.5 threshold.  (r4's dedup_minhash +
-    dedup_ngram rows merged to hold the 50-entry driver window.)"""
-    from trafilatura_spark.functions.dedup import (char_shingles,
-                                                   near_duplicate_pairs)
+    below 1 but above the 0.5 threshold; 'incremental' = the
+    continuous-ingestion seam (near_duplicate_pairs_incremental): the
+    injected duplicates arrive as a NEW batch deduplicated against a
+    persisted signature store over the originals — the contract pins it
+    to exactly the word-variant pairs that touch a batch doc, which is
+    what the DuckDB mirror selects.  (r4's dedup_minhash + dedup_ngram
+    rows merged to hold the 50-entry driver window; the incremental leg
+    rides the same row to keep it.)"""
+    from trafilatura_spark.functions.dedup import (
+        char_shingles, minhash_signatures, near_duplicate_pairs,
+        near_duplicate_pairs_incremental)
     word = _minhash_word_pairs(spark, sf_dir) \
         .withColumn("variant", F.lit("word"))
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
@@ -226,7 +233,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingler=lambda c: char_shingles(c, 12),
         n_partitions=_cpu_partitions(spark)) \
         .withColumn("variant", F.lit("char"))
-    return word.unionByName(char)
+    # incremental: batch = the exact-copy injections (same shape
+    # inject_duplicates produces), store = signatures over the originals
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    store = minhash_signatures(docs, n_hashes=N_HASHES, k=SHINGLE_K)
+    inc = near_duplicate_pairs_incremental(
+        batch, docs, store, n_hashes=N_HASHES, band_size=BAND_SIZE,
+        k=SHINGLE_K, threshold=0.5) \
+        .withColumn("variant", F.lit("incremental"))
+    return word.unionByName(char).unionByName(inc)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1322,12 +1338,19 @@ word_pairs AS (
 )
 """
 
-# both shingler variants in ONE row set, keyed by `variant` (mirrors the
-# merged q_dedup_minhash; the char branch nests its own CTE chain as a
-# subquery so the two chains cannot collide)
+# all three near-dup paths in ONE row set, keyed by `variant` (mirrors
+# the merged q_dedup_minhash; the char branch nests its own CTE chain as
+# a subquery so the two chains cannot collide; the incremental branch is
+# word_pairs restricted to batch-touching ids — that restriction IS the
+# incremental contract)
 _ORACLE_DEDUP_MINHASH = f"""
 WITH {_MINHASH_WORD_PAIR_CTES.strip()}
 SELECT id_a, id_b, jaccard, 'word' AS variant FROM word_pairs
+UNION ALL
+-- the incremental batch-vs-store path returns exactly the full-run
+-- pairs touching a new (injected, id >= 1e6) doc
+SELECT id_a, id_b, jaccard, 'incremental' AS variant FROM word_pairs
+WHERE id_a >= 1000000 OR id_b >= 1000000
 UNION ALL
 SELECT id_a, id_b, jaccard, 'char' AS variant FROM (
 WITH duped AS (
