@@ -1,0 +1,123 @@
+"""End-to-end corpus dedup: dedup_corpus + job --mode dedup.
+
+The reference dedups per-process (deduplication.dart LRU); the corpus-
+level "pairs → clusters → keep one per cluster" stage is the engine
+extension a training-data pipeline needs.  These tests pin the full
+path: strategy selection, survivor policy, null-text safety, and the
+CLI mode against expected survivor sets built by construction.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from trafilatura_spark.functions.dedup import dedup_corpus
+from trafilatura_spark.job import main as job_main
+
+
+def _corpus(spark):
+    """9 docs: exact-dup cluster {1,2}, near-dup cluster {3,4,5}
+    (word-substituted variants, Jaccard >= 0.5 on 3-shingles), unique
+    {6,7}, null text {8}, empty text {9}."""
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark quiet forest tonight")
+    near1 = base.replace("quick", "swift")
+    near2 = base.replace("lazy", "sleepy")
+    twin = ("identical press release copied verbatim across two "
+            "syndication mirrors with byte equal body content")
+    rows = [
+        (1, twin),
+        (2, twin),
+        (3, base),
+        (4, near1),
+        (5, near2),
+        (6, "completely different text about spark catalyst plans "
+            "and shuffle boundaries in distributed aggregation"),
+        (7, "another unrelated document mentioning minhash bands "
+            "and jaccard verification over shingled token sets"),
+        (8, None),
+        (9, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_corpus_exact(spark):
+    deduped, labels = dedup_corpus(_corpus(spark), strategy="exact")
+    lab = {r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+           for r in labels.collect()}
+    # only the byte-identical pair clusters; near-dups 3/4/5 stay apart
+    assert lab == {1: (1, True), 2: (1, False)}
+    kept = sorted(r["doc_id"] for r in deduped.collect())
+    assert kept == [1, 3, 4, 5, 6, 7, 8, 9]
+    labels.unpersist()
+
+
+def test_dedup_corpus_minhash_clusters_and_null_safety(spark):
+    deduped, labels = dedup_corpus(_corpus(spark), strategy="minhash")
+    lab = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    # exact pair collapses, near-dups form one component; nulls/empties
+    # and the unique docs never enter any cluster
+    assert lab[1] == lab[2] == 1
+    assert lab[3] == lab[4] == lab[5] == 3
+    assert set(lab) == {1, 2, 3, 4, 5}
+    kept = sorted(r["doc_id"] for r in deduped.collect())
+    assert kept == [1, 3, 6, 7, 8, 9]
+    labels.unpersist()
+
+
+def test_dedup_corpus_keep_longest(spark):
+    # doc 2 made strictly longer than doc 1: 'longest' flips the
+    # exact-cluster survivor, min-id keeps 1
+    df = _corpus(spark).withColumn(
+        "text", F.when(F.col("doc_id") == 2,
+                       F.concat("text", F.lit(" padded longer tail")))
+                .otherwise(F.col("text")))
+    deduped, labels = dedup_corpus(df, strategy="minhash", keep="longest")
+    surv = {r["doc_id"] for r in labels.filter("is_survivor").collect()}
+    # near-dup cluster: 5 ('sleepy' for 'lazy', +2 chars) outranks the
+    # equal-length 3/4 pair
+    assert surv == {2, 5}
+    kept = sorted(r["doc_id"] for r in deduped.collect())
+    assert kept == [2, 5, 6, 7, 8, 9]
+    labels.unpersist()
+
+
+def test_dedup_corpus_rejects_unknown_knobs(spark):
+    df = _corpus(spark)
+    with pytest.raises(ValueError):
+        dedup_corpus(df, strategy="simhash")
+    with pytest.raises(ValueError):
+        dedup_corpus(df, keep="newest")
+
+
+def test_job_mode_dedup_cli(spark, tmp_path, capsys):
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "deduped")
+    rep = str(tmp_path / "report")
+    _corpus(spark).write.parquet(inp)
+    rc = job_main(["--mode", "dedup", "--input", inp, "--output", out,
+                   "--dedup-report", rep])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip()
+                         .splitlines()[-1].replace("'", '"'))
+    assert summary["kept"] == 6 and summary["removed"] == 3
+    assert summary["clusters"] == 2
+    kept = sorted(r["doc_id"]
+                  for r in spark.read.parquet(out).collect())
+    assert kept == [1, 3, 6, 7, 8, 9]
+    report = spark.read.parquet(rep)
+    assert sorted(report.columns) == ["cluster_id", "doc_id",
+                                      "is_survivor"]
+    assert report.filter("is_survivor").count() == 2
+    # rerun overwrites, not appends
+    rc = job_main(["--mode", "dedup", "--input", inp, "--output", out,
+                   "--dedup-report", rep, "--dedup-strategy", "exact"])
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 8
+
+
+def test_job_mode_dedup_requires_input(tmp_path):
+    with pytest.raises(SystemExit):
+        job_main(["--mode", "dedup", "--output", str(tmp_path / "o")])

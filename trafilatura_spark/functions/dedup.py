@@ -23,7 +23,7 @@ point of LSH.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def inject_duplicates(df: DataFrame, id_col: str = "doc_id", every: int = 10,
@@ -431,6 +431,92 @@ def resolve_clusters(pairs: DataFrame, id_a: str = "id_a",
     edges.unpersist()
     return labels.withColumn("is_survivor",
                              F.col("doc_id") == F.col("cluster_id"))
+
+
+def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", strategy: str = "minhash",
+                 threshold: float = 0.5, keep: str = "min-id",
+                 n_hashes: int = 8, band_size: int = 2, k: int = 3,
+                 max_bucket_size: int | None = None,
+                 max_iter: int = 15,
+                 n_partitions: int | None = None
+                 ) -> tuple[DataFrame, DataFrame]:
+    """End-to-end corpus deduplication: docs in, deduped docs out.
+
+    Returns ``(deduped, labels)``:
+
+    - ``deduped`` — the input rows minus every non-survivor (all input
+      columns preserved; docs in no duplicate cluster pass through);
+    - ``labels`` — ``(doc_id, cluster_id, is_survivor)`` covering ONLY
+      docs that belong to some duplicate cluster (the removal audit
+      trail a training-data pipeline keeps next to the deduped corpus).
+
+    ``strategy``:
+
+    - ``'exact'`` — byte-identical text via md5 groupBy (one shuffle;
+      the cluster IS the hash group, so no component resolution runs);
+    - ``'minhash'`` — :func:`near_duplicate_pairs` (MinHash→LSH→exact
+      Jaccard at ``threshold``) then :func:`resolve_clusters`
+      (min-label propagation, ``max_iter`` rounds).  Exact copies share
+      every band, so this strategy subsumes ``'exact'``.
+
+    ``keep``: ``'min-id'`` keeps the minimum doc id per cluster (the
+    :func:`resolve_clusters` canonical — deterministic and join-free);
+    ``'longest'`` re-picks the longest text per cluster (ties broken by
+    min id) — the usual "keep the fullest capture" policy when dups are
+    truncated mirrors of one another.  The re-pick windows over CLUSTER
+    MEMBER rows only (a vanishing fraction of the corpus), not the
+    corpus itself.
+
+    Null/empty text never forms a cluster (an md5-of-null group or an
+    all-empty-shingle band would otherwise glue unrelated rows); such
+    rows always survive.
+
+    Scale notes: ``labels`` is returned persisted (both consumers — the
+    removal anti-join and any report write — would otherwise replay the
+    pair pipeline); callers may ``labels.unpersist()`` once both are
+    materialized.  The final anti-join shuffles the corpus by id once;
+    with AQE on, a small non-survivor side is broadcast automatically.
+    ``n_partitions`` forwards to :func:`near_duplicate_pairs` for
+    small-file inputs whose scan yields fewer splits than cores.
+    """
+    if strategy not in ("exact", "minhash"):
+        raise ValueError(f"unknown dedup strategy {strategy!r}")
+    if keep not in ("min-id", "longest"):
+        raise ValueError(f"unknown keep policy {keep!r}")
+    candidates = df.filter(F.col(text_col).isNotNull()
+                           & (F.length(text_col) > 0))
+    if strategy == "exact":
+        groups = exact_duplicate_groups(candidates, text_col, id_col)
+        labels = (
+            candidates.select(F.md5(F.col(text_col)).alias("text_md5"),
+                              F.col(id_col).alias("doc_id"))
+            .join(groups.select("text_md5", "canonical_id"), "text_md5")
+            .select("doc_id", F.col("canonical_id").alias("cluster_id"))
+            .withColumn("is_survivor",
+                        F.col("doc_id") == F.col("cluster_id"))
+        )
+    else:
+        pairs = near_duplicate_pairs(
+            candidates, id_col=id_col, text_col=text_col,
+            n_hashes=n_hashes, band_size=band_size, k=k,
+            threshold=threshold, max_bucket_size=max_bucket_size,
+            n_partitions=n_partitions)
+        labels = resolve_clusters(pairs, max_iter=max_iter)
+    if keep == "longest":
+        lengths = df.select(F.col(id_col).alias("doc_id"),
+                            F.length(text_col).alias("_len"))
+        w = (Window.partitionBy("cluster_id")
+             .orderBy(F.desc("_len"), F.asc("doc_id")))
+        labels = (labels.join(lengths, "doc_id")
+                  .withColumn("is_survivor",
+                              F.row_number().over(w) == 1)
+                  .drop("_len"))
+    labels = labels.persist()
+    drop = (labels.filter(~F.col("is_survivor"))
+            .select(F.col("doc_id").alias(id_col)))
+    deduped = df.join(drop, id_col, "left_anti")
+    return deduped, labels
 
 
 def token_hashes(text_col: str) -> Column:

@@ -475,7 +475,7 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                         "extraction tree inside the Arrow stage")
     p.add_argument("--mode", default="extract",
                    choices=["extract", "discover-sitemaps", "discover-feeds",
-                            "crawl", "probe", "explore", "feed"],
+                            "crawl", "probe", "explore", "feed", "dedup"],
                    help="extract (default); link discovery over a "
                         "fetched-documents parquet of (url, xml|content) "
                         "— the CLI analogs of the reference's --sitemap / "
@@ -491,6 +491,25 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                         "(--explore, cli.dart:344 via cliDiscovery); or "
                         "feed: live feed discovery (findFeedUrls, "
                         "feeds.dart:368-431), then fetch + extract")
+    p.add_argument("--dedup-strategy", default="minhash",
+                   choices=["exact", "minhash"],
+                   help="--mode dedup: exact (md5 groupBy) or minhash "
+                        "(MinHash→LSH→Jaccard near-dup, subsumes exact)")
+    p.add_argument("--dedup-threshold", type=float, default=0.5,
+                   help="--mode dedup: Jaccard threshold for the "
+                        "minhash strategy (verified exactly on "
+                        "candidates, not estimated)")
+    p.add_argument("--dedup-keep", default="min-id",
+                   choices=["min-id", "longest"],
+                   help="--mode dedup survivor policy: min doc id per "
+                        "cluster, or the longest text (ties → min id)")
+    p.add_argument("--dedup-report", default=None,
+                   help="--mode dedup: optional parquet path for the "
+                        "(doc_id, cluster_id, is_survivor) audit table")
+    p.add_argument("--id-col", default="doc_id",
+                   help="--mode dedup: document id column")
+    p.add_argument("--text-col", default="text",
+                   help="--mode dedup: text column to deduplicate on")
     p.add_argument("--seeds", default=None,
                    help="comma-separated seed URLs (--mode crawl)")
     p.add_argument("--seeds-file", default=None,
@@ -588,6 +607,34 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
         links = gate_links(links, "link")
         links.write.mode("overwrite").parquet(args.output)
         print({"mode": "discover-feeds", "links": links.count()})
+        return 0
+    if args.mode == "dedup":
+        # corpus-level "keep one per cluster": the stage a training-data
+        # pipeline runs over an extracted corpus (the output of --mode
+        # extract, or any (id, text) parquet/table) before tokenization
+        from .functions.dedup import dedup_corpus
+        docs = (spark.read.table(args.input)
+                if args.input_format == "table"
+                else spark.read.parquet(args.input))
+        deduped, labels = dedup_corpus(
+            docs, id_col=args.id_col, text_col=args.text_col,
+            strategy=args.dedup_strategy, threshold=args.dedup_threshold,
+            keep=args.dedup_keep)
+        deduped.write.mode("overwrite").parquet(args.output)
+        if args.dedup_report:
+            labels.write.mode("overwrite").parquet(args.dedup_report)
+        stats = labels.agg(
+            F.countDistinct("cluster_id").alias("clusters"),
+            F.sum((~F.col("is_survivor")).cast("long")).alias("removed"),
+        ).collect()[0]
+        labels.unpersist()
+        # count the written files, not deduped.count() — that would
+        # replay the pair pipeline + anti-join lineage a second time
+        kept = spark.read.parquet(args.output).count()
+        print({"mode": "dedup", "strategy": args.dedup_strategy,
+               "keep": args.dedup_keep, "kept": kept,
+               "removed": int(stats["removed"] or 0),
+               "clusters": int(stats["clusters"] or 0)})
         return 0
     size_overrides = {}
     if args.config_file:
