@@ -116,6 +116,12 @@ def test_job_mode_dedup_cli(spark, tmp_path, capsys):
                    "--dedup-report", rep, "--dedup-strategy", "exact"])
     assert rc == 0
     assert spark.read.parquet(out).count() == 8
+    # hot-band guard forwards: cap 1 drops every LSH bucket, so the
+    # minhash strategy removes nothing
+    rc = job_main(["--mode", "dedup", "--input", inp, "--output", out,
+                   "--dedup-report", rep, "--dedup-max-bucket-size", "1"])
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 9
 
 
 def test_job_mode_dedup_requires_input(tmp_path):

@@ -503,6 +503,10 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                    choices=["min-id", "longest"],
                    help="--mode dedup survivor policy: min doc id per "
                         "cluster, or the longest text (ties → min id)")
+    p.add_argument("--dedup-max-bucket-size", type=int, default=None,
+                   help="--mode dedup: drop LSH buckets larger than "
+                        "this (hot-band guard — boilerplate bands "
+                        "otherwise explode into quadratic pair volume)")
     p.add_argument("--dedup-report", default=None,
                    help="--mode dedup: optional parquet path for the "
                         "(doc_id, cluster_id, is_survivor) audit table")
@@ -619,7 +623,8 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
         deduped, labels = dedup_corpus(
             docs, id_col=args.id_col, text_col=args.text_col,
             strategy=args.dedup_strategy, threshold=args.dedup_threshold,
-            keep=args.dedup_keep)
+            keep=args.dedup_keep,
+            max_bucket_size=args.dedup_max_bucket_size)
         deduped.write.mode("overwrite").parquet(args.output)
         if args.dedup_report:
             labels.write.mode("overwrite").parquet(args.dedup_report)
