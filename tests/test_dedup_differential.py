@@ -13,6 +13,7 @@ import itertools
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from trafilatura_spark.functions.dedup import near_duplicate_pairs
 
@@ -252,3 +253,31 @@ def test_resolve_clusters_max_iter_bounds_chains(spark):
         full = {r["doc_id"]: r["cluster_id"]
                 for r in resolve_clusters(chain).collect()}
     assert full == {i: 1 for i in range(1, 8)}
+
+
+def test_simhash_banded_pairs_match_bruteforce(spark, sf_dir):
+    """Pigeonhole banding is LOSSLESS at the radius (Manku et al.'s
+    guarantee): banded-candidates + exact-hamming verify must equal the
+    brute-force all-pairs hamming filter — at a radius dividing 32
+    evenly (3 -> 4x8-bit bands), at radius 0 (one 32-bit band), and at
+    a non-dividing radius (6 -> bands of 5,5,5,5,4,4,4 bits)."""
+    from trafilatura_spark.functions.dedup import (
+        hamming32, simhash32_table, simhash_near_duplicate_pairs)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    fps = simhash32_table(docs)
+    a = fps.select(F.col("doc_id").alias("id_a"),
+                   F.col("fp_simhash").alias("fa"))
+    b = fps.select(F.col("doc_id").alias("id_b"),
+                   F.col("fp_simhash").alias("fb"))
+    all_pairs = (a.crossJoin(b).filter("id_a < id_b")
+                 .select("id_a", "id_b",
+                         hamming32(F.col("fa"), F.col("fb")).alias("h")))
+    for mh in (0, 3, 6):
+        got = {(r["id_a"], r["id_b"], r["hamming"])
+               for r in simhash_near_duplicate_pairs(
+                   docs, max_hamming=mh).collect()}
+        brute = {(r["id_a"], r["id_b"], r["h"])
+                 for r in all_pairs.filter(F.col("h") <= mh).collect()}
+        assert got == brute, mh
+        assert got, mh  # non-vacuous: every radius has at least one pair

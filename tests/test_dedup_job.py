@@ -84,10 +84,30 @@ def test_dedup_corpus_keep_longest(spark):
     labels.unpersist()
 
 
+def test_dedup_corpus_simhash(spark):
+    # same clusters as minhash at the default radius: {1,2} hamming 0,
+    # {3,4,5} hamming <= 1 (measured), everything else >= 14 apart
+    deduped, labels = dedup_corpus(_corpus(spark), strategy="simhash")
+    lab = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert lab[1] == lab[2] == 1
+    assert lab[3] == lab[4] == lab[5] == 3
+    assert set(lab) == {1, 2, 3, 4, 5}
+    kept = sorted(r["doc_id"] for r in deduped.collect())
+    assert kept == [1, 3, 6, 7, 8, 9]
+    labels.unpersist()
+    # radius 0 = identical fingerprints only: the twin pair, plus 4/5
+    # (single-word substitutions that land on the same simhash)
+    deduped0, labels0 = dedup_corpus(_corpus(spark), strategy="simhash",
+                                     max_hamming=0)
+    kept0 = sorted(r["doc_id"] for r in deduped0.collect())
+    assert kept0 == [1, 3, 4, 6, 7, 8, 9]
+    labels0.unpersist()
+
+
 def test_dedup_corpus_rejects_unknown_knobs(spark):
     df = _corpus(spark)
     with pytest.raises(ValueError):
-        dedup_corpus(df, strategy="simhash")
+        dedup_corpus(df, strategy="semantic")
     with pytest.raises(ValueError):
         dedup_corpus(df, keep="newest")
 
@@ -122,6 +142,13 @@ def test_job_mode_dedup_cli(spark, tmp_path, capsys):
                    "--dedup-report", rep, "--dedup-max-bucket-size", "1"])
     assert rc == 0
     assert spark.read.parquet(out).count() == 9
+    # simhash strategy + radius flag forward: hamming 0 keeps 4 apart
+    # from 3 but collapses the fingerprint-identical pairs {1,2}, {4,5}
+    rc = job_main(["--mode", "dedup", "--input", inp, "--output", out,
+                   "--dedup-report", rep, "--dedup-strategy", "simhash",
+                   "--dedup-max-hamming", "0"])
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 7
 
 
 def test_job_mode_dedup_requires_input(tmp_path):

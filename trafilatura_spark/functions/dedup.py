@@ -382,10 +382,21 @@ def resolve_clusters(pairs: DataFrame, id_a: str = "id_a",
     The edge table is loop-invariant and PERSISTED up front —
     it typically descends from an expensive pair pipeline (MinHash/LSH,
     embedding buckets) that must not replay once per round — and labels
-    are persisted per round with the previous round unpersisted, keeping
-    lineage flat (without it, iteration k replays all k-1 predecessors).
-    Convergence is detected with a count action per round — a
-    driver-side scalar, not a collect of data rows.
+    are LOCAL-CHECKPOINTED per round, not merely persisted: ``labels``
+    enters the next round's plan twice (the neighbor-min join and the
+    left join), so without lineage TRUNCATION the logical plan doubles
+    every round and the driver's analysis phase goes exponential —
+    persist caches row data but the analyzer still walks the full tree.
+    Measured: a 15-round run over 725 chain-shaped pairs HUNG the
+    driver (>580 s, zero task activity) under persist, and completes in
+    seconds under ``localCheckpoint``.  Clique-shaped LSH clusters
+    converge in 2-4 rounds, which is why the persist version survived
+    every minhash workload.  On a real cluster prefer a reliable
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` if
+    executor loss during the loop must be survivable; localCheckpoint
+    trades that for zero-I/O truncation.  Convergence is detected with
+    a count action per round — a driver-side scalar, not a collect of
+    data rows.
     """
     src, dst = "_cc_src", "_cc_dst"
     edges = (pairs.select(F.col(id_a).alias(src), F.col(id_b).alias(dst))
@@ -396,8 +407,7 @@ def resolve_clusters(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.select(F.col(src).alias("doc_id"))
               .distinct()
               .withColumn("cluster_id", F.col("doc_id"))
-              .persist())
-    labels.count()  # materialize labels AND the cached edge table
+              .localCheckpoint(eager=True))  # also materializes the edge cache
     converged = False
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges[src] == labels["doc_id"])
@@ -409,12 +419,11 @@ def resolve_clusters(pairs: DataFrame, id_a: str = "id_a",
                     F.least("cluster_id", F.coalesce("_nbr_min",
                                                      F.col("cluster_id")))
                     .alias("cluster_id"))
-            .persist())
+            .localCheckpoint(eager=True))
         changed = (new_labels.join(labels.withColumnRenamed(
                         "cluster_id", "_old"), "doc_id")
                    .filter(F.col("cluster_id") != F.col("_old"))
                    .count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True
@@ -433,13 +442,101 @@ def resolve_clusters(pairs: DataFrame, id_a: str = "id_a",
                              F.col("doc_id") == F.col("cluster_id"))
 
 
+def simhash_near_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 max_hamming: int = 3,
+                                 max_bucket_size: int | None = None,
+                                 broadcast_candidates: bool = True
+                                 ) -> DataFrame:
+    """Simhash near-dup pairs: ``(id_a, id_b, hamming)`` for every pair
+    whose 32-bit simhash differs in at most ``max_hamming`` bits.
+
+    The scale path is pigeonhole banding (Manku et al. 2007, WWW —
+    "Detecting near-duplicates for web crawling"): split the
+    fingerprint into ``max_hamming + 1`` disjoint bit bands; any pair
+    within ``max_hamming`` must match EXACTLY on at least one band, so
+    candidates come from a groupBy per band — never an all-pairs
+    hamming self-join.  Candidates are then verified with the exact
+    :func:`hamming32` distance, so banding adds no false positives and
+    (unlike minhash LSH) loses no true pairs: recall is exactly 1.0 at
+    the chosen radius.
+
+    Same bucket semantics as :func:`lsh_candidate_pairs`: buckets are
+    the only quadratic surface, ``max_bucket_size`` drops hot ones
+    (corpus-wide boilerplate collapses to one fingerprint → one huge
+    band bucket), ``broadcast_candidates=False`` switches the verify
+    join to shuffle.  One shuffle for the fingerprint (relational
+    simhash), one for the band groupBy, one broadcast verify join.
+    """
+    n_bands = max_hamming + 1
+    if not 1 <= n_bands <= 32:
+        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
+    fps = simhash32_table(df, id_col, text_col)
+    base, rem = divmod(32, n_bands)
+    bands, off = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < rem else 0)
+        bands.append(F.struct(
+            F.lit(i).alias("band_idx"),
+            F.shiftright("fp_simhash", off)
+             .bitwiseAND(F.lit((1 << width) - 1)).alias("band_val")))
+        off += width
+    banded = fps.select(
+        id_col, F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, F.col("b.band_idx").alias("band_idx"),
+             F.col("b.band_val").alias("band_val"))
+    buckets = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    n = F.size("ids")
+    pair_structs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.slice("ids", i + 1, n),
+            lambda x: F.struct(F.element_at("ids", i).alias("id_a"),
+                               x.alias("id_b")),
+        ),
+    ))
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+    roles = pairs.select(
+        "id_a", "id_b",
+        F.explode(F.array(
+            F.struct(F.col("id_a").alias("doc_id"), F.lit("a").alias("side")),
+            F.struct(F.col("id_b").alias("doc_id"), F.lit("b").alias("side")),
+        )).alias("r"),
+    ).select("id_a", "id_b", F.col("r.doc_id").alias("_cand_id"),
+             F.col("r.side").alias("side"))
+    cand_side = F.broadcast(roles) if broadcast_candidates else roles
+    per_pair = (
+        fps.join(cand_side, F.col(id_col) == F.col("_cand_id"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first(F.when(F.col("side") == "a", F.col("fp_simhash")),
+                     ignorenulls=True).alias("fp_a"),
+             F.first(F.when(F.col("side") == "b", F.col("fp_simhash")),
+                     ignorenulls=True).alias("fp_b"))
+    )
+    return (per_pair
+            .select("id_a", "id_b",
+                    hamming32(F.col("fp_a"), F.col("fp_b")).alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
 def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", strategy: str = "minhash",
                  threshold: float = 0.5, keep: str = "min-id",
                  n_hashes: int = 8, band_size: int = 2, k: int = 3,
                  max_bucket_size: int | None = None,
                  max_iter: int = 15,
-                 n_partitions: int | None = None
+                 n_partitions: int | None = None,
+                 max_hamming: int = 3
                  ) -> tuple[DataFrame, DataFrame]:
     """End-to-end corpus deduplication: docs in, deduped docs out.
 
@@ -458,7 +555,11 @@ def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
     - ``'minhash'`` — :func:`near_duplicate_pairs` (MinHash→LSH→exact
       Jaccard at ``threshold``) then :func:`resolve_clusters`
       (min-label propagation, ``max_iter`` rounds).  Exact copies share
-      every band, so this strategy subsumes ``'exact'``.
+      every band, so this strategy subsumes ``'exact'``;
+    - ``'simhash'`` — :func:`simhash_near_duplicate_pairs` (pigeonhole-
+      banded candidates, exact hamming verify at ``max_hamming``) then
+      :func:`resolve_clusters`.  Recall 1.0 at the radius (banding is
+      lossless), and also subsumes ``'exact'`` (hamming 0).
 
     ``keep``: ``'min-id'`` keeps the minimum doc id per cluster (the
     :func:`resolve_clusters` canonical — deterministic and join-free);
@@ -480,7 +581,7 @@ def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
     ``n_partitions`` forwards to :func:`near_duplicate_pairs` for
     small-file inputs whose scan yields fewer splits than cores.
     """
-    if strategy not in ("exact", "minhash"):
+    if strategy not in ("exact", "minhash", "simhash"):
         raise ValueError(f"unknown dedup strategy {strategy!r}")
     if keep not in ("min-id", "longest"):
         raise ValueError(f"unknown keep policy {keep!r}")
@@ -497,11 +598,16 @@ def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
                         F.col("doc_id") == F.col("cluster_id"))
         )
     else:
-        pairs = near_duplicate_pairs(
-            candidates, id_col=id_col, text_col=text_col,
-            n_hashes=n_hashes, band_size=band_size, k=k,
-            threshold=threshold, max_bucket_size=max_bucket_size,
-            n_partitions=n_partitions)
+        if strategy == "simhash":
+            pairs = simhash_near_duplicate_pairs(
+                candidates, id_col=id_col, text_col=text_col,
+                max_hamming=max_hamming, max_bucket_size=max_bucket_size)
+        else:
+            pairs = near_duplicate_pairs(
+                candidates, id_col=id_col, text_col=text_col,
+                n_hashes=n_hashes, band_size=band_size, k=k,
+                threshold=threshold, max_bucket_size=max_bucket_size,
+                n_partitions=n_partitions)
         labels = resolve_clusters(pairs, max_iter=max_iter)
     if keep == "longest":
         lengths = df.select(F.col(id_col).alias("doc_id"),

@@ -492,9 +492,11 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                         "feed: live feed discovery (findFeedUrls, "
                         "feeds.dart:368-431), then fetch + extract")
     p.add_argument("--dedup-strategy", default="minhash",
-                   choices=["exact", "minhash"],
-                   help="--mode dedup: exact (md5 groupBy) or minhash "
-                        "(MinHash→LSH→Jaccard near-dup, subsumes exact)")
+                   choices=["exact", "minhash", "simhash"],
+                   help="--mode dedup: exact (md5 groupBy), minhash "
+                        "(MinHash→LSH→Jaccard near-dup, subsumes exact) "
+                        "or simhash (pigeonhole-banded hamming radius, "
+                        "recall 1.0 at --dedup-max-hamming)")
     p.add_argument("--dedup-threshold", type=float, default=0.5,
                    help="--mode dedup: Jaccard threshold for the "
                         "minhash strategy (verified exactly on "
@@ -503,6 +505,10 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                    choices=["min-id", "longest"],
                    help="--mode dedup survivor policy: min doc id per "
                         "cluster, or the longest text (ties → min id)")
+    p.add_argument("--dedup-max-hamming", type=int, default=3,
+                   help="--mode dedup: simhash strategy bit radius "
+                        "(pairs within this 32-bit hamming distance "
+                        "cluster together)")
     p.add_argument("--dedup-max-bucket-size", type=int, default=None,
                    help="--mode dedup: drop LSH buckets larger than "
                         "this (hot-band guard — boilerplate bands "
@@ -624,7 +630,8 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
             docs, id_col=args.id_col, text_col=args.text_col,
             strategy=args.dedup_strategy, threshold=args.dedup_threshold,
             keep=args.dedup_keep,
-            max_bucket_size=args.dedup_max_bucket_size)
+            max_bucket_size=args.dedup_max_bucket_size,
+            max_hamming=args.dedup_max_hamming)
         deduped.write.mode("overwrite").parquet(args.output)
         if args.dedup_report:
             labels.write.mode("overwrite").parquet(args.dedup_report)
