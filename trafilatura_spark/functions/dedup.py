@@ -445,8 +445,7 @@ def resolve_clusters(pairs: DataFrame, id_a: str = "id_a",
 def simhash_near_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
                                  text_col: str = "text",
                                  max_hamming: int = 3,
-                                 max_bucket_size: int | None = None,
-                                 broadcast_candidates: bool = True
+                                 max_bucket_size: int | None = None
                                  ) -> DataFrame:
     """Simhash near-dup pairs: ``(id_a, id_b, hamming)`` for every pair
     whose 32-bit simhash differs in at most ``max_hamming`` bits.
@@ -461,12 +460,27 @@ def simhash_near_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
     (unlike minhash LSH) loses no true pairs: recall is exactly 1.0 at
     the chosen radius.
 
-    Same bucket semantics as :func:`lsh_candidate_pairs`: buckets are
-    the only quadratic surface, ``max_bucket_size`` drops hot ones
-    (corpus-wide boilerplate collapses to one fingerprint → one huge
-    band bucket), ``broadcast_candidates=False`` switches the verify
-    join to shuffle.  One shuffle for the fingerprint (relational
-    simhash), one for the band groupBy, one broadcast verify join.
+    Plan shape: the fingerprint RIDES the banding rows — bucket members
+    collect ``(id, fp)`` structs, so pair explosion carries both fps
+    and the hamming verify is a pure expression.  One corpus scan, one
+    fingerprint shuffle (relational simhash), one band groupBy shuffle,
+    one pair distinct — ZERO joins (a verify-by-join draft computed the
+    whole fingerprint aggregate twice, once per join side — visible as
+    a duplicated Scan→Generate→HashAggregate subtree in the plan).
+
+    ``max_bucket_size`` drops hot buckets, same semantics as
+    :func:`lsh_candidate_pairs` (corpus-wide boilerplate collapses to
+    one fingerprint → one huge band bucket).
+
+    Scale bound — band ENTROPY, not shuffle shape: each band holds
+    ``32 // (max_hamming+1)`` bits, so at radius 3 a band has only 2^8
+    values and expected bucket size is N/256 — past ~10^5-10^6 docs the
+    buckets themselves go quadratic regardless of caps.  This mirrors
+    Manku et al., who band a 64-bit fingerprint for exactly this
+    reason.  For web-scale corpora use the minhash strategy (bucket
+    keys are md5-wide) or cap buckets and accept the dropped
+    candidates; the simhash strategy's niche is moderate corpora that
+    need recall-1.0-at-a-radius semantics.
     """
     n_bands = max_hamming + 1
     if not 1 <= n_bands <= 32:
@@ -482,51 +496,37 @@ def simhash_near_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
              .bitwiseAND(F.lit((1 << width) - 1)).alias("band_val")))
         off += width
     banded = fps.select(
-        id_col, F.explode(F.array(*bands)).alias("b")
-    ).select(id_col, F.col("b.band_idx").alias("band_idx"),
+        id_col, "fp_simhash", F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, "fp_simhash",
+             F.col("b.band_idx").alias("band_idx"),
              F.col("b.band_val").alias("band_val"))
+    # struct sort orders by the leading field (id) — ascending
+    # (id_a < id_b) pair normalization, same as lsh_candidate_pairs
     buckets = (
         banded.groupBy("band_idx", "band_val")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(F.sort_array(F.collect_list(
+            F.struct(F.col(id_col).alias("i"),
+                     F.col("fp_simhash").alias("fp")))).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
     if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
-    n = F.size("ids")
+        buckets = buckets.filter(F.size("ms") <= max_bucket_size)
+    n = F.size("ms")
     pair_structs = F.flatten(F.transform(
         F.sequence(F.lit(1), n - 1),
         lambda i: F.transform(
-            F.slice("ids", i + 1, n),
-            lambda x: F.struct(F.element_at("ids", i).alias("id_a"),
-                               x.alias("id_b")),
+            F.slice("ms", i + 1, n),
+            lambda x: F.struct(F.element_at("ms", i).alias("a"),
+                               x.alias("b")),
         ),
     ))
-    pairs = (
+    return (
         buckets.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .select(F.col("p.a.i").alias("id_a"), F.col("p.b.i").alias("id_b"),
+                hamming32(F.col("p.a.fp"), F.col("p.b.fp")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    roles = pairs.select(
-        "id_a", "id_b",
-        F.explode(F.array(
-            F.struct(F.col("id_a").alias("doc_id"), F.lit("a").alias("side")),
-            F.struct(F.col("id_b").alias("doc_id"), F.lit("b").alias("side")),
-        )).alias("r"),
-    ).select("id_a", "id_b", F.col("r.doc_id").alias("_cand_id"),
-             F.col("r.side").alias("side"))
-    cand_side = F.broadcast(roles) if broadcast_candidates else roles
-    per_pair = (
-        fps.join(cand_side, F.col(id_col) == F.col("_cand_id"))
-        .groupBy("id_a", "id_b")
-        .agg(F.first(F.when(F.col("side") == "a", F.col("fp_simhash")),
-                     ignorenulls=True).alias("fp_a"),
-             F.first(F.when(F.col("side") == "b", F.col("fp_simhash")),
-                     ignorenulls=True).alias("fp_b"))
-    )
-    return (per_pair
-            .select("id_a", "id_b",
-                    hamming32(F.col("fp_a"), F.col("fp_b")).alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
 
 
 def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
