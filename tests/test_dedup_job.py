@@ -104,6 +104,59 @@ def test_dedup_corpus_simhash(spark):
     labels0.unpersist()
 
 
+def _vec_corpus(spark):
+    """7 vectors: {1,2,3} share a direction (3 is a scaled copy --
+    cosine 1.0), {4,5} nearly parallel (cosine ~0.9992), 10 orthogonal,
+    null vec 11, empty vec 12."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [2.0, 0.0, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 1.0, 0.04, 0.0]),
+        (10, [0.0, 0.0, 0.0, 1.0]),
+        (11, None),
+        (12, []),
+    ]
+    return spark.createDataFrame(rows,
+                                 "doc_id long, embedding array<double>")
+
+
+def test_dedup_corpus_embedding(spark):
+    deduped, labels = dedup_corpus(_vec_corpus(spark),
+                                   strategy="embedding", dim=4)
+    lab = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert lab[1] == lab[2] == lab[3] == 1
+    assert lab[4] == lab[5] == 4
+    assert set(lab) == {1, 2, 3, 4, 5}
+    kept = sorted(r["doc_id"] for r in deduped.collect())
+    assert kept == [1, 4, 10, 11, 12]
+    labels.unpersist()
+    # tighter threshold splits the nearly-parallel pair
+    _, labels2 = dedup_corpus(_vec_corpus(spark), strategy="embedding",
+                              dim=4, threshold=0.9999)
+    assert {r["doc_id"] for r in labels2.collect()} == {1, 2, 3}
+    labels2.unpersist()
+    # keep='longest' has no text column to rank by
+    with pytest.raises(ValueError, match="longest"):
+        dedup_corpus(_vec_corpus(spark), strategy="embedding", dim=4,
+                     keep="longest")
+
+
+def test_job_mode_dedup_embedding_cli(spark, tmp_path, capsys):
+    inp = str(tmp_path / "vecs")
+    out = str(tmp_path / "deduped")
+    _vec_corpus(spark).write.parquet(inp)
+    rc = job_main(["--mode", "dedup", "--input", inp, "--output", out,
+                   "--dedup-strategy", "embedding", "--dedup-dim", "4"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip()
+                         .splitlines()[-1].replace("'", '"'))
+    assert summary["kept"] == 5 and summary["removed"] == 3
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 4, 10, 11, 12]
+
+
 def test_dedup_corpus_rejects_unknown_knobs(spark):
     df = _corpus(spark)
     with pytest.raises(ValueError):

@@ -531,12 +531,13 @@ def simhash_near_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", strategy: str = "minhash",
-                 threshold: float = 0.5, keep: str = "min-id",
+                 threshold: float | None = None, keep: str = "min-id",
                  n_hashes: int = 8, band_size: int = 2, k: int = 3,
                  max_bucket_size: int | None = None,
                  max_iter: int = 15,
                  n_partitions: int | None = None,
-                 max_hamming: int = 3
+                 max_hamming: int = 3,
+                 vec_col: str = "embedding", dim: int = 64
                  ) -> tuple[DataFrame, DataFrame]:
     """End-to-end corpus deduplication: docs in, deduped docs out.
 
@@ -559,7 +560,15 @@ def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
     - ``'simhash'`` — :func:`simhash_near_duplicate_pairs` (pigeonhole-
       banded candidates, exact hamming verify at ``max_hamming``) then
       :func:`resolve_clusters`.  Recall 1.0 at the radius (banding is
-      lossless), and also subsumes ``'exact'`` (hamming 0).
+      lossless), and also subsumes ``'exact'`` (hamming 0);
+    - ``'embedding'`` — :func:`similarity.embedding_near_dup_pairs`
+      (hyperplane-LSH bucketed cosine over ``vec_col``, verified at
+      ``threshold``, default 0.99) then :func:`resolve_clusters`.  The
+      null guard applies to ``vec_col``; ``keep='longest'`` needs
+      ``text_col`` present in the frame.
+
+    ``threshold`` defaults per strategy: Jaccard 0.5 for minhash,
+    cosine 0.99 for embedding.
 
     ``keep``: ``'min-id'`` keeps the minimum doc id per cluster (the
     :func:`resolve_clusters` canonical — deterministic and join-free);
@@ -581,12 +590,19 @@ def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
     ``n_partitions`` forwards to :func:`near_duplicate_pairs` for
     small-file inputs whose scan yields fewer splits than cores.
     """
-    if strategy not in ("exact", "minhash", "simhash"):
+    if strategy not in ("exact", "minhash", "simhash", "embedding"):
         raise ValueError(f"unknown dedup strategy {strategy!r}")
     if keep not in ("min-id", "longest"):
         raise ValueError(f"unknown keep policy {keep!r}")
-    candidates = df.filter(F.col(text_col).isNotNull()
-                           & (F.length(text_col) > 0))
+    if keep == "longest" and text_col not in df.columns:
+        raise ValueError(
+            f"keep='longest' needs a {text_col!r} column to rank by")
+    if strategy == "embedding":
+        candidates = df.filter(F.col(vec_col).isNotNull()
+                               & (F.size(vec_col) > 0))
+    else:
+        candidates = df.filter(F.col(text_col).isNotNull()
+                               & (F.length(text_col) > 0))
     if strategy == "exact":
         groups = exact_duplicate_groups(candidates, text_col, id_col)
         labels = (
@@ -602,11 +618,18 @@ def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
             pairs = simhash_near_duplicate_pairs(
                 candidates, id_col=id_col, text_col=text_col,
                 max_hamming=max_hamming, max_bucket_size=max_bucket_size)
+        elif strategy == "embedding":
+            from .similarity import embedding_near_dup_pairs
+            pairs = embedding_near_dup_pairs(
+                candidates, threshold=0.99 if threshold is None
+                else threshold, id_col=id_col, vec_col=vec_col,
+                dim=dim).withColumnsRenamed({"a": "id_a", "b": "id_b"})
         else:
             pairs = near_duplicate_pairs(
                 candidates, id_col=id_col, text_col=text_col,
                 n_hashes=n_hashes, band_size=band_size, k=k,
-                threshold=threshold, max_bucket_size=max_bucket_size,
+                threshold=0.5 if threshold is None else threshold,
+                max_bucket_size=max_bucket_size,
                 n_partitions=n_partitions)
         labels = resolve_clusters(pairs, max_iter=max_iter)
     if keep == "longest":

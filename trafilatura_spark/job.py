@@ -492,15 +492,23 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                         "feed: live feed discovery (findFeedUrls, "
                         "feeds.dart:368-431), then fetch + extract")
     p.add_argument("--dedup-strategy", default="minhash",
-                   choices=["exact", "minhash", "simhash"],
+                   choices=["exact", "minhash", "simhash", "embedding"],
                    help="--mode dedup: exact (md5 groupBy), minhash "
-                        "(MinHash→LSH→Jaccard near-dup, subsumes exact) "
-                        "or simhash (pigeonhole-banded hamming radius, "
-                        "recall 1.0 at --dedup-max-hamming)")
-    p.add_argument("--dedup-threshold", type=float, default=0.5,
-                   help="--mode dedup: Jaccard threshold for the "
-                        "minhash strategy (verified exactly on "
-                        "candidates, not estimated)")
+                        "(MinHash→LSH→Jaccard near-dup, subsumes exact), "
+                        "simhash (pigeonhole-banded hamming radius, "
+                        "recall 1.0 at --dedup-max-hamming) or embedding "
+                        "(hyperplane-LSH bucketed cosine over --vec-col)")
+    p.add_argument("--dedup-threshold", type=float, default=None,
+                   help="--mode dedup: verify threshold (exact on "
+                        "candidates, not estimated) — Jaccard for "
+                        "minhash (default 0.5), cosine for embedding "
+                        "(default 0.99)")
+    p.add_argument("--vec-col", default="embedding",
+                   help="--mode dedup: embedding column (embedding "
+                        "strategy)")
+    p.add_argument("--dedup-dim", type=int, default=64,
+                   help="--mode dedup: embedding dimensionality for "
+                        "the LSH hyperplanes (embedding strategy)")
     p.add_argument("--dedup-keep", default="min-id",
                    choices=["min-id", "longest"],
                    help="--mode dedup survivor policy: min doc id per "
@@ -631,7 +639,8 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
             strategy=args.dedup_strategy, threshold=args.dedup_threshold,
             keep=args.dedup_keep,
             max_bucket_size=args.dedup_max_bucket_size,
-            max_hamming=args.dedup_max_hamming)
+            max_hamming=args.dedup_max_hamming,
+            vec_col=args.vec_col, dim=args.dedup_dim)
         deduped.write.mode("overwrite").parquet(args.output)
         if args.dedup_report:
             labels.write.mode("overwrite").parquet(args.dedup_report)
