@@ -204,6 +204,94 @@ def test_job_mode_dedup_cli(spark, tmp_path, capsys):
     assert spark.read.parquet(out).count() == 7
 
 
+BASE2 = ("a second long template sentence about streaming ingestion "
+         "pipelines that keep appending fresh web captures into a "
+         "deduplicated corpus store every single hour")
+
+
+def test_dedup_corpus_incremental_store_semantics(spark):
+    from trafilatura_spark.functions.dedup import (
+        dedup_corpus_incremental, minhash_signatures)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark quiet forest tonight")
+    store_docs = spark.createDataFrame(
+        [(3, base),
+         (6, "completely different text about spark catalyst plans "
+             "and shuffle boundaries in distributed aggregation")],
+        "doc_id long, text string")
+    store_sigs = minhash_signatures(store_docs)
+    batch = spark.createDataFrame(
+        [(101, base.replace("quick", "swift")),   # near-dup of store 3
+         (102, BASE2),                            # batch-only cluster,
+         (103, BASE2.replace("hour", "night")),   # min id 102 survives
+         (104, None)],                            # null text: accepted
+        "doc_id long, text string")
+    accepted, labels, new_sigs = dedup_corpus_incremental(
+        batch, store_docs, store_sigs)
+    assert sorted(r["doc_id"] for r in accepted.collect()) == [102, 104]
+    lab = {r["doc_id"]: (r["cluster_id"], r["is_survivor"], r["in_store"])
+           for r in labels.collect()}
+    # the store doc wins its cluster even though 3 < 101 would anyway;
+    # the batch-only cluster keeps its min id
+    assert lab[3] == (3, True, True)
+    assert lab[101] == (3, False, False)
+    assert lab[102] == (102, True, False)
+    assert lab[103] == (102, False, False)
+    assert set(lab) == {3, 101, 102, 103}
+    # signatures returned only for accepted docs WITH text
+    assert sorted(r["doc_id"] for r in new_sigs.collect()) == [102]
+    labels.unpersist()
+
+
+def test_job_mode_dedup_signature_store_cli(spark, tmp_path, capsys):
+    store = str(tmp_path / "store")
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    inp1, inp2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    _corpus(spark).write.parquet(inp1)
+    spark.createDataFrame(
+        [(101, ("the swift brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark quiet forest tonight")),
+         (102, BASE2),
+         (103, BASE2.replace("hour", "night"))],
+        "doc_id long, text string").write.parquet(inp2)
+
+    # batch 1 bootstraps the store: full dedup (kept 6 of 9)
+    rc = job_main(["--mode", "dedup", "--input", inp1, "--output", out1,
+                   "--signature-store", store])
+    assert rc == 0
+    s1 = json.loads(capsys.readouterr().out.strip()
+                    .splitlines()[-1].replace("'", '"')
+                    .replace("True", "true").replace("False", "false"))
+    assert s1["kept"] == 6 and s1["store_docs"] == 6
+    assert s1["incremental"] is False
+
+    # batch 2 dedups against the store: 101 hits store doc 3's cluster,
+    # 102/103 form a batch-only cluster
+    rc = job_main(["--mode", "dedup", "--input", inp2, "--output", out2,
+                   "--signature-store", store])
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip()
+                    .splitlines()[-1].replace("'", '"')
+                    .replace("True", "true").replace("False", "false"))
+    assert s2["kept"] == 1 and s2["removed"] == 2
+    assert s2["incremental"] is True and s2["store_docs"] == 7
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
+    assert kept == [102]
+
+    # re-submitting ids the store already holds is an error
+    with pytest.raises(SystemExit):
+        job_main(["--mode", "dedup", "--input", inp2,
+                  "--output", str(tmp_path / "o3"),
+                  "--signature-store", store])
+    # and the store only speaks minhash
+    with pytest.raises(SystemExit):
+        job_main(["--mode", "dedup", "--input", inp2,
+                  "--output", str(tmp_path / "o4"),
+                  "--signature-store", store,
+                  "--dedup-strategy", "simhash"])
+
+
 def test_job_mode_dedup_requires_input(tmp_path):
     with pytest.raises(SystemExit):
         job_main(["--mode", "dedup", "--output", str(tmp_path / "o")])

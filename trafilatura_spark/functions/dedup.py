@@ -648,6 +648,74 @@ def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
     return deduped, labels
 
 
+def dedup_corpus_incremental(batch: DataFrame, store_docs: DataFrame,
+                             store_sigs: DataFrame,
+                             id_col: str = "doc_id",
+                             text_col: str = "text", n_hashes: int = 8,
+                             band_size: int = 2, k: int = 3,
+                             threshold: float = 0.5,
+                             max_bucket_size: int | None = None,
+                             max_iter: int = 15
+                             ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Dedup an arriving batch against an already-deduped corpus store:
+    returns ``(accepted, labels, new_sigs)``.
+
+    - ``accepted`` — batch rows that survive (not a near-dup of any
+      store doc, nor a non-canonical member of a batch-only cluster);
+      these are what a continuous-ingestion pipeline APPENDS to the
+      store (all batch columns preserved);
+    - ``labels`` — ``(doc_id, cluster_id, is_survivor, in_store)`` over
+      every member of a batch-touching cluster, store docs included, so
+      the audit trail shows WHICH store doc displaced a batch doc;
+    - ``new_sigs`` — :func:`minhash_signatures` rows for the accepted
+      batch docs (same ``n_hashes``/``k``), ready to append to the
+      signature store so the next batch sees this one.
+
+    Survivor policy — the store is IMMUTABLE: any cluster containing a
+    store doc keeps the store doc(s) and removes every batch member;
+    batch-only clusters keep the min id.  (A ``keep='longest'`` policy
+    cannot apply here: replacing a store doc would invalidate prior
+    batches' accept/reject decisions.)
+
+    Pairs come from :func:`near_duplicate_pairs_incremental` (the batch
+    pays signature cost, the store is scanned once through a broadcast
+    band semi-join — see its docstring for the plan shape), and
+    clusters from :func:`resolve_clusters`.  Batch and store ids must
+    be disjoint.  Null/empty batch text never clusters and is accepted
+    as-is, but carries no signature row.
+    """
+    candidates = batch.filter(F.col(text_col).isNotNull()
+                              & (F.length(text_col) > 0))
+    sigs = minhash_signatures(candidates, id_col, text_col, n_hashes, k)
+    pairs = near_duplicate_pairs_incremental(
+        candidates, store_docs, store_sigs, id_col=id_col,
+        text_col=text_col, n_hashes=n_hashes, band_size=band_size, k=k,
+        threshold=threshold, max_bucket_size=max_bucket_size,
+        new_sigs=sigs)
+    labels = resolve_clusters(pairs, max_iter=max_iter)
+    store_ids = (store_docs.select(F.col(id_col).alias("doc_id"))
+                 .withColumn("_in_store", F.lit(True)))
+    members = (labels.join(store_ids, "doc_id", "left")
+               .withColumn("_in_store",
+                           F.coalesce("_in_store", F.lit(False))))
+    has_store = (members.groupBy("cluster_id")
+                 .agg(F.max("_in_store").alias("_has_store")))
+    labels = (
+        members.join(has_store, "cluster_id")
+        .withColumn("is_survivor",
+                    F.when(F.col("_in_store"), F.lit(True))
+                    .when(F.col("_has_store"), F.lit(False))
+                    .otherwise(F.col("doc_id") == F.col("cluster_id")))
+        .select("doc_id", "cluster_id", "is_survivor",
+                F.col("_in_store").alias("in_store"))
+        .persist())
+    drop = (labels.filter(~F.col("is_survivor") & ~F.col("in_store"))
+            .select(F.col("doc_id").alias(id_col)))
+    accepted = batch.join(drop, id_col, "left_anti")
+    new_sigs = sigs.join(drop, id_col, "left_anti")
+    return accepted, labels, new_sigs
+
+
 def token_hashes(text_col: str) -> Column:
     """Per-token 32-bit hashes (first 8 md5 hex digits) as an array column.
     Materialize this ONCE before :func:`simhash32_from_hashes` — nested

@@ -524,6 +524,14 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
     p.add_argument("--dedup-report", default=None,
                    help="--mode dedup: optional parquet path for the "
                         "(doc_id, cluster_id, is_survivor) audit table")
+    p.add_argument("--signature-store", default=None,
+                   help="--mode dedup: directory holding the persistent "
+                        "corpus store (docs/ + sigs/ parquet). First run "
+                        "bootstraps it from the deduped input; every "
+                        "later run dedups its batch AGAINST the store "
+                        "(only the batch pays signature cost) and "
+                        "appends the accepted docs + signatures. "
+                        "Batches must carry fresh ids. minhash only.")
     p.add_argument("--id-col", default="doc_id",
                    help="--mode dedup: document id column")
     p.add_argument("--text-col", default="text",
@@ -630,17 +638,53 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
         # corpus-level "keep one per cluster": the stage a training-data
         # pipeline runs over an extracted corpus (the output of --mode
         # extract, or any (id, text) parquet/table) before tokenization
-        from .functions.dedup import dedup_corpus
+        from .functions.dedup import (dedup_corpus, dedup_corpus_incremental,
+                                      minhash_signatures)
         docs = (spark.read.table(args.input)
                 if args.input_format == "table"
                 else spark.read.parquet(args.input))
-        deduped, labels = dedup_corpus(
-            docs, id_col=args.id_col, text_col=args.text_col,
-            strategy=args.dedup_strategy, threshold=args.dedup_threshold,
-            keep=args.dedup_keep,
-            max_bucket_size=args.dedup_max_bucket_size,
-            max_hamming=args.dedup_max_hamming,
-            vec_col=args.vec_col, dim=args.dedup_dim)
+        store_docs_path = store_sigs_path = None
+        store_docs = None
+        if args.signature_store:
+            if args.dedup_strategy != "minhash":
+                p.error("--signature-store requires --dedup-strategy "
+                        "minhash (the store holds minhash signatures)")
+            if args.dedup_keep != "min-id":
+                p.error("--signature-store requires --dedup-keep min-id "
+                        "(replacing a store doc would invalidate prior "
+                        "batches' accept/reject decisions)")
+            store_docs_path = os.path.join(args.signature_store, "docs")
+            store_sigs_path = os.path.join(args.signature_store, "sigs")
+            try:
+                store_docs = spark.read.parquet(store_docs_path)
+            except Exception:
+                store_docs = None  # first batch: bootstrap below
+        if store_docs is not None:
+            # ids must be disjoint (near_duplicate_pairs_incremental's
+            # union contract); a re-submitted batch would silently
+            # self-pair otherwise
+            overlap = docs.join(
+                store_docs.select(args.id_col), args.id_col, "left_semi"
+            ).count()
+            if overlap:
+                p.error(f"--signature-store: {overlap} batch ids already "
+                        "exist in the store (batches must carry fresh ids)")
+            store_sigs = spark.read.parquet(store_sigs_path)
+            deduped, labels, _ = dedup_corpus_incremental(
+                docs, store_docs, store_sigs, id_col=args.id_col,
+                text_col=args.text_col,
+                threshold=(0.5 if args.dedup_threshold is None
+                           else args.dedup_threshold),
+                max_bucket_size=args.dedup_max_bucket_size)
+        else:
+            deduped, labels = dedup_corpus(
+                docs, id_col=args.id_col, text_col=args.text_col,
+                strategy=args.dedup_strategy,
+                threshold=args.dedup_threshold,
+                keep=args.dedup_keep,
+                max_bucket_size=args.dedup_max_bucket_size,
+                max_hamming=args.dedup_max_hamming,
+                vec_col=args.vec_col, dim=args.dedup_dim)
         deduped.write.mode("overwrite").parquet(args.output)
         if args.dedup_report:
             labels.write.mode("overwrite").parquet(args.dedup_report)
@@ -651,11 +695,27 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
         labels.unpersist()
         # count the written files, not deduped.count() — that would
         # replay the pair pipeline + anti-join lineage a second time
-        kept = spark.read.parquet(args.output).count()
-        print({"mode": "dedup", "strategy": args.dedup_strategy,
-               "keep": args.dedup_keep, "kept": kept,
-               "removed": int(stats["removed"] or 0),
-               "clusters": int(stats["clusters"] or 0)})
+        written = spark.read.parquet(args.output)
+        kept = written.count()
+        summary = {"mode": "dedup", "strategy": args.dedup_strategy,
+                   "keep": args.dedup_keep, "kept": kept,
+                   "removed": int(stats["removed"] or 0),
+                   "clusters": int(stats["clusters"] or 0)}
+        if args.signature_store:
+            # append the accepted docs + their signatures so the next
+            # batch sees this one; signatures are recomputed from the
+            # WRITTEN output (no pair-pipeline replay, store params are
+            # the job's fixed n_hashes=8/k=3)
+            written.write.mode("append").parquet(store_docs_path)
+            sig_source = written.filter(
+                F.col(args.text_col).isNotNull()
+                & (F.length(args.text_col) > 0))
+            minhash_signatures(sig_source, args.id_col, args.text_col) \
+                .write.mode("append").parquet(store_sigs_path)
+            summary["store_docs"] = (
+                spark.read.parquet(store_docs_path).count())
+            summary["incremental"] = store_docs is not None
+        print(summary)
         return 0
     size_overrides = {}
     if args.config_file:
