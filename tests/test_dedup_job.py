@@ -292,6 +292,124 @@ def test_job_mode_dedup_signature_store_cli(spark, tmp_path, capsys):
                   "--dedup-strategy", "simhash"])
 
 
+def test_streaming_dedup_against_store(spark, tmp_path):
+    """Two file drops drained by two availableNow runs over one
+    checkpoint: drop 1 bootstraps the store, drop 2 dedups against it
+    (cross-run state lives in the store parquet, not streaming state);
+    a third run with no new files appends nothing (checkpoint)."""
+    from trafilatura_spark.streaming.dedup_stream import start_dedup_stream
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    store = str(tmp_path / "store")
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark quiet forest tonight")
+    twin = ("identical press release copied verbatim across two "
+            "syndication mirrors with byte equal body content")
+    spark.createDataFrame(
+        [(1, twin), (2, twin), (3, base),
+         (6, "completely different text about spark catalyst plans "
+             "and shuffle boundaries in distributed aggregation")],
+        "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = start_dedup_stream(spark, src, out, chk, store,
+                           available_now=True)
+    q.awaitTermination(120)
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(out).collect()) == [1, 3, 6]
+
+    spark.createDataFrame(
+        [(101, base.replace("quick", "swift")),  # dup of store doc 3
+         (102, BASE2),                           # batch-only cluster:
+         (103, BASE2.replace("hour", "night"))],  # 102 survives
+        "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(src)
+    q2 = start_dedup_stream(spark, src, out, chk, store,
+                            available_now=True)
+    q2.awaitTermination(120)
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(out).collect()) == [1, 3, 6, 102]
+    store_ids = sorted(r["doc_id"] for r in spark.read.parquet(
+        store + "/docs").collect())
+    assert store_ids == [1, 3, 6, 102]
+    sig_ids = sorted(r["doc_id"] for r in spark.read.parquet(
+        store + "/sigs").select("doc_id").collect())
+    assert sig_ids == [1, 3, 6, 102]
+
+    q3 = start_dedup_stream(spark, src, out, chk, store,
+                            available_now=True)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 4
+
+
+def test_job_mode_dedup_stream_cli(spark, tmp_path, capsys):
+    """`--mode dedup --stream` drains file drops against the store —
+    and a BATCH --signature-store run interleaves over the SAME store
+    between two streaming runs (the one-store contract)."""
+    src = str(tmp_path / "drops")
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    binp = str(tmp_path / "batch_in")
+    bout = str(tmp_path / "batch_out")
+
+    def summary():
+        return json.loads(capsys.readouterr().out.strip()
+                          .splitlines()[-1].replace("'", '"')
+                          .replace("True", "true").replace("False", "false"))
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark quiet forest tonight")
+    spark.createDataFrame(
+        [(1, base), (2, base.replace("quick", "swift"))],
+        "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(src)
+    rc = job_main(["--mode", "dedup", "--stream", "--input", src,
+                   "--output", out, "--signature-store", store])
+    assert rc == 0
+    assert summary() == {"mode": "dedup", "stream": True,
+                         "kept": 1, "store_docs": 1}
+
+    # interleaved BATCH run against the same store: 11 dups doc 1,
+    # 12 is fresh — only 12 lands
+    spark.createDataFrame(
+        [(11, base.replace("lazy", "idle")), (12, BASE2)],
+        "doc_id long, text string").write.parquet(binp)
+    rc = job_main(["--mode", "dedup", "--input", binp, "--output", bout,
+                   "--signature-store", store])
+    assert rc == 0
+    assert summary()["store_docs"] == 2
+
+    # second streaming run resumes from the checkpoint and sees the
+    # batch-added doc 12: 21 dups it, 22 is fresh
+    spark.createDataFrame(
+        [(21, BASE2.replace("hour", "night")),
+         (22, "entirely new content about catalyst shuffle planning "
+              "and adaptive query execution at scale")],
+        "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(src)
+    rc = job_main(["--mode", "dedup", "--stream", "--input", src,
+                   "--output", out, "--signature-store", store])
+    assert rc == 0
+    assert summary() == {"mode": "dedup", "stream": True,
+                         "kept": 2, "store_docs": 3}
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(out).collect()) == [1, 22]
+
+    # guards: the stream needs the store, and only speaks minhash/min-id
+    with pytest.raises(SystemExit):
+        job_main(["--mode", "dedup", "--stream", "--input", src,
+                  "--output", out])
+    with pytest.raises(SystemExit):
+        job_main(["--mode", "dedup", "--stream", "--input", src,
+                  "--output", out, "--signature-store", store,
+                  "--dedup-strategy", "embedding"])
+    with pytest.raises(SystemExit):
+        job_main(["--mode", "dedup", "--stream", "--input", src,
+                  "--output", out, "--signature-store", store,
+                  "--dedup-keep", "longest"])
+
+
 def test_job_mode_dedup_requires_input(tmp_path):
     with pytest.raises(SystemExit):
         job_main(["--mode", "dedup", "--output", str(tmp_path / "o")])

@@ -532,6 +532,19 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                         "(only the batch pays signature cost) and "
                         "appends the accepted docs + signatures. "
                         "Batches must carry fresh ids. minhash only.")
+    p.add_argument("--stream", action="store_true",
+                   help="--mode dedup: treat --input as a Structured "
+                        "Streaming file source of (id, text) parquet "
+                        "drops and drain it with an availableNow "
+                        "trigger — each micro-batch dedups against the "
+                        "--signature-store (required) and survivors "
+                        "append to --output and the store. Re-running "
+                        "after new drops land resumes from the stream "
+                        "checkpoint, so batch and streaming runs "
+                        "interleave over one store. minhash/min-id only.")
+    p.add_argument("--checkpoint", default=None,
+                   help="--mode dedup --stream: streaming checkpoint "
+                        "location (default: <signature-store>/checkpoint)")
     p.add_argument("--id-col", default="doc_id",
                    help="--mode dedup: document id column")
     p.add_argument("--text-col", default="text",
@@ -640,6 +653,46 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
         # extract, or any (id, text) parquet/table) before tokenization
         from .functions.dedup import (dedup_corpus, dedup_corpus_incremental,
                                       minhash_signatures)
+        if args.stream:
+            # continuous-ingestion shape: drain whatever drops have
+            # landed since the last run, dedup each micro-batch against
+            # the store (streaming/dedup_stream.py), stop when caught up
+            if not args.signature_store:
+                p.error("--stream requires --signature-store (cross-"
+                        "batch state lives in the store, not in Spark "
+                        "streaming state)")
+            if args.dedup_strategy != "minhash":
+                p.error("--stream requires --dedup-strategy minhash")
+            if args.dedup_keep != "min-id":
+                p.error("--stream requires --dedup-keep min-id")
+            if args.input_format == "table":
+                p.error("--stream reads a parquet-drop directory, not "
+                        "a table")
+            from .streaming.dedup_stream import start_dedup_stream
+            chk = args.checkpoint or os.path.join(args.signature_store,
+                                                  "checkpoint")
+            q = start_dedup_stream(
+                spark, args.input, args.output, chk,
+                args.signature_store, id_col=args.id_col,
+                text_col=args.text_col,
+                schema=f"{args.id_col} long, {args.text_col} string",
+                threshold=(0.5 if args.dedup_threshold is None
+                           else args.dedup_threshold),
+                max_bucket_size=args.dedup_max_bucket_size,
+                available_now=True)
+            q.awaitTermination()
+            try:
+                kept = spark.read.parquet(args.output).count()
+            except Exception:
+                kept = 0  # zero drops so far: no output dir yet
+            try:
+                store_n = spark.read.parquet(os.path.join(
+                    args.signature_store, "docs")).count()
+            except Exception:
+                store_n = 0
+            print({"mode": "dedup", "stream": True, "kept": kept,
+                   "store_docs": store_n})
+            return 0
         docs = (spark.read.table(args.input)
                 if args.input_format == "table"
                 else spark.read.parquet(args.input))
