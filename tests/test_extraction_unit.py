@@ -693,3 +693,31 @@ def test_readability_metrics_monoid_seams():
             stack.extend(node.children)
             core, _, _, commas, links = metrics[id(node)]
             assert (core, commas, links) == _naive_metrics(node), (html, node.tag)
+
+
+def test_readability_candidate_outside_metrics_map():
+    """A ReadabilityDocument built on a subtree still attached to a larger
+    tree: a <p> whose parent IS self.doc promotes self.doc.parent to
+    candidate, a node _collect_metrics(self.doc) never visited.  The
+    pre-rewrite per-candidate walk scored any node; the one-pass metrics
+    map must fall back to the direct walk instead of KeyError (which
+    try_readability would silently swallow into an empty tier)."""
+    from trafilatura_spark.operators.readability import (
+        ReadabilityDocument, _collect_metrics)
+
+    html = ("<html><body><div id='wrap'><div id='inner'>"
+            "<p>This paragraph is long enough to clear the minimum text "
+            "length gate, truly.</p>"
+            "<p>Another sufficiently long paragraph with a comma, and "
+            "some more words here.</p>"
+            "</div></div></body></html>")
+    tree = load_html(html)
+    inner = next(n for n in tree.iterdesc("div")
+                 if n.attrs.get("id") == "inner")
+    assert inner.parent is not None
+    # the outside node really is absent from the metrics map
+    assert id(inner.parent) not in _collect_metrics(inner)
+    candidates = ReadabilityDocument(inner)._score_paragraphs()
+    assert id(inner.parent) in candidates  # the repro condition
+    out = ReadabilityDocument(inner).summary()
+    assert out is not None and "long enough" in out.text_content()

@@ -68,6 +68,34 @@ def test_sigalrm_interrupts_pathological_loop_mid_tier(monkeypatch):
     assert elapsed < 2.0, f"watchdog did not fire in time: {elapsed:.2f}s"
 
 
+def test_timeout_pierces_broad_exception_guards(monkeypatch):
+    """DocTimeout must NOT be catchable by the cascade's swallow-to-null
+    ``except Exception`` guards (parse_html fallback, try_readability,
+    justext_rescue): a tier that wraps its own work in a broad handler —
+    exactly what every tier seam does — would otherwise convert the
+    one-shot alarm into a tier-level null, leave NO timer armed, and let
+    a later stall run unbounded while the doc is miscounted."""
+    import trafilatura_spark.core as core
+
+    def guarded_stuck_tier(tree, options, backup_factory=None):
+        try:
+            deadline = time.monotonic() + 10.0  # bounded only for safety
+            while time.monotonic() < deadline:
+                pass
+        except Exception:
+            # the swallow the cascade seams perform (core.dart:333-335
+            # analogue); DocTimeout(BaseException) must fly past it
+            pass
+        return None, "", 0
+
+    monkeypatch.setattr(core, "extract_content", guarded_stuck_tier)
+    t0 = time.monotonic()
+    res = bare_extraction(ARTICLE, Options(doc_timeout_sec=0.2))
+    elapsed = time.monotonic() - t0
+    assert res.status == "timeout" and res.tier == "none"
+    assert elapsed < 2.0, f"broad handler swallowed the alarm: {elapsed:.2f}s"
+
+
 def test_boundary_check_backstop_in_non_main_thread(monkeypatch):
     """Where SIGALRM cannot be armed (non-main thread) the monotonic
     check at the next tier boundary still converts the overrun into a

@@ -302,7 +302,18 @@ class ReadabilityDocument:
                 candidates[id(grandparent)][0] += score / 2
         for cand in candidates.values():
             node = cand[1]
-            total, _, _, _, links = metrics[id(node)]
+            m = metrics.get(id(node))
+            if m is None:
+                # node lies OUTSIDE the metrics map: when self.doc is
+                # still attached to a larger tree, a p whose parent is
+                # self.doc promotes self.doc.parent to candidate — the
+                # pre-rewrite per-candidate walk scored any node, so
+                # fall back to the direct walk rather than KeyError
+                # (which try_readability would silently swallow into an
+                # empty readability tier)
+                cand[0] *= 1 - _link_density(node)
+                continue
+            total, _, _, _, links = m
             if node.tag == "a":
                 links -= total  # iterdesc("a") excludes self
             cand[0] *= 1 - ((links / total) if total else 0.0)

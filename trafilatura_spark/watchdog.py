@@ -39,8 +39,20 @@ import time
 from contextlib import contextmanager
 
 
-class DocTimeout(Exception):
-    """Raised when a document exceeds its wall-clock budget."""
+class DocTimeout(BaseException):
+    """Raised when a document exceeds its wall-clock budget.
+
+    Derives from ``BaseException``, NOT ``Exception``: the extraction
+    cascade mirrors the reference's swallow-to-null error handling with
+    broad ``except Exception`` guards at every tier seam (parse_html's
+    builder fallback, try_readability, justext_rescue, load_html).  A
+    SIGALRM that fires mid-tier unwinds THROUGH those guards — if
+    DocTimeout were an ``Exception`` they would convert the one-shot
+    alarm into a tier-level null and extraction would continue with no
+    timer left armed, so a second stall in a later tier would wedge the
+    task unbounded (exactly the failure the watchdog exists to stop)
+    and the document would be miscounted as rejected/error instead of
+    timeout.  Only ``core.bare_extraction`` catches it, by name."""
 
 
 # Module-global deadline for the cooperative checks.  Python workers
