@@ -176,3 +176,64 @@ def test_job_doc_timeout_flag_counts_in_progress(spark, tmp_path):
     p = spark.read.parquet(prog)
     assert p.agg({"timeout_docs": "sum"}).first()[0] == 10
     assert p.agg({"error_docs": "sum"}).first()[0] == 0
+
+
+def test_late_alarm_in_restore_cannot_poison_deadline(monkeypatch):
+    """Signal delivery happens between any two bytecodes: the one-shot
+    alarm can land INSIDE doc_budget's finally block, aborting the
+    restore statements mid-way.  Simulate it by making the restore-side
+    setitimer call raise DocTimeout; the module-global deadline must be
+    restored regardless, or every later document in the worker would
+    instantly 'time out' against the stale past deadline."""
+    import signal as _signal
+    import trafilatura_spark.watchdog as wd
+
+    real = _signal.setitimer
+    calls = {"n": 0}
+
+    def fake(which, *a):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the restore call inside the finally
+            raise wd.DocTimeout()
+        return real(which, *a)
+
+    monkeypatch.setattr(wd.signal, "setitimer", fake)
+    import pytest
+    with pytest.raises(wd.DocTimeout):
+        with wd.doc_budget(5.0):
+            pass
+    monkeypatch.undo()
+    # the SIMULATION leaves the entry timer pending (a real one-shot
+    # alarm is spent by the time it raises) — disarm before asserting
+    _signal.setitimer(_signal.ITIMER_REAL, 0)
+    assert wd._deadline is None
+    check_deadline()  # must not raise
+    # the inner finally still restored the handler despite the abort
+    assert _signal.getsignal(_signal.SIGALRM) is _signal.SIG_DFL
+
+
+def test_worker_recovers_after_timeout_doc(monkeypatch):
+    """A timeout row must be an isolated event: the very next document in
+    the same worker (same module globals, same signal state) extracts
+    normally.  Covers the clear_budget belt-and-suspenders in
+    bare_extraction's DocTimeout handler."""
+    import trafilatura_spark.core as core
+    import trafilatura_spark.watchdog as wd
+
+    original = core.extract_content
+    state = {"stall": True}
+
+    def stuck_once(tree, options, backup_factory=None):
+        if state["stall"]:
+            state["stall"] = False
+            deadline = time.monotonic() + 10.0  # bounded only for safety
+            while time.monotonic() < deadline:
+                pass
+        return original(tree, options, backup_factory)
+
+    monkeypatch.setattr(core, "extract_content", stuck_once)
+    first = bare_extraction(ARTICLE, Options(doc_timeout_sec=0.2))
+    assert first.status == "timeout"
+    assert wd._deadline is None
+    second = bare_extraction(ARTICLE, Options(doc_timeout_sec=0.2))
+    assert second.status == "ok", second.status

@@ -26,7 +26,7 @@ from .operators.normalize import normalize_output_tree
 from .operators.render import emit_spans, render_txt
 from .operators.selectors import select_comment_elements
 from .settings import Options
-from .watchdog import DocTimeout, check_deadline, doc_budget
+from .watchdog import DocTimeout, check_deadline, clear_budget, doc_budget
 
 
 @dataclass
@@ -210,6 +210,10 @@ def bare_extraction(filecontent: str, options: Options | None = None,
         with doc_budget(options.doc_timeout_sec):
             return _bare_extraction_impl(filecontent, options, result)
     except DocTimeout:
+        # belt-and-suspenders: a late alarm can abort doc_budget's own
+        # restore machinery mid-unwind; re-disarm so the stale deadline
+        # cannot poison every later document in this worker
+        clear_budget()
         return ExtractionResult(doc_id=doc_id, status="timeout", tier="none")
     except Exception:
         # core.dart:333-335 — swallow, count, never fail the task

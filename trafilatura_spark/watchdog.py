@@ -73,6 +73,29 @@ def check_deadline() -> None:
         raise DocTimeout()
 
 
+def clear_budget() -> None:
+    """Best-effort disarm for the top-level DocTimeout converter.
+
+    Signal delivery happens between any two bytecodes, so a vanishing
+    window exists where the alarm lands after ``doc_budget``'s body
+    raised but before its restore machinery is entered — the module
+    global would then stay armed with a past deadline and poison
+    check_deadline() for every later document.  ``core.bare_extraction``
+    (the only top-level arm in the engine) calls this from its
+    ``except DocTimeout`` handler: at that point no outer budget exists,
+    so resetting to None is always correct, and any pending timer is
+    cancelled (a no-op in the common case — the one-shot alarm already
+    fired).  The SIGALRM handler itself is left alone: a stale handler
+    with no timer armed is inert, while blindly resetting it could
+    clobber a host application's own handler.
+    """
+    global _deadline
+    _deadline = None
+    if threading.current_thread() is threading.main_thread() \
+            and hasattr(signal, "setitimer"):
+        signal.setitimer(signal.ITIMER_REAL, 0)
+
+
 @contextmanager
 def doc_budget(seconds: float):
     """Arm a wall-clock budget for one document.
@@ -97,8 +120,21 @@ def doc_budget(seconds: float):
     try:
         yield
     finally:
-        if use_alarm:
-            signal.setitimer(signal.ITIMER_REAL, prev_timer[0] or 0,
-                             prev_timer[1] or 0)
-            signal.signal(signal.SIGALRM, prev_handler)
-        _deadline = prev_deadline
+        # The one-shot alarm can land INSIDE this finally block (signal
+        # delivery happens between any two bytecodes), aborting the
+        # remaining restore statements mid-way.  Nest the restores in
+        # their own try/finally chain so a late DocTimeout cannot skip
+        # them: a skipped ``_deadline`` reset would poison the module
+        # global with a stale past deadline and make check_deadline()
+        # time out EVERY later document in the worker.  (The alarm is
+        # one-shot — setitimer with interval 0 — so at most one such
+        # raise exists; after it fires no timer is pending.)
+        try:
+            if use_alarm:
+                try:
+                    signal.setitimer(signal.ITIMER_REAL, prev_timer[0] or 0,
+                                     prev_timer[1] or 0)
+                finally:
+                    signal.signal(signal.SIGALRM, prev_handler)
+        finally:
+            _deadline = prev_deadline
