@@ -30,6 +30,7 @@ import os
 import sys
 import time
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from .operators.pipeline import extract_documents, extraction_metrics  # noqa: F401
@@ -683,12 +684,12 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
             q.awaitTermination()
             try:
                 kept = spark.read.parquet(args.output).count()
-            except Exception:
+            except AnalysisException:
                 kept = 0  # zero drops so far: no output dir yet
             try:
                 store_n = spark.read.parquet(os.path.join(
                     args.signature_store, "docs")).count()
-            except Exception:
+            except AnalysisException:
                 store_n = 0
             print({"mode": "dedup", "stream": True, "kept": kept,
                    "store_docs": store_n})
@@ -710,8 +711,12 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
             store_sigs_path = os.path.join(args.signature_store, "sigs")
             try:
                 store_docs = spark.read.parquet(store_docs_path)
-            except Exception:
-                store_docs = None  # first batch: bootstrap below
+            except AnalysisException:
+                # PATH_NOT_FOUND only — the first batch bootstraps.
+                # Other read failures (corrupt store, permissions) must
+                # propagate: bootstrapping over an unreadable EXISTING
+                # store would re-admit every duplicate
+                store_docs = None
         if store_docs is not None:
             # ids must be disjoint (near_duplicate_pairs_incremental's
             # union contract); a re-submitted batch would silently

@@ -51,11 +51,17 @@ def make_dedup_batch_fn(output_path: str, store_dir: str,
     sigs_path = os.path.join(store_dir, "sigs")
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
         spark = batch.sparkSession
         try:
             store_docs = spark.read.parquet(docs_path)
-        except Exception:
-            store_docs = None  # first batch bootstraps the store
+        except AnalysisException:
+            # PATH_NOT_FOUND only: the first batch bootstraps the store.
+            # Any OTHER read failure (corrupt footer, permissions) must
+            # propagate — bootstrapping over a store that EXISTS but
+            # failed to read would silently re-admit every duplicate
+            # and append colliding ids
+            store_docs = None
         if store_docs is not None:
             # replay safety: a re-delivered micro-batch finds its ids
             # already appended — drop them instead of double-counting
