@@ -17,6 +17,28 @@ from trafilatura_spark.sources.corpus import synthesize_documents_df  # noqa: E4
 
 SF = "/root/testdata/sf0.01"
 
+# Sections whose heading is immediately followed by this marker are
+# hand-condensed/annotated plans (e.g. the incremental-dedup serving
+# shape) that explain("formatted") cannot produce; regen carries them
+# over verbatim instead of dropping them.
+MANUAL_MARK = "<!-- manual: kept verbatim by regen_plans.py -->"
+
+
+def manual_sections(path: pathlib.Path) -> list[str]:
+    if not path.exists():
+        return []
+    blocks, cur = [], None
+    for line in path.read_text().splitlines():
+        if line.startswith("## "):
+            if cur is not None:
+                blocks.append("\n".join(cur).rstrip())
+            cur = [line]
+        elif cur is not None:
+            cur.append(line)
+    if cur is not None:
+        blocks.append("\n".join(cur).rstrip())
+    return [b for b in blocks if b.splitlines()[1:2] == [MANUAL_MARK]]
+
 
 def plan_of(df) -> str:
     buf = io.StringIO()
@@ -128,6 +150,7 @@ def main() -> None:
                      plan_of(lf)))
 
     out = pathlib.Path(__file__).resolve().parent.parent / "PLANS.md"
+    kept = manual_sections(out)
     with out.open("w") as f:
         f.write(
             "# PLANS — captured physical plans of the key pipelines\n\n"
@@ -144,7 +167,9 @@ def main() -> None:
             else:
                 title, plan = section
                 f.write(f"## {title}\n\n```\n{plan.strip()}\n```\n\n")
-    print(f"wrote {out}")
+        for block in kept:
+            f.write(block + "\n\n")
+    print(f"wrote {out} ({len(kept)} manual sections kept)")
     spark.stop()
 
 
