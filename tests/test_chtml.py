@@ -1,0 +1,314 @@
+"""Exact-tree differential for the optional C tokenizer accelerator.
+
+The C extension (trafilatura_spark/_chtml.c) must produce BYTE-IDENTICAL
+trees to the pure-Python _FastBuilder on every input: same tags, attrs,
+text, tails, structure.  Gates:
+
+- the reference's 110-page live-site cache corpus (real-world HTML),
+- a sample of the 923-page eval corpus,
+- seeded adversarial tag soup (quote-parity seams, rawtext, charrefs,
+  implied closes, head/body recovery, unicode pseudo-tags, sre
+  casefold extras),
+- Node.copy parity (C deep copy vs Python deep copy).
+
+Skipped wholesale when the accelerator is unavailable (no gcc): the
+pure-Python path is then the production path and is covered everywhere
+else.
+"""
+
+import pathlib
+import random
+
+import pytest
+
+from trafilatura_spark import dom
+from trafilatura_spark.dom import Node, _FastBuilder
+
+cparse = dom._CPARSE
+ccopy = dom._CCOPY
+
+pytestmark = pytest.mark.skipif(
+    cparse is None, reason="C accelerator unavailable (no gcc?)")
+
+
+def tree_repr(node: Node) -> tuple:
+    """Canonical deep value of a tree (iterative, order-preserving)."""
+    return (node.tag, tuple(sorted(node.attrs.items())), node.text,
+            node.tail, tuple(tree_repr(c) for c in node.children))
+
+
+def assert_same(html: str) -> None:
+    fb = _FastBuilder()
+    fb.feed(html)
+    croot = cparse(html)
+    py = tree_repr(fb.root)
+    cc = tree_repr(croot)
+    assert py == cc, f"divergence on {html[:200]!r}"
+
+
+def parents_consistent(node: Node, parent=None) -> None:
+    assert node.parent is parent
+    for c in node.children:
+        parents_consistent(c, node)
+
+
+def test_unit_cases():
+    cases = [
+        "",
+        "plain text only",
+        "<p>a</p>",
+        "<html><head><title>t</title></head><body><p>x</p></body></html>",
+        "<div><p>one<p>two</div>",
+        "<ul><li>a<li>b</ul>",
+        "<table><tr><td>1<td>2<tr><td>3</table>",
+        "<thead><tr><th>h</th></tr><tbody><tr><td>v</td></tr>",
+        "<dl><dt>t<dd>d<dt>t2</dl>",
+        "<select><option>a<option>b</select>",
+        "<p>a<b>bold<i>it</b>tail</p>",
+        "<br/><img src='x'><hr>",
+        "<a href='http://x/?a=1&amp;b=2'>l</a>",
+        "text &amp; more &lt;notag&gt; &bogus; &#65;",
+        "<script>if (a<b && c>d) { x('</div>'); }</script>after",
+        "<script>no end",
+        "<style>p>a{color:red}</style>",
+        "<ScRiPt>x</sCrIpT>more",
+        "<script>a</scripts><b>b</script>real",
+        "<!-- comment <div>inside</div> -->after",
+        "<!-- unterminated",
+        "<!doctype html><p>x",
+        "<?php echo 'x'; ?>after",
+        "<?unclosed",
+        "< p>not a tag</p>",
+        "<p class='a\"b'>q</p>",
+        '<meta content="a > b"><p>after</p>',
+        "<p title=\"it's fine\">x</p>",
+        "<p title='unterminated>x</p>",
+        '<p title="unterminated>x</p>',
+        "<div a=1 b = '2' c=\"3\" d e=>x</div>",
+        "<div a=1 a=2>first wins</div>",
+        "<div DATA-X='v' :custom='y' @click='z' _under='w'>x</div>",
+        "<div a&b='v'>odd name</div>",
+        "<p/>self<div />closed",
+        "<html lang=en><head><meta x=1><div>implied body</div>",
+        "<head><title>t</title>loose text",
+        "<body>b</body>trailing",
+        "</html><p>after premature</p>",
+        "<html><body>x</body><p>after body</p></html>",
+        "<html><html bgcolor=red><body><body b=2>dup merge",
+        "<p>tail<",
+        "<p>lone</",
+        "<p>half</di",
+        "<p>amp& alone &am; &#xZZ;</p>",
+        "<é>unicode pseudo</é>",
+        "<日本語 attr='v'>x",
+        "<div é='v' aé=2>mixed attr names</div>",
+        "<DIV CLASS=UPPER>x</DIV>",
+        "<p> &nbsp; </p>",
+        "<ſcript>sre casefold</ſcript>",
+        "<script>x</ſcript>y</script>z",
+        "<p>a</P ext>b",
+        "</p junk>x",
+        "</ >empty end",
+        "<p><span a='1' b>c</span ></p>",
+        "<figure><table><tr><td>x</table></figure>",
+        "<p>a<div>closes p</div>b</p>c",
+        "<blockquote><p>q</blockquote>",
+        "<li>outside list",
+        "<td>outside table",
+        "<option>a<p>implied</option>",
+        "x" * 5 + "<" + "y" * 5,
+        "<p>" + "&" * 30 + "</p>",
+        "<input value='<p>'>after",
+        "<svg><circle r=1 /></svg>",
+        "<math><mi>x</mi></math>",
+        "<noscript><p>ns</p></noscript>",
+        "<template><p>t</p></template>",
+        "<title>x < y</title><p>b</p>",
+    ]
+    for html in cases:
+        assert_same(html)
+
+
+def test_cache_corpus_exact():
+    from trafilatura_spark.sources.loading import decode_file
+    cache = pathlib.Path("/root/reference/test/cache")
+    if not cache.exists():
+        pytest.skip("corpus missing")
+    for page in sorted(cache.glob("*.html")):
+        html = decode_file(page.read_bytes())
+        fb = _FastBuilder()
+        fb.feed(html)
+        croot = cparse(html)
+        assert tree_repr(fb.root) == tree_repr(croot), page.name
+
+
+def test_eval_corpus_sample_exact():
+    from trafilatura_spark.sources.loading import decode_file
+    ev = pathlib.Path("/root/reference/test/eval")
+    if not ev.exists():
+        pytest.skip("corpus missing")
+    pages = sorted(ev.glob("*.html"))[::7]  # ~130 spread across the set
+    for page in pages:
+        html = decode_file(page.read_bytes())
+        fb = _FastBuilder()
+        fb.feed(html)
+        croot = cparse(html)
+        assert tree_repr(fb.root) == tree_repr(croot), page.name
+
+
+FRAGS = [
+    "<div>", "</div>", "<p>", "</p>", "<a href='x'>", "</a>", "text ",
+    "it's ", '<img src="i">', "<script>a<b</script>", "<!-- c -->",
+    "<!doctype html>", "&amp;", "&bogus;", "< p", '<meta content="a > b">',
+    "<td>", "</td>", "<table>", "</table>", "<li>", "<ul>", "'", '"', ">",
+    "<", "é", "<p class='a\"b'>", "<br/>", "<span", "</nothere>", "<head>",
+    "</head>", "<body>", "<html>", "<style>x{}</style>", "<ſcript>",
+    "</ſcript>", "<SCRIPT>", "</SCRIPT >", "<option>", "<select>", "<dt>",
+    "<dd>", "<tr>", "<th>", "<h2>", "</h2>", "=", "a=b", " disabled ",
+    "<p a", "<p a=", "<p a='", '<p a="x', " ", " ", "<!",
+    "<!->", "<?", "?>", "/>", "//", "<p/>", "<x:y z@w='1'>", "&#x41;",
+    "&#65;", "&gt", "<日本>", "</p extra>", "<template>", "</template>",
+]
+
+
+def test_fuzz_differential():
+    rng = random.Random(987654)
+    for _ in range(4000):
+        html = "".join(rng.choice(FRAGS)
+                       for _ in range(rng.randint(0, 60)))
+        assert_same(html)
+
+
+def test_parents_wired():
+    croot = cparse("<div><p>a<b>x</b></p><ul><li>i</li></ul></div>")
+    parents_consistent(croot)
+
+
+def test_copy_node_parity():
+    html = ("<div a='1'><p>t<b>x</b>tail</p><ul><li>i1</li><li>i2</li></ul>"
+            "<table><tr><td>c</td></tr></table>deep</div>")
+    croot = cparse(html)
+    c1 = ccopy(croot)
+    assert tree_repr(c1) == tree_repr(croot)
+    assert c1 is not croot
+    assert c1.parent is None
+    parents_consistent(c1)
+    # mutation independence
+    c1.children[0].attrs["a"] = "changed"
+    assert croot.children[0].attrs["a"] == "1"
+    # parity with the pure-Python copy
+    fb = _FastBuilder()
+    fb.feed(html)
+    assert tree_repr(fb.root.copy() if ccopy is None else fb.root) \
+        == tree_repr(croot)
+
+
+def test_parse_html_integration_uses_accelerator():
+    # end-to-end through parse_html: same html/body synthesis semantics
+    from trafilatura_spark.dom import parse_html, get_body
+    t = parse_html("<html><head><title>t</title><div>article</div>")
+    body = get_body(t)
+    assert [c.tag for c in body.children] == ["div"]
+    assert body.text_content() == "article"
+
+
+def test_text_content_and_find_all_parity():
+    from trafilatura_spark.sources.loading import decode_file
+    ctext = dom._CTEXT
+    cfind = dom._CFINDALL
+    if ctext is None:
+        pytest.skip("accelerator unavailable")
+    cache = pathlib.Path("/root/reference/test/cache")
+    pages = sorted(cache.glob("*.html"))[:25] if cache.exists() else []
+    htmls = [decode_file(p.read_bytes()) for p in pages] + [
+        "<div>a<span>b<em>c</em>d</span>e</div>f",
+        "<p><b><i>J</i>ane</b> Doe</p>",
+        "<ul><li>1</li><li>2<ol><li>2a</li></ol></li></ul>tail",
+        "", "<p></p>", "just text",
+    ]
+    for html in htmls:
+        root = cparse(html)
+        # pure-Python reference implementations (accelerator bypassed)
+        def py_text(node):
+            parts = [node.text]
+            stack = list(reversed(node.children))
+            while stack:
+                n = stack.pop()
+                if type(n) is str:
+                    parts.append(n)
+                    continue
+                parts.append(n.text)
+                if n.tail:
+                    stack.append(n.tail)
+                if n.children:
+                    stack.extend(reversed(n.children))
+            return "".join(parts)
+
+        def py_find_all(node, tags):
+            want = set(tags) if tags else None
+            out = []
+            stack = list(reversed(node.children))
+            while stack:
+                n = stack.pop()
+                if want is None or n.tag in want:
+                    out.append(n)
+                if n.children:
+                    stack.extend(reversed(n.children))
+            return out
+
+        assert ctext(root) == py_text(root)
+        for tags in ((), ("p",), ("div", "span"), ("li", "ol", "ul"),
+                     ("nonexistent",), ("a", "b", "i", "em")):
+            got = cfind(root, tags)
+            want = py_find_all(root, tags)
+            assert len(got) == len(want)
+            assert all(a is b for a, b in zip(got, want))
+
+
+def test_iter_tree_parity():
+    citer = dom._CITER
+    if citer is None:
+        pytest.skip("accelerator unavailable")
+    html = ("<div><p>a<b>x</b></p><ul><li>1</li><li>2<ol><li>2a</li></ol>"
+            "</li></ul><table><tr><td>c</td></tr></table></div><p>z</p>")
+    root = cparse(html)
+
+    def py_order(node, tags, include_self):
+        want = set(tags) if tags else None
+        stack = [node] if include_self else list(reversed(node.children))
+        out = []
+        while stack:
+            n = stack.pop()
+            if want is None or n.tag in want:
+                out.append(n)
+            if n.children:
+                stack.extend(reversed(n.children))
+        return out
+
+    for tags in ((), ("p",), ("li", "ol"), ("nope",), ("div", "td")):
+        for inc in (True, False):
+            got = list(citer(root, tags, inc))
+            want = py_order(root, tags, inc)
+            assert len(got) == len(want)
+            assert all(a is b for a, b in zip(got, want))
+
+
+def test_iter_tree_lazy_child_reads():
+    """Generator laziness parity: a yielded node's children are read AFTER
+    the consumer resumes, so surgery on the just-yielded node is visible —
+    and iterdesc reads self.children only at the first next()."""
+    root = cparse("<div><p>a</p><span>b</span></div>")
+    div = root.children[0]  # cparse returns the raw '#root' node
+    assert div.tag == "div"
+    # drop the <p>'s subtree right after it is yielded: the Python
+    # generator would not descend into it; neither must the C iterator
+    seen = []
+    for n in div.iterdesc():
+        seen.append(n.tag)
+        if n.tag == "p":
+            n.children = [Node("em")]  # mutate after yield: visible
+    assert seen == ["p", "em", "span"]
+    # iterdesc created before a mutation sees the post-mutation children
+    it = div.iterdesc()
+    div.children = [Node("q")]
+    assert [n.tag for n in it] == ["q"]

@@ -1,0 +1,1468 @@
+/* C accelerator for the pure-Python HTML tokenizer + tree builder.
+ *
+ * Drop-in replacement for trafilatura_spark.dom._FastBuilder (the
+ * regex-free single-scan tokenizer): same html5-recovery semantics —
+ * implied end tags, head/body insertion-mode recovery, void elements,
+ * lowercase names, first-attribute-wins, charref unescaping (delegated
+ * to html.unescape), script/style raw text with the [\s/>] end-tag
+ * delimiter rule, comments/doctype skipped, quote-parity '>'-extension
+ * for attribute values holding '>' — byte-for-byte identical trees
+ * (pinned by tests/test_chtml.py: exact tree differential over the
+ * reference cache corpus + seeded tag-soup fuzz, and by the 1,033-page
+ * golden manifests which run through this path when it is available).
+ *
+ * Builds Node objects from dom.Node (a __slots__ class) via direct
+ * slot writes: the member-descriptor offsets are resolved once in
+ * setup().  Everything is iterative; errors propagate as normal Python
+ * exceptions and parse_html's existing except-fallback catches them.
+ *
+ * The seam is optional: trafilatura_spark/chtml.py compiles this file
+ * with gcc when available and dom.py falls back to the pure-Python
+ * builder otherwise (SURVEY §8 round-5 lever (a)).
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <structmember.h>
+#include <string.h>
+
+/* ---------------------------------------------------------------- state */
+
+static PyTypeObject *node_type = NULL;
+static Py_ssize_t off_tag, off_attrs, off_children, off_parent, off_text, off_tail;
+
+static PyObject *set_void = NULL;      /* VOID_ELEMENTS */
+static PyObject *set_pclosers = NULL;  /* _P_CLOSERS */
+static PyObject *set_pbarriers = NULL; /* _P_CLOSE_BARRIERS */
+static PyObject *map_implied = NULL;   /* _IMPLIED_END */
+static PyObject *set_headcontent = NULL; /* _HEAD_CONTENT */
+static PyObject *set_needsimplied = NULL; /* _NEEDS_IMPLIED */
+static PyObject *set_gatetags = NULL;  /* _GATE_TAGS */
+static PyObject *unescape_fn = NULL;   /* html.unescape */
+
+static PyObject *tagcache = NULL;      /* str -> canonical str (bounded) */
+#define TAGCACHE_MAX 512
+
+static PyObject *c_root, *c_head, *c_body, *c_html, *c_p, *c_script, *c_style,
+    *c_table, *c_tr, *c_td, *c_th, *c_ul, *c_ol, *c_dl, *c_select,
+    *c_empty, *c_lt, *c_arrow;
+
+#define GET_SLOT(o, off) (*(PyObject **)((char *)(o) + (off)))
+#define SET_SLOT(o, off, v) (*(PyObject **)((char *)(o) + (off)) = (v))
+
+static inline int
+str_eq(PyObject *a, PyObject *b)
+{
+    if (a == b)
+        return 1;
+    return PyUnicode_Compare(a, b) == 0; /* both str: no error possible */
+}
+
+/* membership in a frozenset of str; -1 on error */
+static inline int
+set_has(PyObject *set, PyObject *key)
+{
+    return PySet_Contains(set, key);
+}
+
+static inline Py_ssize_t
+find_char(PyObject *s, Py_UCS4 ch, Py_ssize_t start, Py_ssize_t end)
+{
+    if (start >= end)
+        return -1;
+    return PyUnicode_FindChar(s, ch, start, end, 1);
+}
+
+/* ------------------------------------------------------------- Node ops */
+
+/* new Node; steals attrs (or pass NULL for a fresh dict); parent borrowed
+ * (may be NULL for None). Returns owned ref or NULL. */
+static PyObject *
+node_new(PyObject *tag, PyObject *attrs, PyObject *parent)
+{
+    PyObject *n = node_type->tp_alloc(node_type, 0);
+    if (n == NULL) {
+        Py_XDECREF(attrs);
+        return NULL;
+    }
+    if (attrs == NULL) {
+        attrs = PyDict_New();
+        if (attrs == NULL) {
+            Py_DECREF(n);
+            return NULL;
+        }
+    }
+    PyObject *children = PyList_New(0);
+    if (children == NULL) {
+        Py_DECREF(attrs);
+        Py_DECREF(n);
+        return NULL;
+    }
+    Py_INCREF(tag);
+    SET_SLOT(n, off_tag, tag);
+    SET_SLOT(n, off_attrs, attrs);
+    SET_SLOT(n, off_children, children);
+    if (parent == NULL)
+        parent = Py_None;
+    Py_INCREF(parent);
+    SET_SLOT(n, off_parent, parent);
+    Py_INCREF(c_empty);
+    SET_SLOT(n, off_text, c_empty);
+    Py_INCREF(c_empty);
+    SET_SLOT(n, off_tail, c_empty);
+    return n;
+}
+
+/* ------------------------------------------------------------ the stack */
+
+typedef struct {
+    PyObject *root;      /* owned */
+    PyObject **stack;    /* borrowed refs (tree keeps them alive) */
+    Py_ssize_t len, cap;
+} PState;
+
+static int
+st_push(PState *st, PyObject *node)
+{
+    if (st->len == st->cap) {
+        Py_ssize_t ncap = st->cap * 2;
+        PyObject **ns = PyMem_Realloc(st->stack, ncap * sizeof(PyObject *));
+        if (ns == NULL) {
+            PyErr_NoMemory();
+            return -1;
+        }
+        st->stack = ns;
+        st->cap = ncap;
+    }
+    st->stack[st->len++] = node;
+    return 0;
+}
+
+static inline PyObject *
+st_top_tag(PState *st)
+{
+    return GET_SLOT(st->stack[st->len - 1], off_tag);
+}
+
+/* ------------------------------------------------------------- add_text */
+
+static int
+has_nonspace(PyObject *s)
+{
+    Py_ssize_t n = PyUnicode_GET_LENGTH(s);
+    int kind = PyUnicode_KIND(s);
+    const void *data = PyUnicode_DATA(s);
+    for (Py_ssize_t i = 0; i < n; i++) {
+        if (!Py_UNICODE_ISSPACE(PyUnicode_READ(kind, data, i)))
+            return 1;
+    }
+    return 0;
+}
+
+/* mirrors _TreeBuilder._add_text; steals data. */
+static int
+add_text(PState *st, PyObject *data)
+{
+    if (data == NULL)
+        return -1;
+    if (PyUnicode_GET_LENGTH(data) == 0) { /* semantic no-op */
+        Py_DECREF(data);
+        return 0;
+    }
+    PyObject *cur = st->stack[st->len - 1];
+    if (str_eq(GET_SLOT(cur, off_tag), c_head) && has_nonspace(data)) {
+        /* html5 "in head": non-ws text ends head, reparents into body */
+        st->len--;
+        PyObject *parent = st->stack[st->len - 1];
+        PyObject *body = node_new(c_body, NULL, parent);
+        if (body == NULL)
+            goto fail;
+        if (PyList_Append(GET_SLOT(parent, off_children), body) < 0) {
+            Py_DECREF(body);
+            goto fail;
+        }
+        if (st_push(st, body) < 0) {
+            Py_DECREF(body);
+            goto fail;
+        }
+        Py_DECREF(body); /* children list holds it */
+        cur = st->stack[st->len - 1];
+    }
+    PyObject *children = GET_SLOT(cur, off_children);
+    PyObject *target;
+    Py_ssize_t off;
+    Py_ssize_t nch = PyList_GET_SIZE(children);
+    if (nch > 0) {
+        target = PyList_GET_ITEM(children, nch - 1);
+        off = off_tail;
+    }
+    else {
+        target = cur;
+        off = off_text;
+    }
+    PyObject *old = GET_SLOT(target, off);
+    if (PyUnicode_GET_LENGTH(old) == 0) {
+        SET_SLOT(target, off, data); /* steal */
+        Py_DECREF(old);
+    }
+    else {
+        PyObject *cat = PyUnicode_Concat(old, data);
+        Py_DECREF(data);
+        if (cat == NULL)
+            return -1;
+        SET_SLOT(target, off, cat);
+        Py_DECREF(old);
+    }
+    return 0;
+fail:
+    Py_DECREF(data);
+    return -1;
+}
+
+/* --------------------------------------------------------- string utils */
+
+/* substring, unescaped iff it contains '&' (for inter-tag text). Owned. */
+static PyObject *
+text_chunk(PyObject *s, Py_ssize_t a, Py_ssize_t b)
+{
+    PyObject *sub = PyUnicode_Substring(s, a, b);
+    if (sub == NULL)
+        return NULL;
+    Py_ssize_t amp = find_char(sub, '&', 0, PyUnicode_GET_LENGTH(sub));
+    if (amp < -1) { /* error */
+        Py_DECREF(sub);
+        return NULL;
+    }
+    if (amp >= 0) {
+        PyObject *un = PyObject_CallOneArg(unescape_fn, sub);
+        Py_DECREF(sub);
+        return un;
+    }
+    return sub;
+}
+
+/* lowercased substring: ASCII fast path, Python .lower() otherwise. Owned. */
+static PyObject *
+lower_sub(PyObject *s, Py_ssize_t a, Py_ssize_t b)
+{
+    int kind = PyUnicode_KIND(s);
+    const void *data = PyUnicode_DATA(s);
+    Py_ssize_t len = b - a;
+    int ascii_ok = 1;
+    for (Py_ssize_t i = a; i < b; i++) {
+        if (PyUnicode_READ(kind, data, i) >= 128) {
+            ascii_ok = 0;
+            break;
+        }
+    }
+    if (ascii_ok) {
+        PyObject *out = PyUnicode_New(len, 127);
+        if (out == NULL)
+            return NULL;
+        Py_UCS1 *w = PyUnicode_1BYTE_DATA(out);
+        for (Py_ssize_t i = 0; i < len; i++) {
+            Py_UCS4 ch = PyUnicode_READ(kind, data, a + i);
+            if (ch >= 'A' && ch <= 'Z')
+                ch += 32;
+            w[i] = (Py_UCS1)ch;
+        }
+        return out;
+    }
+    PyObject *sub = PyUnicode_Substring(s, a, b);
+    if (sub == NULL)
+        return NULL;
+    PyObject *low = PyObject_CallMethod(sub, "lower", NULL);
+    Py_DECREF(sub);
+    return low;
+}
+
+/* canonicalize a tag string through the bounded cache. Steals t; owned. */
+static PyObject *
+canon_tag(PyObject *t)
+{
+    if (t == NULL)
+        return NULL;
+    PyObject *hit = PyDict_GetItemWithError(tagcache, t);
+    if (hit != NULL) {
+        Py_INCREF(hit);
+        Py_DECREF(t);
+        return hit;
+    }
+    if (PyErr_Occurred()) {
+        Py_DECREF(t);
+        return NULL;
+    }
+    if (PyDict_GET_SIZE(tagcache) < TAGCACHE_MAX) {
+        if (PyDict_SetItem(tagcache, t, t) < 0) {
+            Py_DECREF(t);
+            return NULL;
+        }
+    }
+    return t;
+}
+
+/* ------------------------------------------------------- insertion modes */
+
+/* mirrors _TreeBuilder._implied_close */
+static int
+implied_close(PState *st, PyObject *tag)
+{
+    int r = set_has(set_pclosers, tag);
+    if (r < 0)
+        return -1;
+    if (r) {
+        for (Py_ssize_t i = st->len - 1; i >= 1; i--) {
+            PyObject *t = GET_SLOT(st->stack[i], off_tag);
+            if (str_eq(t, c_p)) {
+                st->len = i;
+                break;
+            }
+            int b = set_has(set_pbarriers, t);
+            if (b < 0)
+                return -1;
+            if (b)
+                break;
+        }
+    }
+    PyObject *closers = PyDict_GetItemWithError(map_implied, tag);
+    if (closers == NULL) {
+        if (PyErr_Occurred())
+            return -1;
+        return 0;
+    }
+    PyObject *barrier_tr =
+        (str_eq(tag, c_td) || str_eq(tag, c_th)) ? c_tr : c_table;
+    for (Py_ssize_t i = st->len - 1; i >= 1; i--) {
+        PyObject *t = GET_SLOT(st->stack[i], off_tag);
+        int c = set_has(closers, t);
+        if (c < 0)
+            return -1;
+        if (c) {
+            st->len = i;
+            break;
+        }
+        if (str_eq(t, c_table) || str_eq(t, c_ul) || str_eq(t, c_ol) ||
+            str_eq(t, c_dl) || str_eq(t, c_body) || str_eq(t, c_html) ||
+            str_eq(t, c_root) || str_eq(t, c_select) || str_eq(t, barrier_tr))
+            break;
+    }
+    return 0;
+}
+
+/* mirrors _FastBuilder._handle_start; borrows tag, steals amap. */
+static int
+handle_start(PState *st, PyObject *tag, PyObject *amap, int self_closing)
+{
+    if (str_eq(st_top_tag(st), c_head)) {
+        int hc = set_has(set_headcontent, tag);
+        if (hc < 0)
+            goto fail;
+        if (!hc) {
+            st->len--;
+            if (!str_eq(tag, c_body) && !str_eq(tag, c_html)) {
+                PyObject *parent = st->stack[st->len - 1];
+                PyObject *body = node_new(c_body, NULL, parent);
+                if (body == NULL)
+                    goto fail;
+                if (PyList_Append(GET_SLOT(parent, off_children), body) < 0) {
+                    Py_DECREF(body);
+                    goto fail;
+                }
+                if (st_push(st, body) < 0) {
+                    Py_DECREF(body);
+                    goto fail;
+                }
+                Py_DECREF(body);
+            }
+        }
+    }
+    int g = set_has(set_gatetags, tag);
+    if (g < 0)
+        goto fail;
+    if (g) {
+        for (Py_ssize_t i = 0; i < st->len; i++) {
+            if (str_eq(GET_SLOT(st->stack[i], off_tag), tag)) {
+                Py_XDECREF(amap);
+                return 0; /* duplicate html/body: merge-ignore */
+            }
+        }
+    }
+    int ni = set_has(set_needsimplied, tag);
+    if (ni < 0)
+        goto fail;
+    if (ni && implied_close(st, tag) < 0)
+        goto fail;
+    PyObject *parent = st->stack[st->len - 1];
+    PyObject *node = node_new(tag, amap, parent); /* steals amap */
+    amap = NULL;
+    if (node == NULL)
+        return -1;
+    if (PyList_Append(GET_SLOT(parent, off_children), node) < 0) {
+        Py_DECREF(node);
+        return -1;
+    }
+    if (!self_closing) {
+        int v = set_has(set_void, tag);
+        if (v < 0) {
+            Py_DECREF(node);
+            return -1;
+        }
+        if (!v && st_push(st, node) < 0) {
+            Py_DECREF(node);
+            return -1;
+        }
+    }
+    Py_DECREF(node);
+    return 0;
+fail:
+    Py_XDECREF(amap);
+    return -1;
+}
+
+/* mirrors _FastBuilder._handle_end; borrows tag. */
+static int
+handle_end(PState *st, PyObject *tag)
+{
+    int v = set_has(set_void, tag);
+    if (v < 0)
+        return -1;
+    if (v)
+        return 0;
+    if (str_eq(tag, c_body) || str_eq(tag, c_html))
+        return 0; /* html5: mode switch only */
+    if (str_eq(st_top_tag(st), tag)) {
+        if (st->len > 1)
+            st->len--;
+        return 0;
+    }
+    for (Py_ssize_t i = st->len - 1; i >= 1; i--) {
+        if (str_eq(GET_SLOT(st->stack[i], off_tag), tag)) {
+            st->len = i;
+            return 0;
+        }
+    }
+    return 0; /* stray end tag: ignore */
+}
+
+/* --------------------------------------------------------- tag scanning */
+
+/* mirrors dom._scan_tag_end: quote state opens only right after '=' */
+static Py_ssize_t
+scan_tag_end(PyObject *s, Py_ssize_t start, Py_ssize_t n)
+{
+    int kind = PyUnicode_KIND(s);
+    const void *data = PyUnicode_DATA(s);
+    Py_UCS4 quote = 0;
+    int after_eq = 0;
+    for (Py_ssize_t i = start; i < n; i++) {
+        Py_UCS4 ch = PyUnicode_READ(kind, data, i);
+        if (quote) {
+            if (ch == quote)
+                quote = 0;
+        }
+        else if (ch == '>')
+            return i;
+        else if (ch == '"' || ch == '\'') {
+            if (after_eq)
+                quote = ch;
+            after_eq = 0;
+        }
+        else if (ch == '=')
+            after_eq = 1;
+        else if (!Py_UNICODE_ISSPACE(ch))
+            after_eq = 0;
+    }
+    return -1;
+}
+
+/* replicate _FAST_ATTR_RE.finditer over s[from_..to): first-wins dict.
+ * name = [a-zA-Z_:@][-.:\w@]*  (\w = unicode alnum or '_'; sre semantics)
+ * value = "..." | '...' | [^\s"'>]*   (optional, after \s*=\s*)       */
+static PyObject *
+parse_attrs(PyObject *s, Py_ssize_t from_, Py_ssize_t to)
+{
+    PyObject *amap = PyDict_New();
+    if (amap == NULL)
+        return NULL;
+    PyObject *val = NULL;
+    int kind = PyUnicode_KIND(s);
+    const void *data = PyUnicode_DATA(s);
+    Py_ssize_t i = from_;
+    while (i < to) {
+        Py_UCS4 ch = PyUnicode_READ(kind, data, i);
+        int is_start = ((ch < 128 &&
+                         ((ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z'))) ||
+                        ch == '_' || ch == ':' || ch == '@');
+        if (!is_start) {
+            i++;
+            continue;
+        }
+        Py_ssize_t name_start = i;
+        i++;
+        while (i < to) {
+            ch = PyUnicode_READ(kind, data, i);
+            if (ch == '-' || ch == '.' || ch == ':' || ch == '@' || ch == '_' ||
+                Py_UNICODE_ISALNUM(ch))
+                i++;
+            else
+                break;
+        }
+        Py_ssize_t name_end = i;
+        /* optional \s*=\s* value */
+        Py_ssize_t j = i;
+        while (j < to && Py_UNICODE_ISSPACE(PyUnicode_READ(kind, data, j)))
+            j++;
+        val = NULL;
+        if (j < to && PyUnicode_READ(kind, data, j) == '=') {
+            j++;
+            while (j < to && Py_UNICODE_ISSPACE(PyUnicode_READ(kind, data, j)))
+                j++;
+            Py_UCS4 q = (j < to) ? PyUnicode_READ(kind, data, j) : 0;
+            if (q == '"' || q == '\'') {
+                Py_ssize_t close = find_char(s, q, j + 1, to);
+                if (close < -1)
+                    goto fail;
+                if (close >= 0) {
+                    val = PyUnicode_Substring(s, j + 1, close);
+                    i = close + 1;
+                }
+                else {
+                    /* unterminated quote: bare alternative matches empty
+                     * at j; finditer resumes there and skips the quote */
+                    val = c_empty;
+                    Py_INCREF(val);
+                    i = j;
+                }
+            }
+            else {
+                Py_ssize_t v0 = j;
+                while (j < to) {
+                    ch = PyUnicode_READ(kind, data, j);
+                    if (ch == '"' || ch == '\'' || ch == '>' ||
+                        Py_UNICODE_ISSPACE(ch))
+                        break;
+                    j++;
+                }
+                val = PyUnicode_Substring(s, v0, j);
+                i = j;
+            }
+            if (val == NULL)
+                goto fail;
+            /* unescape iff contains '&' */
+            Py_ssize_t amp = find_char(val, '&', 0, PyUnicode_GET_LENGTH(val));
+            if (amp < -1)
+                goto failv;
+            if (amp >= 0) {
+                PyObject *un = PyObject_CallOneArg(unescape_fn, val);
+                Py_DECREF(val);
+                if (un == NULL)
+                    goto fail;
+                val = un;
+            }
+        }
+        else {
+            i = name_end; /* no '=': match was just the name */
+            val = c_empty;
+            Py_INCREF(val);
+        }
+        PyObject *aname = lower_sub(s, name_start, name_end);
+        if (aname == NULL)
+            goto failv;
+        int dup = PyDict_Contains(amap, aname);
+        if (dup < 0) {
+            Py_DECREF(aname);
+            goto failv;
+        }
+        if (!dup && PyDict_SetItem(amap, aname, val) < 0) {
+            Py_DECREF(aname);
+            goto failv;
+        }
+        Py_DECREF(aname);
+        Py_DECREF(val);
+    }
+    return amap;
+failv:
+    Py_XDECREF(val);
+fail:
+    Py_DECREF(amap);
+    return NULL;
+}
+
+/* ascii case-insensitive compare of s[pos..pos+len) against lowercase lit;
+ * includes sre full-casefold extras: U+017F for 's', U+212A for 'k'. */
+static int
+casecmp_at(PyObject *s, Py_ssize_t pos, const char *lit, Py_ssize_t len)
+{
+    int kind = PyUnicode_KIND(s);
+    const void *data = PyUnicode_DATA(s);
+    for (Py_ssize_t i = 0; i < len; i++) {
+        Py_UCS4 ch = PyUnicode_READ(kind, data, pos + i);
+        Py_UCS4 m = (Py_UCS4)lit[i];
+        if (ch == m || ch == m - 32)
+            continue;
+        if (m == 's' && ch == 0x17F)
+            continue;
+        if (m == 'k' && ch == 0x212A)
+            continue;
+        return 0;
+    }
+    return 1;
+}
+
+/* ------------------------------------------------------------ the parse */
+
+static PyObject *
+chtml_parse(PyObject *self, PyObject *arg)
+{
+    (void)self;
+    if (node_type == NULL) {
+        PyErr_SetString(PyExc_RuntimeError, "_chtml.setup() not called");
+        return NULL;
+    }
+    if (!PyUnicode_Check(arg)) {
+        PyErr_SetString(PyExc_TypeError, "parse() expects str");
+        return NULL;
+    }
+    PyObject *s = arg;
+    Py_ssize_t n = PyUnicode_GET_LENGTH(s);
+    int kind = PyUnicode_KIND(s);
+    const void *data = PyUnicode_DATA(s);
+
+    PState st;
+    st.root = node_new(c_root, NULL, NULL);
+    if (st.root == NULL)
+        return NULL;
+    st.cap = 64;
+    st.len = 0;
+    st.stack = PyMem_Malloc(st.cap * sizeof(PyObject *));
+    if (st.stack == NULL) {
+        Py_DECREF(st.root);
+        PyErr_NoMemory();
+        return NULL;
+    }
+    st.stack[st.len++] = st.root;
+
+    Py_ssize_t i = 0;
+    while (i < n) {
+        Py_ssize_t lt = find_char(s, '<', i, n);
+        if (lt < -1)
+            goto fail;
+        if (lt < 0) {
+            if (add_text(&st, text_chunk(s, i, n)) < 0)
+                goto fail;
+            break;
+        }
+        if (lt > i) {
+            if (add_text(&st, text_chunk(s, i, lt)) < 0)
+                goto fail;
+        }
+        Py_UCS4 c = (lt + 1 < n) ? PyUnicode_READ(kind, data, lt + 1) : 0;
+        if (c == '/') {
+            Py_ssize_t gt = find_char(s, '>', lt, n);
+            if (gt < -1)
+                goto fail;
+            if (gt < 0) {
+                if (add_text(&st, PyUnicode_Substring(s, lt, n)) < 0)
+                    goto fail;
+                break;
+            }
+            /* name = s[lt+2:gt].strip().lower(); if name:
+             * handle_end(name.split()[0]) */
+            Py_ssize_t a = lt + 2, b = gt;
+            int ascii_ok = 1;
+            for (Py_ssize_t k = a; k < b; k++) {
+                if (PyUnicode_READ(kind, data, k) >= 128) {
+                    ascii_ok = 0;
+                    break;
+                }
+            }
+            if (ascii_ok) {
+                while (a < b &&
+                       Py_UNICODE_ISSPACE(PyUnicode_READ(kind, data, a)))
+                    a++;
+                Py_ssize_t e = a;
+                while (e < b &&
+                       !Py_UNICODE_ISSPACE(PyUnicode_READ(kind, data, e)))
+                    e++;
+                if (a < e) {
+                    PyObject *tag = canon_tag(lower_sub(s, a, e));
+                    if (tag == NULL)
+                        goto fail;
+                    int r = handle_end(&st, tag);
+                    Py_DECREF(tag);
+                    if (r < 0)
+                        goto fail;
+                }
+            }
+            else {
+                PyObject *sub = PyUnicode_Substring(s, a, b);
+                if (sub == NULL)
+                    goto fail;
+                PyObject *stripped = PyObject_CallMethod(sub, "strip", NULL);
+                Py_DECREF(sub);
+                if (stripped == NULL)
+                    goto fail;
+                PyObject *low = PyObject_CallMethod(stripped, "lower", NULL);
+                Py_DECREF(stripped);
+                if (low == NULL)
+                    goto fail;
+                if (PyUnicode_GET_LENGTH(low) > 0) {
+                    PyObject *parts = PyUnicode_Split(low, NULL, 1);
+                    Py_DECREF(low);
+                    if (parts == NULL)
+                        goto fail;
+                    if (PyList_GET_SIZE(parts) > 0) {
+                        PyObject *tok = PyList_GET_ITEM(parts, 0);
+                        Py_INCREF(tok);
+                        PyObject *tag = canon_tag(tok);
+                        if (tag == NULL) {
+                            Py_DECREF(parts);
+                            goto fail;
+                        }
+                        int r = handle_end(&st, tag);
+                        Py_DECREF(tag);
+                        if (r < 0) {
+                            Py_DECREF(parts);
+                            goto fail;
+                        }
+                    }
+                    Py_DECREF(parts);
+                }
+                else
+                    Py_DECREF(low);
+            }
+            i = gt + 1;
+        }
+        else if (c == '!') {
+            if (lt + 4 <= n && PyUnicode_READ(kind, data, lt + 2) == '-' &&
+                PyUnicode_READ(kind, data, lt + 3) == '-') {
+                Py_ssize_t end =
+                    (lt + 4 <= n)
+                        ? PyUnicode_Find(s, c_arrow, lt + 4, n, 1)
+                        : -1;
+                if (end < -1)
+                    goto fail;
+                i = (end >= 0) ? end + 3 : n;
+            }
+            else {
+                Py_ssize_t gt = find_char(s, '>', lt, n);
+                if (gt < -1)
+                    goto fail;
+                i = (gt >= 0) ? gt + 1 : n;
+            }
+        }
+        else if (c == '?') {
+            Py_ssize_t gt = find_char(s, '>', lt, n);
+            if (gt < -1)
+                goto fail;
+            i = (gt >= 0) ? gt + 1 : n;
+        }
+        else if (c < 128 &&
+                 ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))) {
+            /* start tag: replicate _FAST_START_RE + quote-parity extension */
+            Py_ssize_t gt = find_char(s, '>', lt + 1, n);
+            if (gt < -1)
+                goto fail;
+            if (gt < 0) {
+                if (add_text(&st, PyUnicode_Substring(s, lt, n)) < 0)
+                    goto fail;
+                break;
+            }
+            Py_ssize_t ne = lt + 1;
+            while (ne < gt) {
+                Py_UCS4 ch = PyUnicode_READ(kind, data, ne);
+                if (ch == '/' || Py_UNICODE_ISSPACE(ch))
+                    break;
+                ne++;
+            }
+            Py_ssize_t taglen = ne - (lt + 1);
+            /* quote parity over s[lt+1:gt] (tag + rest) */
+            Py_ssize_t dq = 0, sq = 0;
+            for (Py_ssize_t k = lt + 1; k < gt; k++) {
+                Py_UCS4 ch = PyUnicode_READ(kind, data, k);
+                if (ch == '"')
+                    dq++;
+                else if (ch == '\'')
+                    sq++;
+            }
+            if ((dq & 1) || (sq & 1)) {
+                Py_ssize_t gt2 = scan_tag_end(s, lt + 1, n);
+                if (gt2 >= 0)
+                    gt = gt2;
+            }
+            Py_ssize_t rs = lt + 1 + taglen, re_ = gt;
+            int self_closing =
+                (re_ > rs && PyUnicode_READ(kind, data, re_ - 1) == '/');
+            if (self_closing)
+                re_--;
+            PyObject *tag = canon_tag(lower_sub(s, lt + 1, ne));
+            if (tag == NULL)
+                goto fail;
+            PyObject *amap;
+            if (re_ > rs) {
+                amap = parse_attrs(s, rs, re_);
+                if (amap == NULL) {
+                    Py_DECREF(tag);
+                    goto fail;
+                }
+            }
+            else {
+                amap = PyDict_New();
+                if (amap == NULL) {
+                    Py_DECREF(tag);
+                    goto fail;
+                }
+            }
+            if (handle_start(&st, tag, amap, self_closing) < 0) {
+                Py_DECREF(tag);
+                goto fail;
+            }
+            i = gt + 1;
+            int is_script = str_eq(tag, c_script);
+            int is_style = !is_script && str_eq(tag, c_style);
+            if (!self_closing && (is_script || is_style)) {
+                const char *lit = is_script ? "script" : "style";
+                Py_ssize_t tl = is_script ? 6 : 5;
+                Py_ssize_t j = i, end = -1;
+                while (1) {
+                    j = find_char(s, '<', j, n);
+                    if (j < -1) {
+                        Py_DECREF(tag);
+                        goto fail;
+                    }
+                    if (j < 0)
+                        break;
+                    if (j + 1 < n && PyUnicode_READ(kind, data, j + 1) == '/' &&
+                        j + 2 + tl < n && casecmp_at(s, j + 2, lit, tl)) {
+                        Py_UCS4 d = PyUnicode_READ(kind, data, j + 2 + tl);
+                        if (d == '>' || d == '/' || Py_UNICODE_ISSPACE(d)) {
+                            end = j;
+                            break;
+                        }
+                    }
+                    j++;
+                }
+                if (end < 0) {
+                    if (add_text(&st, PyUnicode_Substring(s, i, n)) < 0 ||
+                        handle_end(&st, tag) < 0) {
+                        Py_DECREF(tag);
+                        goto fail;
+                    }
+                    Py_DECREF(tag);
+                    break;
+                }
+                if (add_text(&st, PyUnicode_Substring(s, i, end)) < 0) {
+                    Py_DECREF(tag);
+                    goto fail;
+                }
+                Py_ssize_t gt3 = find_char(s, '>', end, n);
+                if (gt3 < -1 || handle_end(&st, tag) < 0) {
+                    Py_DECREF(tag);
+                    goto fail;
+                }
+                i = (gt3 >= 0) ? gt3 + 1 : n;
+            }
+            Py_DECREF(tag);
+        }
+        else if (c != 0 && Py_UNICODE_ISALPHA(c)) {
+            /* unicode-alpha lead char: regex fails -> pseudo-tag as text,
+             * honoring the quote-parity '>'-extension */
+            Py_ssize_t gt = find_char(s, '>', lt + 1, n);
+            if (gt < -1)
+                goto fail;
+            if (gt < 0) {
+                if (add_text(&st, PyUnicode_Substring(s, lt, n)) < 0)
+                    goto fail;
+                break;
+            }
+            Py_ssize_t dq = 0, sq = 0;
+            for (Py_ssize_t k = lt + 1; k < gt; k++) {
+                Py_UCS4 ch = PyUnicode_READ(kind, data, k);
+                if (ch == '"')
+                    dq++;
+                else if (ch == '\'')
+                    sq++;
+            }
+            if ((dq & 1) || (sq & 1)) {
+                Py_ssize_t gt2 = scan_tag_end(s, lt + 1, n);
+                if (gt2 >= 0)
+                    gt = gt2;
+            }
+            if (add_text(&st, PyUnicode_Substring(s, lt, gt + 1)) < 0)
+                goto fail;
+            i = gt + 1;
+        }
+        else {
+            Py_INCREF(c_lt);
+            if (add_text(&st, c_lt) < 0)
+                goto fail;
+            i = lt + 1;
+        }
+    }
+    PyMem_Free(st.stack);
+    return st.root;
+fail:
+    PyMem_Free(st.stack);
+    Py_DECREF(st.root);
+    return NULL;
+}
+
+/* ------------------------------------------------------------ deep copy */
+
+/* shallow clone; parent borrowed (NULL -> None). Owned. */
+static PyObject *
+clone_shallow(PyObject *src, PyObject *parent)
+{
+    PyObject *attrs = PyDict_Copy(GET_SLOT(src, off_attrs));
+    if (attrs == NULL)
+        return NULL;
+    PyObject *n = node_type->tp_alloc(node_type, 0);
+    if (n == NULL) {
+        Py_DECREF(attrs);
+        return NULL;
+    }
+    PyObject *children = PyList_New(0);
+    if (children == NULL) {
+        Py_DECREF(attrs);
+        Py_DECREF(n);
+        return NULL;
+    }
+    PyObject *v;
+    v = GET_SLOT(src, off_tag);
+    Py_INCREF(v);
+    SET_SLOT(n, off_tag, v);
+    SET_SLOT(n, off_attrs, attrs);
+    SET_SLOT(n, off_children, children);
+    if (parent == NULL)
+        parent = Py_None;
+    Py_INCREF(parent);
+    SET_SLOT(n, off_parent, parent);
+    v = GET_SLOT(src, off_text);
+    Py_INCREF(v);
+    SET_SLOT(n, off_text, v);
+    v = GET_SLOT(src, off_tail);
+    Py_INCREF(v);
+    SET_SLOT(n, off_tail, v);
+    return n;
+}
+
+static PyObject *
+chtml_copy_node(PyObject *self, PyObject *arg)
+{
+    (void)self;
+    if (node_type == NULL) {
+        PyErr_SetString(PyExc_RuntimeError, "_chtml.setup() not called");
+        return NULL;
+    }
+    if (!PyObject_TypeCheck(arg, node_type)) {
+        PyErr_SetString(PyExc_TypeError, "copy_node() expects a Node");
+        return NULL;
+    }
+    PyObject *root = clone_shallow(arg, NULL);
+    if (root == NULL)
+        return NULL;
+    /* worklist of (src, dst) pairs; dst borrowed (root tree owns) */
+    Py_ssize_t cap = 64, len = 0;
+    PyObject **work = PyMem_Malloc(cap * 2 * sizeof(PyObject *));
+    if (work == NULL) {
+        Py_DECREF(root);
+        PyErr_NoMemory();
+        return NULL;
+    }
+    work[0] = arg;
+    work[1] = root;
+    len = 1;
+    while (len > 0) {
+        len--;
+        PyObject *src = work[len * 2];
+        PyObject *dst = work[len * 2 + 1];
+        PyObject *schildren = GET_SLOT(src, off_children);
+        Py_ssize_t nch = PyList_GET_SIZE(schildren);
+        if (nch == 0)
+            continue;
+        PyObject *dchildren = GET_SLOT(dst, off_children);
+        for (Py_ssize_t k = 0; k < nch; k++) {
+            PyObject *child = PyList_GET_ITEM(schildren, k);
+            PyObject *cc = clone_shallow(child, dst);
+            if (cc == NULL)
+                goto fail;
+            if (PyList_Append(dchildren, cc) < 0) {
+                Py_DECREF(cc);
+                goto fail;
+            }
+            Py_DECREF(cc);
+            if (PyList_GET_SIZE(GET_SLOT(child, off_children)) > 0) {
+                if (len == cap) {
+                    Py_ssize_t ncap = cap * 2;
+                    PyObject **nw =
+                        PyMem_Realloc(work, ncap * 2 * sizeof(PyObject *));
+                    if (nw == NULL) {
+                        PyErr_NoMemory();
+                        goto fail;
+                    }
+                    work = nw;
+                    cap = ncap;
+                }
+                work[len * 2] = child;
+                work[len * 2 + 1] = cc; /* borrowed: dchildren holds it */
+                len++;
+            }
+        }
+    }
+    PyMem_Free(work);
+    return root;
+fail:
+    PyMem_Free(work);
+    Py_DECREF(root);
+    return NULL;
+}
+
+/* ----------------------------------------------------- text_content ----- */
+
+/* mirrors Node.text_content: all text of self + descendants in DOCUMENT
+ * ORDER (own tail excluded, descendant tails included; a node's tail
+ * comes after its whole subtree). */
+static PyObject *
+chtml_text_content(PyObject *self, PyObject *arg)
+{
+    (void)self;
+    if (node_type == NULL) {
+        PyErr_SetString(PyExc_RuntimeError, "_chtml.setup() not called");
+        return NULL;
+    }
+    if (!PyObject_TypeCheck(arg, node_type)) {
+        PyErr_SetString(PyExc_TypeError, "text_content() expects a Node");
+        return NULL;
+    }
+    PyObject *parts = PyList_New(0);
+    if (parts == NULL)
+        return NULL;
+    if (PyList_Append(parts, GET_SLOT(arg, off_text)) < 0)
+        goto fail;
+    /* work stack: entries are either Node* (visit) or str* (emit) —
+     * exactly the Python algorithm; borrowed refs (tree alive via arg) */
+    Py_ssize_t cap = 64, len = 0;
+    PyObject **stack = PyMem_Malloc(cap * sizeof(PyObject *));
+    if (stack == NULL) {
+        PyErr_NoMemory();
+        goto fail;
+    }
+    PyObject *children = GET_SLOT(arg, off_children);
+    Py_ssize_t nch = PyList_GET_SIZE(children);
+    for (Py_ssize_t k = nch - 1; k >= 0; k--) {
+        stack[len++] = PyList_GET_ITEM(children, k);
+        if (len == cap) {
+            cap *= 2;
+            PyObject **ns = PyMem_Realloc(stack, cap * sizeof(PyObject *));
+            if (ns == NULL) {
+                PyMem_Free(stack);
+                PyErr_NoMemory();
+                goto fail;
+            }
+            stack = ns;
+        }
+    }
+    while (len > 0) {
+        PyObject *item = stack[--len];
+        if (PyUnicode_Check(item)) { /* emit-later tail marker */
+            if (PyList_Append(parts, item) < 0) {
+                PyMem_Free(stack);
+                goto fail;
+            }
+            continue;
+        }
+        if (PyList_Append(parts, GET_SLOT(item, off_text)) < 0) {
+            PyMem_Free(stack);
+            goto fail;
+        }
+        PyObject *tail = GET_SLOT(item, off_tail);
+        int push_tail = PyUnicode_GET_LENGTH(tail) > 0;
+        children = GET_SLOT(item, off_children);
+        nch = PyList_GET_SIZE(children);
+        Py_ssize_t need = len + nch + (push_tail ? 1 : 0);
+        if (need >= cap) {
+            while (cap <= need)
+                cap *= 2;
+            PyObject **ns = PyMem_Realloc(stack, cap * sizeof(PyObject *));
+            if (ns == NULL) {
+                PyMem_Free(stack);
+                PyErr_NoMemory();
+                goto fail;
+            }
+            stack = ns;
+        }
+        if (push_tail)
+            stack[len++] = tail;
+        for (Py_ssize_t k = nch - 1; k >= 0; k--)
+            stack[len++] = PyList_GET_ITEM(children, k);
+    }
+    PyMem_Free(stack);
+    PyObject *joined = PyUnicode_Join(c_empty, parts);
+    Py_DECREF(parts);
+    return joined;
+fail:
+    Py_DECREF(parts);
+    return NULL;
+}
+
+/* --------------------------------------------------------- find_all ----- */
+
+/* mirrors Node.find_all: pre-order descendants (excluding self), filtered
+ * by the tags tuple (empty tuple = all). */
+static PyObject *
+chtml_find_all(PyObject *self, PyObject *args)
+{
+    (void)self;
+    PyObject *node, *tags;
+    if (!PyArg_ParseTuple(args, "OO!", &node, &PyTuple_Type, &tags))
+        return NULL;
+    if (node_type == NULL || !PyObject_TypeCheck(node, node_type)) {
+        PyErr_SetString(PyExc_TypeError, "find_all() expects a Node");
+        return NULL;
+    }
+    Py_ssize_t ntags = PyTuple_GET_SIZE(tags);
+    PyObject *out = PyList_New(0);
+    if (out == NULL)
+        return NULL;
+    PyObject *children = GET_SLOT(node, off_children);
+    Py_ssize_t nch = PyList_GET_SIZE(children);
+    Py_ssize_t cap = (nch + 1 > 64) ? nch + 1 : 64, len = 0;
+    PyObject **stack = PyMem_Malloc(cap * sizeof(PyObject *));
+    if (stack == NULL) {
+        Py_DECREF(out);
+        PyErr_NoMemory();
+        return NULL;
+    }
+    for (Py_ssize_t k = nch - 1; k >= 0; k--)
+        stack[len++] = PyList_GET_ITEM(children, k);
+    while (len > 0) {
+        PyObject *cur = stack[--len];
+        int match;
+        if (ntags == 0)
+            match = 1;
+        else {
+            match = 0;
+            PyObject *t = GET_SLOT(cur, off_tag);
+            for (Py_ssize_t k = 0; k < ntags; k++) {
+                if (str_eq(t, PyTuple_GET_ITEM(tags, k))) {
+                    match = 1;
+                    break;
+                }
+            }
+        }
+        if (match && PyList_Append(out, cur) < 0) {
+            PyMem_Free(stack);
+            Py_DECREF(out);
+            return NULL;
+        }
+        children = GET_SLOT(cur, off_children);
+        nch = PyList_GET_SIZE(children);
+        if (nch > 0) {
+            if (len + nch >= cap) {
+                while (cap <= len + nch)
+                    cap *= 2;
+                PyObject **ns =
+                    PyMem_Realloc(stack, cap * sizeof(PyObject *));
+                if (ns == NULL) {
+                    PyMem_Free(stack);
+                    Py_DECREF(out);
+                    PyErr_NoMemory();
+                    return NULL;
+                }
+                stack = ns;
+            }
+            for (Py_ssize_t k = nch - 1; k >= 0; k--)
+                stack[len++] = PyList_GET_ITEM(children, k);
+        }
+    }
+    PyMem_Free(stack);
+    return out;
+}
+
+/* ------------------------------------------------------- tree iterator -- */
+
+/* C replacement for Node.iter/iterdesc generators.  Replicates the lazy
+ * semantics exactly: a yielded node's children are read AFTER the consumer
+ * resumes (so surgery on the just-yielded node is visible, matching the
+ * Python generators), while a filtered-out node's children are read
+ * immediately.  The stack holds STRONG refs (the generator's list does
+ * too): a consumer may detach the subtree mid-iteration. */
+typedef struct {
+    PyObject_HEAD
+    PyObject **stack; /* owned refs */
+    Py_ssize_t len, cap;
+    PyObject *want;    /* tuple of tags or NULL for all */
+    PyObject *pending; /* last yielded node whose children are unread */
+} TreeIter;
+
+static void
+treeiter_dealloc(TreeIter *it)
+{
+    PyObject_GC_UnTrack(it);
+    for (Py_ssize_t i = 0; i < it->len; i++)
+        Py_DECREF(it->stack[i]);
+    PyMem_Free(it->stack);
+    Py_XDECREF(it->want);
+    Py_XDECREF(it->pending);
+    PyObject_GC_Del(it);
+}
+
+static int
+treeiter_traverse(TreeIter *it, visitproc visit, void *arg)
+{
+    for (Py_ssize_t i = 0; i < it->len; i++)
+        Py_VISIT(it->stack[i]);
+    Py_VISIT(it->want);
+    Py_VISIT(it->pending);
+    return 0;
+}
+
+static int
+treeiter_push_children(TreeIter *it, PyObject *node)
+{
+    PyObject *children = GET_SLOT(node, off_children);
+    Py_ssize_t nch = PyList_GET_SIZE(children);
+    if (nch == 0)
+        return 0;
+    if (it->len + nch > it->cap) {
+        Py_ssize_t ncap = it->cap;
+        while (ncap < it->len + nch)
+            ncap *= 2;
+        PyObject **ns = PyMem_Realloc(it->stack, ncap * sizeof(PyObject *));
+        if (ns == NULL) {
+            PyErr_NoMemory();
+            return -1;
+        }
+        it->stack = ns;
+        it->cap = ncap;
+    }
+    for (Py_ssize_t k = nch - 1; k >= 0; k--) {
+        PyObject *c = PyList_GET_ITEM(children, k);
+        Py_INCREF(c);
+        it->stack[it->len++] = c;
+    }
+    return 0;
+}
+
+static PyObject *
+treeiter_next(TreeIter *it)
+{
+    if (it->pending != NULL) {
+        PyObject *p = it->pending;
+        it->pending = NULL;
+        int r = treeiter_push_children(it, p);
+        Py_DECREF(p);
+        if (r < 0)
+            return NULL;
+    }
+    while (it->len > 0) {
+        PyObject *node = it->stack[--it->len]; /* transfer: we own it */
+        int match = 1;
+        if (it->want != NULL) {
+            match = 0;
+            PyObject *t = GET_SLOT(node, off_tag);
+            Py_ssize_t nt = PyTuple_GET_SIZE(it->want);
+            for (Py_ssize_t k = 0; k < nt; k++) {
+                if (str_eq(t, PyTuple_GET_ITEM(it->want, k))) {
+                    match = 1;
+                    break;
+                }
+            }
+        }
+        if (match) {
+            Py_INCREF(node);
+            it->pending = node; /* children read on next resume */
+            return node;        /* owned ref to caller */
+        }
+        int r = treeiter_push_children(it, node);
+        Py_DECREF(node);
+        if (r < 0)
+            return NULL;
+    }
+    return NULL; /* StopIteration */
+}
+
+static PyTypeObject TreeIter_Type = {
+    PyVarObject_HEAD_INIT(NULL, 0).tp_name = "_chtml.TreeIter",
+    .tp_basicsize = sizeof(TreeIter),
+    .tp_dealloc = (destructor)treeiter_dealloc,
+    .tp_flags = Py_TPFLAGS_DEFAULT | Py_TPFLAGS_HAVE_GC,
+    .tp_traverse = (traverseproc)treeiter_traverse,
+    .tp_iter = PyObject_SelfIter,
+    .tp_iternext = (iternextfunc)treeiter_next,
+};
+
+/* iter_tree(node, tags: tuple, include_self: bool) -> iterator */
+static PyObject *
+chtml_iter_tree(PyObject *self, PyObject *args)
+{
+    (void)self;
+    PyObject *node, *tags;
+    int include_self;
+    if (!PyArg_ParseTuple(args, "OO!p", &node, &PyTuple_Type, &tags,
+                          &include_self))
+        return NULL;
+    if (node_type == NULL || !PyObject_TypeCheck(node, node_type)) {
+        PyErr_SetString(PyExc_TypeError, "iter_tree() expects a Node");
+        return NULL;
+    }
+    TreeIter *it = PyObject_GC_New(TreeIter, &TreeIter_Type);
+    if (it == NULL)
+        return NULL;
+    it->len = 0;
+    it->cap = 64;
+    it->want = NULL;
+    it->pending = NULL;
+    it->stack = PyMem_Malloc(it->cap * sizeof(PyObject *));
+    if (it->stack == NULL) {
+        Py_DECREF(it);
+        PyErr_NoMemory();
+        return NULL;
+    }
+    if (PyTuple_GET_SIZE(tags) > 0) {
+        Py_INCREF(tags);
+        it->want = tags;
+    }
+    if (include_self) {
+        /* matches Node.iter: self first, then descendants — implemented
+         * by seeding the stack with self (children then read lazily) */
+        Py_INCREF(node);
+        it->stack[it->len++] = node;
+    }
+    else {
+        /* matches Node.iterdesc's generator laziness: self.children are
+         * read at the FIRST next() call, not at generator creation —
+         * `pending` defers exactly that read */
+        Py_INCREF(node);
+        it->pending = node;
+    }
+    PyObject_GC_Track(it);
+    return (PyObject *)it;
+}
+
+/* ---------------------------------------------------------------- setup */
+
+static int
+slot_offset(PyObject *type, const char *name, Py_ssize_t *out)
+{
+    PyObject *d = PyObject_GetAttrString(type, name);
+    if (d == NULL)
+        return -1;
+    if (!Py_IS_TYPE(d, &PyMemberDescr_Type)) {
+        Py_DECREF(d);
+        PyErr_Format(PyExc_TypeError, "%s is not a slot descriptor", name);
+        return -1;
+    }
+    *out = ((PyMemberDescrObject *)d)->d_member->offset;
+    Py_DECREF(d);
+    return 0;
+}
+
+static PyObject *
+chtml_setup(PyObject *self, PyObject *args)
+{
+    (void)self;
+    PyObject *nt, *sv, *pc, *pb, *ie, *hc, *ni, *gt, *un;
+    if (!PyArg_ParseTuple(args, "OOOOOOOOO", &nt, &sv, &pc, &pb, &ie, &hc,
+                          &ni, &gt, &un))
+        return NULL;
+    if (!PyType_Check(nt)) {
+        PyErr_SetString(PyExc_TypeError, "setup: first arg must be a type");
+        return NULL;
+    }
+    if (slot_offset(nt, "tag", &off_tag) < 0 ||
+        slot_offset(nt, "attrs", &off_attrs) < 0 ||
+        slot_offset(nt, "children", &off_children) < 0 ||
+        slot_offset(nt, "parent", &off_parent) < 0 ||
+        slot_offset(nt, "text", &off_text) < 0 ||
+        slot_offset(nt, "tail", &off_tail) < 0)
+        return NULL;
+    Py_INCREF(nt);
+    node_type = (PyTypeObject *)nt;
+    Py_INCREF(sv);
+    set_void = sv;
+    Py_INCREF(pc);
+    set_pclosers = pc;
+    Py_INCREF(pb);
+    set_pbarriers = pb;
+    Py_INCREF(ie);
+    map_implied = ie;
+    Py_INCREF(hc);
+    set_headcontent = hc;
+    Py_INCREF(ni);
+    set_needsimplied = ni;
+    Py_INCREF(gt);
+    set_gatetags = gt;
+    Py_INCREF(un);
+    unescape_fn = un;
+    tagcache = PyDict_New();
+    if (tagcache == NULL)
+        return NULL;
+    /* seed the cache so pointer-equality fast paths hit for the tags the
+     * insertion-mode logic compares against */
+    PyObject *seeds[] = {c_head, c_body, c_html, c_p, c_script, c_style,
+                         c_table, c_tr, c_td, c_th, c_ul, c_ol, c_dl,
+                         c_select};
+    for (size_t k = 0; k < sizeof(seeds) / sizeof(seeds[0]); k++) {
+        if (PyDict_SetItem(tagcache, seeds[k], seeds[k]) < 0)
+            return NULL;
+    }
+    Py_RETURN_NONE;
+}
+
+static PyMethodDef chtml_methods[] = {
+    {"setup", chtml_setup, METH_VARARGS,
+     "setup(Node, VOID, P_CLOSERS, P_CLOSE_BARRIERS, IMPLIED_END, "
+     "HEAD_CONTENT, NEEDS_IMPLIED, GATE_TAGS, unescape)"},
+    {"parse", chtml_parse, METH_O,
+     "parse(html: str) -> Node  (the '#root' node, _FastBuilder contract)"},
+    {"copy_node", chtml_copy_node, METH_O,
+     "copy_node(node) -> Node  (deep copy, Node.copy contract)"},
+    {"text_content", chtml_text_content, METH_O,
+     "text_content(node) -> str  (Node.text_content contract)"},
+    {"find_all", chtml_find_all, METH_VARARGS,
+     "find_all(node, tags: tuple) -> list  (Node.find_all contract)"},
+    {"iter_tree", chtml_iter_tree, METH_VARARGS,
+     "iter_tree(node, tags: tuple, include_self: bool) -> iterator "
+     "(Node.iter/iterdesc contract incl. lazy child reads)"},
+    {NULL, NULL, 0, NULL}};
+
+static struct PyModuleDef chtml_module = {
+    PyModuleDef_HEAD_INIT, "_chtml",
+    "C accelerator for trafilatura_spark.dom (tokenizer + deep copy)", -1,
+    chtml_methods, NULL, NULL, NULL, NULL};
+
+PyMODINIT_FUNC
+PyInit__chtml(void)
+{
+    if (PyType_Ready(&TreeIter_Type) < 0)
+        return NULL;
+    PyObject *m = PyModule_Create(&chtml_module);
+    if (m == NULL)
+        return NULL;
+#define MKSTR(var, lit)                                                       \
+    do {                                                                      \
+        var = PyUnicode_InternFromString(lit);                                \
+        if (var == NULL)                                                      \
+            return NULL;                                                      \
+    } while (0)
+    MKSTR(c_root, "#root");
+    MKSTR(c_head, "head");
+    MKSTR(c_body, "body");
+    MKSTR(c_html, "html");
+    MKSTR(c_p, "p");
+    MKSTR(c_script, "script");
+    MKSTR(c_style, "style");
+    MKSTR(c_table, "table");
+    MKSTR(c_tr, "tr");
+    MKSTR(c_td, "td");
+    MKSTR(c_th, "th");
+    MKSTR(c_ul, "ul");
+    MKSTR(c_ol, "ol");
+    MKSTR(c_dl, "dl");
+    MKSTR(c_select, "select");
+    MKSTR(c_empty, "");
+    MKSTR(c_lt, "<");
+    MKSTR(c_arrow, "-->");
+#undef MKSTR
+    return m;
+}

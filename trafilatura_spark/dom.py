@@ -69,6 +69,14 @@ _RAWTEXT_END = {
 
 # Raw-text elements: HTMLParser handles script/style natively (CDATA mode).
 
+# Optional C accelerator (wired at the bottom of this module once Node and
+# the insertion-mode tables exist; None when gcc/the build is unavailable).
+_CPARSE = None
+_CCOPY = None
+_CTEXT = None
+_CFINDALL = None
+_CITER = None
+
 
 class Node:
     """One element. ``text`` = text before first child, ``tail`` = text after
@@ -98,6 +106,14 @@ class Node:
     # -- tree navigation ---------------------------------------------------
     def iter(self, *tags: str):
         """Pre-order iteration including self; optionally filter by tag."""
+        # NOT a generator function itself: the C iterator must be returned
+        # directly (an early `return x` inside a generator body would be
+        # swallowed into StopIteration.value)
+        if _CITER is not None:
+            return _CITER(self, tags, True)
+        return self._iter_py(tags)
+
+    def _iter_py(self, tags):
         stack = [self]
         want = set(tags) if tags else None
         pop = stack.pop
@@ -111,6 +127,11 @@ class Node:
 
     def iterdesc(self, *tags: str):
         """Pre-order iteration of descendants (excluding self)."""
+        if _CITER is not None:
+            return _CITER(self, tags, False)
+        return self._iterdesc_py(tags)
+
+    def _iterdesc_py(self, tags):
         stack = list(reversed(self.children))
         want = set(tags) if tags else None
         pop = stack.pop
@@ -124,6 +145,8 @@ class Node:
 
     def find_all(self, *tags: str) -> list["Node"]:
         # explicit loop: full-scan callers skip generator resume overhead
+        if _CFINDALL is not None:
+            return _CFINDALL(self, tags)
         want = set(tags) if tags else None
         out: list[Node] = []
         append = out.append
@@ -160,6 +183,8 @@ class Node:
         tails included).  A node's tail comes after its whole subtree, so
         it is pushed before the children on the work stack (plain strings
         on the stack are emit-later markers)."""
+        if _CTEXT is not None:
+            return _CTEXT(self)
         parts = [self.text]
         stack: list = list(reversed(self.children))
         while stack:
@@ -248,6 +273,8 @@ class Node:
         # real pages: tree surgery rollbacks copy whole subtrees);
         # __new__ + direct slot writes skip the __init__ dispatch, which
         # dominated per-node cost at ~300k copied nodes per real batch
+        if _CCOPY is not None:
+            return _CCOPY(self)
         new = Node.__new__
         root = new(Node)
         root.tag = self.tag
@@ -664,8 +691,12 @@ def parse_html(html: str) -> Node:
     content lands in ``body``.
     """
     try:
-        builder = _FastBuilder()
-        builder.feed(html)
+        if _CPARSE is not None:
+            root = _CPARSE(html)
+        else:
+            builder = _FastBuilder()
+            builder.feed(html)
+            root = builder.root
     except Exception:
         # pathological input: fall back to the stdlib-based builder
         builder = _TreeBuilder()
@@ -674,7 +705,7 @@ def parse_html(html: str) -> Node:
             builder.close()
         except Exception:
             pass
-    root = builder.root
+        root = builder.root
 
     html_node = None
     for child in root.children:
@@ -956,3 +987,22 @@ def css_select(root: "Node", selector: str) -> list["Node"]:
                 seen.add(id(n))
                 out.append(n)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Optional C accelerator wiring (SURVEY §8 round-5 lever (a)).  The seam is
+# strictly additive: when the extension compiles (gcc + CPython headers, as
+# on the bench hosts) parse_html and Node.copy dispatch to it; otherwise
+# everything above runs unchanged.  Exact-tree parity is pinned by
+# tests/test_chtml.py (reference-corpus + fuzz differentials) and by the
+# 1,033-page golden manifests, which exercise whichever path is active.
+try:  # pragma: no cover - environment-dependent
+    from . import chtml as _chtml
+
+    _handles = _chtml.load(
+        Node, VOID_ELEMENTS, _P_CLOSERS, _P_CLOSE_BARRIERS, _IMPLIED_END,
+        _HEAD_CONTENT, _NEEDS_IMPLIED, _GATE_TAGS, _unescape)
+    if _handles is not None:
+        _CPARSE, _CCOPY, _CTEXT, _CFINDALL, _CITER = _handles
+except Exception:  # noqa: BLE001 - accelerator must never break imports
+    pass
