@@ -186,10 +186,36 @@ def q_extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-match dedup family, keyed by ``variant`` (the
+    media_features pattern: variant-specific columns carry sentinels on
+    the other variant): 'exact' = md5 duplicate groups over the injected
+    corpus (one shuffle, map-side partial agg); 'decontam' = benchmark
+    decontamination — normalized token 8-gram overlap of the corpus
+    against an eval set built from every 17th doc (eval_id = doc_id +
+    5e6), eval n-grams broadcast, zero doc-side shuffle.  The decontam
+    leg rides this row to hold the 50-entry driver window."""
     from trafilatura_spark.functions.dedup import (
-        exact_duplicate_groups, inject_duplicates)
+        contamination_matches, exact_duplicate_groups, inject_duplicates)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return exact_duplicate_groups(inject_duplicates(docs))
+    exact = exact_duplicate_groups(inject_duplicates(docs)).select(
+        F.lit("exact").alias("variant"), "text_md5",
+        F.col("dup_count").cast("long").alias("dup_count"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.lit(-1).cast("long").alias("eval_id"),
+        F.lit(-1).cast("long").alias("matched_ngrams"))
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("eval_id"),
+        F.col("text").alias("eval_text"))
+    dec = contamination_matches(docs, eval_df, n=8).select(
+        F.lit("decontam").alias("variant"),
+        F.lit("").alias("text_md5"),
+        F.lit(-1).cast("long").alias("dup_count"),
+        F.lit(-1).cast("long").alias("canonical_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("eval_id").cast("long").alias("eval_id"),
+        F.col("matched_ngrams").cast("long").alias("matched_ngrams"))
+    return exact.unionByName(dec)
 
 
 def _minhash_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1272,11 +1298,53 @@ SELECT doc_id, 'justext' AS tier, 0::BIGINT AS "offset",
 FROM elig ORDER BY doc_id
 """
 
+_DECONTAM_N = 8
+
+# normalized token n-grams (lower + [^a-z0-9]+ -> ' ' + trim), whole-text
+# fallback below n tokens — exact mirror of dedup.normalized_token_ngrams
+_DECONTAM_NGRAMS = f"""
+norm AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+    FROM documents
+),
+doc_grams AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(string_split(t, ' ')) < {_DECONTAM_N} THEN [t]
+             ELSE list_transform(
+                 generate_series(1, len(string_split(t, ' ')) - {_DECONTAM_N - 1}),
+                 i -> array_to_string(
+                     list_slice(string_split(t, ' '), i, i + {_DECONTAM_N - 1}),
+                     ' '))
+        END) AS ngram
+    FROM norm
+),
+eval_grams AS (
+    SELECT doc_id + 5000000 AS eval_id, unnest(list_distinct(
+        CASE WHEN len(string_split(t, ' ')) < {_DECONTAM_N} THEN [t]
+             ELSE list_transform(
+                 generate_series(1, len(string_split(t, ' ')) - {_DECONTAM_N - 1}),
+                 i -> array_to_string(
+                     list_slice(string_split(t, ' '), i, i + {_DECONTAM_N - 1}),
+                     ' '))
+        END)) AS ngram
+    FROM norm WHERE doc_id % 17 = 0
+)
+"""
+
 _ORACLE_DEDUP_EXACT = f"""
-WITH {_DUPED}
-SELECT md5(text) AS text_md5, count(*) AS dup_count,
-       min(doc_id) AS canonical_id
-FROM duped GROUP BY 1 HAVING count(*) > 1
+WITH {_DUPED}, {_DECONTAM_NGRAMS}
+SELECT 'exact' AS variant, md5(text) AS text_md5, count(*) AS dup_count,
+       min(doc_id) AS canonical_id,
+       -1::BIGINT AS doc_id, -1::BIGINT AS eval_id,
+       -1::BIGINT AS matched_ngrams
+FROM duped GROUP BY 2 HAVING count(*) > 1
+UNION ALL
+SELECT 'decontam' AS variant, '' AS text_md5, -1::BIGINT AS dup_count,
+       -1::BIGINT AS canonical_id,
+       d.doc_id, e.eval_id, count(*) AS matched_ngrams
+FROM doc_grams d JOIN eval_grams e USING (ngram)
+GROUP BY d.doc_id, e.eval_id
 """
 
 _SHINGLES = f"""

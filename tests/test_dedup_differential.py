@@ -281,3 +281,63 @@ def test_simhash_banded_pairs_match_bruteforce(spark, sf_dir):
                  for r in all_pairs.filter(F.col("h") <= mh).collect()}
         assert got == brute, mh
         assert got, mh  # non-vacuous: every radius has at least one pair
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (normalized token n-gram overlap vs an eval set)
+
+
+def _decontam_frames(spark):
+    docs = spark.createDataFrame(
+        [
+            # shares the eval 8-gram verbatim (case/punct differ: the
+            # normalizer must see through both)
+            (1, "Prefix words here; The QUICK brown fox, jumps over the lazy dog!! suffix"),
+            # clean document
+            (2, "completely unrelated content about spark partitions and shuffles etc"),
+            # repeats the contaminated phrase twice -> matched_ngrams
+            # counts doc-side occurrences
+            (3, "the quick brown fox jumps over the lazy dog and again "
+                "the quick brown fox jumps over the lazy dog"),
+            # short doc (< n tokens): whole-text fallback, matches the
+            # short eval entry exactly
+            (4, "Tiny-Eval Fragment"),
+            # short doc that matches nothing
+            (5, "tiny other"),
+        ],
+        "doc_id long, text string")
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "tiny eval fragment")],
+        "eval_id long, eval_text string")
+    return docs, eval_df
+
+
+def test_contamination_matches_exact_set(spark):
+    from trafilatura_spark.functions.dedup import contamination_matches
+    docs, eval_df = _decontam_frames(spark)
+    got = {(r.doc_id, r.eval_id): r.matched_ngrams
+           for r in contamination_matches(docs, eval_df, n=8).collect()}
+    # eval 100 has 9 tokens -> 2 distinct 8-grams; doc 1 contains both
+    # ("the quick...lazy" and "quick...dog"); doc 3 contains each twice
+    # plus the bridging grams "...dog and again the..." which are NOT in
+    # the eval set
+    assert got == {(1, 100): 2, (3, 100): 4, (4, 101): 1}
+
+
+def test_decontaminate_removes_only_contaminated(spark):
+    from trafilatura_spark.functions.dedup import decontaminate
+    docs, eval_df = _decontam_frames(spark)
+    kept = sorted(r.doc_id
+                  for r in decontaminate(docs, eval_df, n=8).collect())
+    assert kept == [2, 5]
+
+
+def test_contamination_plan_broadcasts_eval_side(spark):
+    """Scale shape: the eval n-gram side must be a broadcast hash join
+    (no doc-side shuffle before the match)."""
+    from trafilatura_spark.functions.dedup import contamination_matches
+    docs, eval_df = _decontam_frames(spark)
+    plan = contamination_matches(docs, eval_df, n=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

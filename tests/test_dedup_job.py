@@ -413,3 +413,40 @@ def test_job_mode_dedup_stream_cli(spark, tmp_path, capsys):
 def test_job_mode_dedup_requires_input(tmp_path):
     with pytest.raises(SystemExit):
         job_main(["--mode", "dedup", "--output", str(tmp_path / "o")])
+
+
+def test_job_mode_decontam_cli(spark, tmp_path, capsys):
+    inp = str(tmp_path / "docs")
+    ev = str(tmp_path / "eval")
+    out = str(tmp_path / "kept")
+    rep = str(tmp_path / "matches")
+    spark.createDataFrame(
+        [(1, "Prefix; the QUICK brown fox jumps over the lazy dog! end"),
+         (2, "clean document about partitions"),
+         (3, "another clean one entirely")],
+        "doc_id long, text string").write.parquet(inp)
+    spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "eval_id long, eval_text string").write.parquet(ev)
+    rc = job_main(["--mode", "decontam", "--input", inp, "--output", out,
+                   "--eval-set", ev, "--ngram-n", "8",
+                   "--decontam-report", rep])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip()
+                         .splitlines()[-1].replace("'", '"'))
+    assert summary == {"mode": "decontam", "ngram_n": 8,
+                       "kept": 2, "contaminated": 1}
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [2, 3]
+    matches = spark.read.parquet(rep).collect()
+    assert [(m["doc_id"], m["eval_id"], m["matched_ngrams"])
+            for m in matches] == [(1, 100, 2)]
+
+
+def test_job_mode_decontam_requires_eval_set(spark, tmp_path):
+    inp = str(tmp_path / "docs_no_eval")
+    spark.createDataFrame([(1, "x")], "doc_id long, text string") \
+        .write.parquet(inp)
+    with pytest.raises(SystemExit):
+        job_main(["--mode", "decontam", "--input", inp,
+                  "--output", str(tmp_path / "o")])

@@ -788,3 +788,69 @@ def simhash32_table(df: DataFrame, id_col: str = "doc_id",
 def hamming32(a: Column, b: Column) -> Column:
     """Hamming distance between two simhash32 values (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (extension past the reference, which has no
+# corpus-vs-eval-set operator): drop training documents that share token
+# n-grams with an evaluation set — the GPT-3 appendix-C / FineWeb recipe.
+# Spark-first shape: the eval set's distinct n-grams are tiny (benchmarks
+# are 1e4-1e6 n-grams) and BROADCAST; document n-grams stream through the
+# broadcast hash join with ZERO doc-side shuffle; the only exchange is the
+# final count over MATCHED rows (contamination is rare, so that aggregate
+# input is a sliver of the corpus).  At 10^12 docs this plan reads the
+# corpus exactly once.
+
+
+def normalized_token_ngrams(text_col: str, n: int = 8) -> Column:
+    """Lowercased, ASCII-alnum token n-grams as an array column (pure JVM
+    expression).  Normalization = lower + collapse ``[^a-z0-9]+`` runs to
+    one space + trim, so punctuation/case/whitespace differences cannot
+    hide an overlap.  A shorter-than-``n`` document contributes its whole
+    normalized text as a single n-gram (the :func:`word_shingles`
+    convention, mirrored in the DuckDB oracle)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                   "[^a-z0-9]+", " "))
+    toks = F.split(norm, " ")
+    sz = F.size(toks)
+    return F.when(sz < n, F.array(norm)).otherwise(
+        F.transform(F.sequence(F.lit(1), sz - (n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), " ")))
+
+
+def contamination_matches(docs: DataFrame, eval_df: DataFrame, *,
+                          n: int = 8, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          eval_id_col: str = "eval_id",
+                          eval_text_col: str = "eval_text") -> DataFrame:
+    """(doc_id, eval_id, matched_ngrams) for every document sharing at
+    least one normalized token n-gram with an eval-set entry.
+
+    ``matched_ngrams`` counts doc-side n-gram occurrences (a document
+    repeating a contaminated phrase counts each occurrence); the eval
+    side is distinct-ed per entry so an eval text's internal repetition
+    cannot inflate counts."""
+    ev = eval_df.select(
+        F.col(eval_id_col).alias("eval_id"),
+        F.explode(F.array_distinct(
+            normalized_token_ngrams(eval_text_col, n))).alias("ngram"))
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(normalized_token_ngrams(text_col, n)).alias("ngram"))
+    return (doc_grams.join(F.broadcast(ev), "ngram")
+            .groupBy(id_col, "eval_id")
+            .agg(F.count("*").alias("matched_ngrams")))
+
+
+def decontaminate(docs: DataFrame, eval_df: DataFrame, *, n: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  eval_id_col: str = "eval_id",
+                  eval_text_col: str = "eval_text") -> DataFrame:
+    """Documents with every eval-overlapping doc removed (left_anti on
+    the contaminated-id set — the id set is small, so the anti-join
+    broadcasts)."""
+    bad = contamination_matches(
+        docs, eval_df, n=n, id_col=id_col, text_col=text_col,
+        eval_id_col=eval_id_col, eval_text_col=eval_text_col
+    ).select(id_col).distinct()
+    return docs.join(F.broadcast(bad), id_col, "left_anti")

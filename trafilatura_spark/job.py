@@ -476,7 +476,8 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                         "extraction tree inside the Arrow stage")
     p.add_argument("--mode", default="extract",
                    choices=["extract", "discover-sitemaps", "discover-feeds",
-                            "crawl", "probe", "explore", "feed", "dedup"],
+                            "crawl", "probe", "explore", "feed", "dedup",
+                            "decontam"],
                    help="extract (default); link discovery over a "
                         "fetched-documents parquet of (url, xml|content) "
                         "— the CLI analogs of the reference's --sitemap / "
@@ -492,6 +493,20 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                         "(--explore, cli.dart:344 via cliDiscovery); or "
                         "feed: live feed discovery (findFeedUrls, "
                         "feeds.dart:368-431), then fetch + extract")
+    p.add_argument("--eval-set", default=None,
+                   help="--mode decontam: parquet of the evaluation set "
+                        "(--eval-id-col, --eval-text-col) whose token "
+                        "n-grams must not appear in kept documents")
+    p.add_argument("--eval-id-col", default="eval_id",
+                   help="--mode decontam: eval-set id column")
+    p.add_argument("--eval-text-col", default="eval_text",
+                   help="--mode decontam: eval-set text column")
+    p.add_argument("--ngram-n", type=int, default=13,
+                   help="--mode decontam: n-gram length over normalized "
+                        "tokens (13 = the GPT-3 appendix-C convention)")
+    p.add_argument("--decontam-report", default=None,
+                   help="--mode decontam: optional parquet path for the "
+                        "(doc_id, eval_id, matched_ngrams) match table")
     p.add_argument("--dedup-strategy", default="minhash",
                    choices=["exact", "minhash", "simhash", "embedding"],
                    help="--mode dedup: exact (md5 groupBy), minhash "
@@ -647,6 +662,33 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
         links = gate_links(links, "link")
         links.write.mode("overwrite").parquet(args.output)
         print({"mode": "discover-feeds", "links": links.count()})
+        return 0
+    if args.mode == "decontam":
+        # benchmark decontamination: remove documents sharing normalized
+        # token n-grams with an eval set (the stage a training-data
+        # pipeline runs right before tokenization, after dedup).  The
+        # eval n-gram side broadcasts; the corpus is read exactly once.
+        from .functions.dedup import contamination_matches
+        if not args.eval_set:
+            p.error("--mode decontam requires --eval-set")
+        docs = (spark.read.table(args.input)
+                if args.input_format == "table"
+                else spark.read.parquet(args.input))
+        eval_df = spark.read.parquet(args.eval_set)
+        matches = contamination_matches(
+            docs, eval_df, n=args.ngram_n, id_col=args.id_col,
+            text_col=args.text_col, eval_id_col=args.eval_id_col,
+            eval_text_col=args.eval_text_col).persist()
+        if args.decontam_report:
+            matches.write.mode("overwrite").parquet(args.decontam_report)
+        bad = matches.select(args.id_col).distinct()
+        docs.join(F.broadcast(bad), args.id_col, "left_anti") \
+            .write.mode("overwrite").parquet(args.output)
+        contaminated = bad.count()
+        matches.unpersist()
+        kept = spark.read.parquet(args.output).count()
+        print({"mode": "decontam", "ngram_n": args.ngram_n,
+               "kept": kept, "contaminated": contaminated})
         return 0
     if args.mode == "dedup":
         # corpus-level "keep one per cluster": the stage a training-data
