@@ -392,19 +392,24 @@ def q_render_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: media spans → payloads → Arrow-batched decode
-    → per-item features.  FOUR payload passes through the decode stages:
+    → per-item features.  FIVE payload passes through the decode stages:
     the deterministic fake codec, real image bytes (24-bit BMP / PPM P6
     full pixel decode with Rec.601 luma + 8x8 average hash, GIF header
-    parse), real WAV/PCM16 audio, and real AVI video (uncompressed DIB
+    parse), real WAV/PCM16 audio, real AVI video (uncompressed DIB
     frames → per-frame average-hash via frame_samples; frame index and
-    timestamp ride the media_ref key) — the oracle mirrors every decoded
-    feature from the generators' closed forms (the video frames' base_f
-    luma shift cancels out of the block-vs-total mean comparison, so all
-    frames of a ref share one closed-form phash)."""
+    timestamp ride the media_ref key), and a RESIZE pass (decode →
+    exact 8x8 box-average → luma_sum/phash of the resized grid; keys
+    suffixed '#rz', codec prefixed 'rz-') — the oracle mirrors every
+    decoded feature from the generators' closed forms (the video frames'
+    base_f luma shift cancels out of the block-vs-total mean comparison,
+    so all frames of a ref share one closed-form phash; the resized
+    pixels are floor block-means of the gradient, computed per (X, Y) in
+    SQL)."""
     from trafilatura_spark.functions.multimodal import (
         audio_features, frame_samples, image_features, media_table,
         with_fake_payloads, with_real_audio_payloads, with_real_payloads,
         with_real_video_payloads)
+    from trafilatura_spark.functions.resize import resize_images
     docs = synthesize_documents_df(spark, sf_dir)
     media = media_table(docs)
 
@@ -444,10 +449,23 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.lit(None).cast("long").alias(c)
               for c in ("sample_rate", "n_samples", "peak", "sq_sum")])
 
+    resized = resize_images(with_real_payloads(media)) \
+        .filter(F.col("error").isNull()) \
+        .select(
+            F.concat(F.col("media_ref"), F.lit("#rz")).alias("media_ref"),
+            F.concat(F.lit("rz-"), F.col("codec")).alias("codec"),
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.lit(3).cast("long").alias("channels"),
+            "luma_sum", "phash",
+            *[F.lit(None).cast("long").alias(c)
+              for c in ("sample_rate", "n_samples", "peak", "sq_sum")])
+
     return (sel(image_features(with_fake_payloads(media)))
             .unionByName(sel(image_features(with_real_payloads(media))))
             .unionByName(audio)
-            .unionByName(video))
+            .unionByName(video)
+            .unionByName(resized))
 
 
 def q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1742,6 +1760,34 @@ ph AS (
                sum(CASE WHEN bit = 1 AND k < 32
                         THEN (1::BIGINT << k) ELSE 0 END)::BIGINT) AS phash
     FROM bits GROUP BY media_ref
+),
+-- resize pass: output pixel (X, Y) of the exact 8x8 box-average is the
+-- floor mean of source block [X*bx,(X+1)*bx) x [Y*by,(Y+1)*by) — for
+-- the gradient that block sums to bx*by*base + by*Sx + bx*Sy, the same
+-- per-block sums the phash bits use; the resized phash compares each
+-- pixel against the resized total (single-pixel blocks: v*64 > total)
+rpix AS (
+    SELECT d.media_ref, d.codec, i.i AS X, j.j AS Y,
+           (bx * by * base
+            + by * (bx * bx * i.i + bx * (bx - 1) // 2)
+            + bx * (by * by * j.j + by * (by - 1) // 2)) // (bx * by) AS v
+    FROM dims d,
+         (SELECT unnest(generate_series(0, 7)) AS i) i,
+         (SELECT unnest(generate_series(0, 7)) AS j) j
+),
+rsum AS (
+    SELECT media_ref, sum(v)::BIGINT AS luma_sum FROM rpix GROUP BY media_ref
+),
+rph AS (
+    SELECT p.media_ref,
+           printf('%08x%08x',
+               sum(CASE WHEN p.v * 64 > s.luma_sum AND p.Y * 8 + p.X >= 32
+                        THEN (1::BIGINT << (p.Y * 8 + p.X - 32))
+                        ELSE 0 END)::BIGINT,
+               sum(CASE WHEN p.v * 64 > s.luma_sum AND p.Y * 8 + p.X < 32
+                        THEN (1::BIGINT << (p.Y * 8 + p.X))
+                        ELSE 0 END)::BIGINT) AS phash
+    FROM rpix p JOIN rsum s USING (media_ref) GROUP BY p.media_ref
 )
 SELECT *, NULL::BIGINT AS sample_rate, NULL::BIGINT AS n_samples,
        NULL::BIGINT AS peak, NULL::BIGINT AS sq_sum
@@ -1768,6 +1814,13 @@ SELECT v.media_ref || '#' || f.f || '@' || (f.f * v.period_us // 1000)
        NULL::BIGINT AS peak, NULL::BIGINT AS sq_sum
 FROM vtot v JOIN vph USING (media_ref),
      LATERAL (SELECT unnest(generate_series(0, v.n_frames - 1)) AS f) f
+UNION ALL
+SELECT d.media_ref || '#rz' AS media_ref, 'rz-' || d.codec AS codec,
+       8::BIGINT AS width, 8::BIGINT AS height, 3::BIGINT AS channels,
+       rsum.luma_sum, rph.phash,
+       NULL::BIGINT AS sample_rate, NULL::BIGINT AS n_samples,
+       NULL::BIGINT AS peak, NULL::BIGINT AS sq_sum
+FROM dims d JOIN rsum USING (media_ref) JOIN rph USING (media_ref)
 """
 
 _ORACLE_SITEMAP = """

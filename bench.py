@@ -476,18 +476,22 @@ def _media_tier(spark) -> dict:
         real_audio_bytes, real_media_bytes, real_video_bytes,
         with_real_audio_payloads, with_real_payloads,
         with_real_video_payloads)
+    from trafilatura_spark.functions.resize import resize_images
     from trafilatura_spark.sources.corpus import synthesize_documents_df
 
     docs = synthesize_documents_df(spark, SF_DIR, replicate=REPLICATE,
                                    partitions=CPUS * 2)
     base = media_table(docs)
     out = {}
+    # resize "errors" are the GIF refs (~1/3): pixel decode is the seam
     for label, attach, decode, gen in (
             ("image", with_real_payloads, image_features, real_media_bytes),
             ("audio", with_real_audio_payloads, audio_features,
              real_audio_bytes),
             ("video", with_real_video_payloads,
-             lambda m: frame_samples(m, every_ms=0), real_video_bytes)):
+             lambda m: frame_samples(m, every_ms=0), real_video_bytes),
+            ("resize", with_real_payloads, resize_images,
+             real_media_bytes)):
         media = attach(base).persist()
         n = media.count()
         feats = decode(media)
