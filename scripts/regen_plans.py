@@ -138,6 +138,15 @@ def main() -> None:
                      "stages, no Exchange — same contract as the HTML "
                      "extraction stage", plan_of(pdf_spans_df(pdfs))))
 
+    from trafilatura_spark.functions.multimodal import (media_table,
+                                                        with_real_payloads)
+    from trafilatura_spark.functions.resize import resize_images
+    media_plan = resize_images(with_real_payloads(media_table(docs)))
+    sections.append(("Multimodal decode→resize: span explode + two "
+                     "Arrow-batched stages, no Exchange (media parallelism "
+                     "inherits the scan; payload attach is the production "
+                     "blob-store join seam)", plan_of(media_plan)))
+
     from trafilatura_spark.functions.textstats import lang_id
     lf = (lang_id(ex.withColumn(
         "_t", F.array_join(F.transform("spans", lambda s: s["text"]), " ")),
