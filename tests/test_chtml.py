@@ -312,3 +312,20 @@ def test_iter_tree_lazy_child_reads():
     it = div.iterdesc()
     div.children = [Node("q")]
     assert [n.tag for n in it] == ["q"]
+
+
+def test_filter_tuples_mirror_set_membership_semantics():
+    """User filter tuples follow `tag in set(tags)`: non-str entries are
+    hashable but never match (a str tag cannot equal an int), and
+    unhashable entries raise TypeError exactly as set(tags) would —
+    previously the C path returned with a pending exception here."""
+    root = cparse("<div><p>a</p><span>b</span><p>c</p></div>")
+    div = root.children[0]
+    assert [n.tag for n in dom._CFINDALL(div, ("p", 123))] == ["p", "p"]
+    assert dom._CFINDALL(div, (7,)) == []
+    assert [n.tag for n in dom._CITER(div, ("p", 99), False)] == ["p", "p"]
+    assert list(dom._CITER(div, (42,), True)) == []
+    with pytest.raises(TypeError):
+        dom._CFINDALL(div, ("p", []))
+    with pytest.raises(TypeError):
+        list(dom._CITER(div, ({},), False))

@@ -343,6 +343,80 @@ def test_streaming_dedup_against_store(spark, tmp_path):
     assert spark.read.parquet(out).count() == 4
 
 
+def test_streaming_dedup_crash_windows(spark, tmp_path):
+    """Store consistency across foreachBatch crash windows.
+
+    (a) replay after 'sigs appended, docs not' (the one crash window the
+    sigs-before-docs write order leaves open): the replayed batch must
+    append docs exactly once and must NOT duplicate its sigs rows;
+    (b) a torn store with docs/ but no sigs/ (legacy docs-first writer,
+    or hand-deleted sigs) must be healed — signatures regenerated from
+    docs — instead of silently admitting every duplicate (the old code
+    either crashed with PATH_NOT_FOUND forever or, worse ordering,
+    never wrote the sigs at all).
+    """
+    import shutil
+
+    from trafilatura_spark.functions.dedup import minhash_signatures
+    from trafilatura_spark.streaming.dedup_stream import make_dedup_batch_fn
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark quiet forest tonight")
+    other = ("completely different text about spark catalyst plans "
+             "and shuffle boundaries in distributed aggregation")
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    process = make_dedup_batch_fn(out, store)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    process(mk([(1, base), (2, other)]), 0)  # bootstrap
+
+    # (a) crash between the sigs and docs appends: batch 2's sigs are in
+    # the store, its docs are not — exactly the on-disk state _process
+    # leaves when it dies on the docs write.  Re-delivering the batch
+    # (foreachBatch is at-least-once) must converge.
+    uniq = ("an entirely novel document about columnar batch transfer "
+            "and arrow record shredding in python workers tonight")
+    minhash_signatures(mk([(10, uniq)]), "doc_id", "text") \
+        .write.mode("append").parquet(store + "/sigs")
+    process(mk([(10, uniq)]), 1)  # the replay
+    docs_ids = sorted(r["doc_id"] for r in
+                      spark.read.parquet(store + "/docs").collect())
+    assert docs_ids == [1, 2, 10]
+    sig_rows = spark.read.parquet(store + "/sigs") \
+        .filter("doc_id = 10").count()
+    assert sig_rows == 1, "replay must not duplicate the sigs append"
+    # and doc 10's signature is live: its near-dup is rejected
+    process(mk([(11, uniq.replace("novel", "fresh"))]), 2)
+    assert spark.read.parquet(store + "/docs") \
+        .filter("doc_id = 11").count() == 0
+
+    # (b) torn store: sigs/ gone entirely -> healed from docs/
+    shutil.rmtree(store + "/sigs")
+    process(mk([(20, base.replace("quick", "swift"))]), 3)  # dup of 1
+    healed = sorted(set(r["doc_id"] for r in spark.read.parquet(
+        store + "/sigs").select("doc_id").collect()))
+    assert healed == [1, 2, 10]  # regenerated, 20 rejected so absent
+    assert spark.read.parquet(store + "/docs") \
+        .filter("doc_id = 20").count() == 0
+
+    # a store that EXISTS but cannot be read must propagate (as an
+    # AnalysisException at planning time or a SparkException once the
+    # footer read is attempted), NOT silently bootstrap over it
+    import os
+
+    bad_store = str(tmp_path / "bad_store")
+    (tmp_path / "bad_store" / "docs").mkdir(parents=True)
+    (tmp_path / "bad_store" / "docs" / "junk.txt").write_text("not parquet")
+    out2 = str(tmp_path / "out2")
+    bad_process = make_dedup_batch_fn(out2, bad_store)
+    with pytest.raises(Exception, match="PARQUET|Parquet|UNABLE_TO_INFER"):
+        bad_process(mk([(30, base)]), 0)
+    assert not os.path.exists(out2), "must not write output on a bad store"
+
+
 def test_job_mode_dedup_stream_cli(spark, tmp_path, capsys):
     """`--mode dedup --stream` drains file drops against the store —
     and a BATCH --signature-store run interleaves over the SAME store

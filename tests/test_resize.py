@@ -185,3 +185,21 @@ def test_resize_images_error_isolation(spark):
     assert out["good"]["error"] is None
     assert out["good"]["luma_sum"] == 9 * 64
     assert out["bad"]["error"] is not None
+
+
+def test_sub8_output_has_null_phash(spark):
+    """An 8x8-block average-hash over a sub-8 grid is degenerate (most
+    bits pinned 0), so resize_images reports phash NULL there instead
+    of a value that would poison near-dup comparisons."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "media_ref": ["a"],
+        "content": [_gray_bmp([[x + y for x in range(16)]
+                               for y in range(16)])],
+    })
+    row = resize_images(spark.createDataFrame(pdf),
+                        out_w=4, out_h=4).collect()[0]
+    assert row["error"] is None
+    assert (row["width"], row["height"]) == (4, 4)
+    assert row["phash"] is None
+    assert row["luma_sum"] is not None

@@ -54,7 +54,10 @@ str_eq(PyObject *a, PyObject *b)
 {
     if (a == b)
         return 1;
-    return PyUnicode_Compare(a, b) == 0; /* both str: no error possible */
+    /* INVARIANT: both operands are str (tags are canonicalized strs and
+     * user filter tuples pass through filter_str_tags), so
+     * PyUnicode_Compare cannot raise and -1 simply means "less than" */
+    return PyUnicode_Compare(a, b) == 0;
 }
 
 /* membership in a frozenset of str; -1 on error */
@@ -1106,6 +1109,37 @@ fail:
 
 /* --------------------------------------------------------- find_all ----- */
 
+/* mirror the pure-Python `tag in set(tags)` membership semantics for the
+ * user-supplied filter tuple: non-str entries can never equal a (str) tag
+ * so they are dropped, and unhashable entries raise TypeError exactly as
+ * set(tags) would.  str_eq may then assume str operands.  Returns a new
+ * tuple (possibly empty — which must mean "match nothing", NOT "match
+ * all") or NULL with an exception set. */
+static PyObject *
+filter_str_tags(PyObject *tags)
+{
+    Py_ssize_t n = PyTuple_GET_SIZE(tags);
+    PyObject *lst = PyList_New(0);
+    if (lst == NULL)
+        return NULL;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *e = PyTuple_GET_ITEM(tags, i);
+        if (PyUnicode_Check(e)) {
+            if (PyList_Append(lst, e) < 0) {
+                Py_DECREF(lst);
+                return NULL;
+            }
+        }
+        else if (PyObject_Hash(e) == -1) {
+            Py_DECREF(lst);
+            return NULL; /* unhashable: TypeError, like set(tags) */
+        }
+    }
+    PyObject *out = PyList_AsTuple(lst);
+    Py_DECREF(lst);
+    return out;
+}
+
 /* mirrors Node.find_all: pre-order descendants (excluding self), filtered
  * by the tags tuple (empty tuple = all). */
 static PyObject *
@@ -1120,18 +1154,29 @@ chtml_find_all(PyObject *self, PyObject *args)
         return NULL;
     }
     Py_ssize_t ntags = PyTuple_GET_SIZE(tags);
+    PyObject *tags_f = NULL;
+    if (ntags > 0) {
+        tags_f = filter_str_tags(tags);
+        if (tags_f == NULL)
+            return NULL;
+        tags = tags_f; /* possibly empty: then nothing matches */
+    }
     PyObject *out = PyList_New(0);
-    if (out == NULL)
+    if (out == NULL) {
+        Py_XDECREF(tags_f);
         return NULL;
+    }
     PyObject *children = GET_SLOT(node, off_children);
     Py_ssize_t nch = PyList_GET_SIZE(children);
     Py_ssize_t cap = (nch + 1 > 64) ? nch + 1 : 64, len = 0;
     PyObject **stack = PyMem_Malloc(cap * sizeof(PyObject *));
     if (stack == NULL) {
+        Py_XDECREF(tags_f);
         Py_DECREF(out);
         PyErr_NoMemory();
         return NULL;
     }
+    Py_ssize_t nmatch = PyTuple_GET_SIZE(tags); /* filtered count */
     for (Py_ssize_t k = nch - 1; k >= 0; k--)
         stack[len++] = PyList_GET_ITEM(children, k);
     while (len > 0) {
@@ -1142,7 +1187,7 @@ chtml_find_all(PyObject *self, PyObject *args)
         else {
             match = 0;
             PyObject *t = GET_SLOT(cur, off_tag);
-            for (Py_ssize_t k = 0; k < ntags; k++) {
+            for (Py_ssize_t k = 0; k < nmatch; k++) {
                 if (str_eq(t, PyTuple_GET_ITEM(tags, k))) {
                     match = 1;
                     break;
@@ -1151,6 +1196,7 @@ chtml_find_all(PyObject *self, PyObject *args)
         }
         if (match && PyList_Append(out, cur) < 0) {
             PyMem_Free(stack);
+            Py_XDECREF(tags_f);
             Py_DECREF(out);
             return NULL;
         }
@@ -1164,6 +1210,7 @@ chtml_find_all(PyObject *self, PyObject *args)
                     PyMem_Realloc(stack, cap * sizeof(PyObject *));
                 if (ns == NULL) {
                     PyMem_Free(stack);
+                    Py_XDECREF(tags_f);
                     Py_DECREF(out);
                     PyErr_NoMemory();
                     return NULL;
@@ -1175,6 +1222,7 @@ chtml_find_all(PyObject *self, PyObject *args)
         }
     }
     PyMem_Free(stack);
+    Py_XDECREF(tags_f);
     return out;
 }
 
@@ -1319,8 +1367,16 @@ chtml_iter_tree(PyObject *self, PyObject *args)
         return NULL;
     }
     if (PyTuple_GET_SIZE(tags) > 0) {
-        Py_INCREF(tags);
-        it->want = tags;
+        /* an empty FILTERED tuple means "match nothing" (want stays
+         * non-NULL), distinct from an empty ORIGINAL tuple (match all,
+         * want == NULL) */
+        it->want = filter_str_tags(tags);
+        if (it->want == NULL) {
+            PyMem_Free(it->stack);
+            it->stack = NULL;
+            PyObject_GC_Del(it);
+            return NULL;
+        }
     }
     if (include_self) {
         /* matches Node.iter: self first, then descendants — implemented

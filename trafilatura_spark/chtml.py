@@ -59,7 +59,15 @@ def load(node_cls, void_elements, p_closers, p_close_barriers, implied_end,
     ).hexdigest()[:16]
     cache = _cache_dir()
     so_path = os.path.join(cache, f"_chtml_{digest}.so")
+    fail_marker = os.path.join(cache, f"_chtml_{digest}.failed")
     if not os.path.exists(so_path):
+        # negative cache: a host where the compile deterministically
+        # fails (gcc present but headers broken, etc.) must not re-pay
+        # the full gcc attempt on every worker cold start — the first
+        # failure writes a digest-keyed marker and later imports fall
+        # back immediately.  A new source digest gets a fresh attempt.
+        if os.path.exists(fail_marker):
+            return None
         try:
             os.makedirs(cache, exist_ok=True)
             import sysconfig
@@ -80,6 +88,13 @@ def load(node_cls, void_elements, p_closers, p_close_barriers, implied_end,
                      c_path, "-o", tmp],
                     capture_output=True, timeout=180)
                 if res.returncode != 0:
+                    try:
+                        fd2, mtmp = tempfile.mkstemp(dir=cache)
+                        with os.fdopen(fd2, "wb") as mf:
+                            mf.write(res.stderr[-4000:] or b"compile failed")
+                        os.replace(mtmp, fail_marker)
+                    except OSError:
+                        pass
                     return None
                 os.replace(tmp, so_path)  # atomic: racers converge
                 tmp = None

@@ -255,58 +255,80 @@ def _luma_features(lumas: list[list[int]], w: int, h: int):
     return (total / (w * h) / 255.0, total, _average_hash(lumas, w, h))
 
 
+def decode_lumas(content: bytes):
+    """Full pixel decode: (codec, width, height, top-down Rec.601 luma
+    rows).  The single shared pixel reader behind both the feature
+    stage (:func:`image_features` aggregates the grid away) and the
+    resize stage (:mod:`.resize` needs every pixel) — fix a decoder
+    edge here once and both pipelines move together.
+
+    BMP (24-bit uncompressed, bottom-up or negative-height top-down)
+    and binary PPM (P6, maxval <= 255, comment-tolerant) decode;
+    header-only formats (GIF) and compressed codecs raise
+    ``NotImplementedError`` — the deployment seam."""
+    if content[:2] == b"BM":
+        off = struct.unpack_from("<I", content, 10)[0]
+        w, hgt = struct.unpack_from("<ii", content, 18)
+        bpp = struct.unpack_from("<H", content, 28)[0]
+        compression = struct.unpack_from("<I", content, 30)[0]
+        if bpp != 24 or compression != 0 or w <= 0 or hgt == 0:
+            raise NotImplementedError(f"BMP variant bpp={bpp} "
+                                      f"compression={compression} "
+                                      "unsupported")
+        top_down, h = hgt < 0, abs(hgt)
+        stride = (w * 3 + 3) & ~3
+        if len(content) < off + stride * h:
+            raise ValueError("truncated BMP pixel array")
+        lumas = []
+        for row in range(h):
+            src = row if top_down else h - 1 - row
+            o = off + src * stride
+            lumas.append([(299 * content[o + 3 * x + 2]
+                           + 587 * content[o + 3 * x + 1]
+                           + 114 * content[o + 3 * x]) // 1000
+                          for x in range(w)])
+        return "bmp", w, h, lumas
+    if content[:2] == b"P6":
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(content) and content[pos:pos + 1].isspace():
+                pos += 1
+            if content[pos:pos + 1] == b"#":
+                pos = content.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(content) and not content[pos:pos + 1].isspace():
+                pos += 1
+            fields.append(int(content[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = fields
+        if maxval > 255 or w <= 0 or h <= 0:
+            raise NotImplementedError(f"PPM maxval={maxval} unsupported")
+        if len(content) < pos + 3 * w * h:
+            raise ValueError("truncated PPM raster")
+        lumas = [[(299 * content[o] + 587 * content[o + 1]
+                   + 114 * content[o + 2]) // 1000
+                  for x in range(w)
+                  for o in (pos + 3 * (y * w + x),)]
+                 for y in range(h)]
+        return "ppm", w, h, lumas
+    raise NotImplementedError(
+        "full pixel decode supports uncompressed BMP/PPM only; plug a "
+        "decoder into trafilatura_spark.functions.multimodal.decode_lumas")
+
+
 def _decode_bmp(content: bytes):
-    """Uncompressed 24-bit BMP (BITMAPINFOHEADER or larger); negative
-    height means top-down storage.  Pure stdlib."""
-    off = struct.unpack_from("<I", content, 10)[0]
-    w, hgt = struct.unpack_from("<ii", content, 18)
-    bpp = struct.unpack_from("<H", content, 28)[0]
-    compression = struct.unpack_from("<I", content, 30)[0]
-    if bpp != 24 or compression != 0 or w <= 0 or hgt == 0:
-        raise NotImplementedError(f"BMP variant bpp={bpp} "
-                                  f"compression={compression} unsupported")
-    top_down, h = hgt < 0, abs(hgt)
-    stride = (w * 3 + 3) & ~3
-    if len(content) < off + stride * h:
-        raise ValueError("truncated BMP pixel array")
-    lumas = []
-    for row in range(h):
-        src = row if top_down else h - 1 - row
-        o = off + src * stride
-        lumas.append([(299 * content[o + 3 * x + 2]
-                       + 587 * content[o + 3 * x + 1]
-                       + 114 * content[o + 3 * x]) // 1000
-                      for x in range(w)])
+    """Uncompressed 24-bit BMP → feature tuple (shared pixel reader)."""
+    codec, w, h, lumas = decode_lumas(content)
     mean, total, phash = _luma_features(lumas, w, h)
-    return "bmp", w, h, 3, mean, total, phash
+    return codec, w, h, 3, mean, total, phash
 
 
 def _decode_ppm(content: bytes):
-    """Binary PPM (P6), maxval <= 255, with comment support."""
-    pos, fields = 2, []
-    while len(fields) < 3:
-        while pos < len(content) and content[pos:pos + 1].isspace():
-            pos += 1
-        if content[pos:pos + 1] == b"#":
-            pos = content.index(b"\n", pos) + 1
-            continue
-        start = pos
-        while pos < len(content) and not content[pos:pos + 1].isspace():
-            pos += 1
-        fields.append(int(content[start:pos]))
-    pos += 1  # single whitespace after maxval
-    w, h, maxval = fields
-    if maxval > 255 or w <= 0 or h <= 0:
-        raise NotImplementedError(f"PPM maxval={maxval} unsupported")
-    if len(content) < pos + 3 * w * h:
-        raise ValueError("truncated PPM raster")
-    lumas = [[(299 * content[o] + 587 * content[o + 1]
-               + 114 * content[o + 2]) // 1000
-              for x in range(w)
-              for o in (pos + 3 * (y * w + x),)]
-             for y in range(h)]
+    """Binary PPM (P6) → feature tuple (shared pixel reader)."""
+    codec, w, h, lumas = decode_lumas(content)
     mean, total, phash = _luma_features(lumas, w, h)
-    return "ppm", w, h, 3, mean, total, phash
+    return codec, w, h, 3, mean, total, phash
 
 
 def _decode_image(content: bytes):

@@ -33,67 +33,9 @@ import struct
 
 from pyspark.sql import DataFrame, types as T
 
-#: Rec.601 integer luma, identical to multimodal's decoders.
-def _luma(r: int, g: int, b: int) -> int:
-    return (299 * r + 587 * g + 114 * b) // 1000
-
-
-def decode_lumas(content: bytes):
-    """Full pixel grid: (codec, width, height, top-down luma rows).
-
-    BMP (24-bit uncompressed, bottom-up or top-down) and PPM (P6,
-    maxval <= 255) decode; header-only formats (GIF) and compressed
-    codecs raise ``NotImplementedError`` — resize needs every pixel,
-    not just dimensions.
-    """
-    if content[:2] == b"BM":
-        off = struct.unpack_from("<I", content, 10)[0]
-        w, hgt = struct.unpack_from("<ii", content, 18)
-        bpp = struct.unpack_from("<H", content, 28)[0]
-        compression = struct.unpack_from("<I", content, 30)[0]
-        if bpp != 24 or compression != 0 or w <= 0 or hgt == 0:
-            raise NotImplementedError(
-                f"BMP variant bpp={bpp} compression={compression} "
-                "unsupported")
-        top_down, h = hgt < 0, abs(hgt)
-        stride = (w * 3 + 3) & ~3
-        if len(content) < off + stride * h:
-            raise ValueError("truncated BMP pixel array")
-        lumas = []
-        for row in range(h):
-            src = row if top_down else h - 1 - row
-            o = off + src * stride
-            lumas.append([_luma(content[o + 3 * x + 2],
-                                content[o + 3 * x + 1],
-                                content[o + 3 * x]) for x in range(w)])
-        return "bmp", w, h, lumas
-    if content[:2] == b"P6":
-        pos, fields = 2, []
-        while len(fields) < 3:
-            while pos < len(content) and content[pos:pos + 1].isspace():
-                pos += 1
-            if content[pos:pos + 1] == b"#":
-                pos = content.index(b"\n", pos) + 1
-                continue
-            start = pos
-            while pos < len(content) and not content[pos:pos + 1].isspace():
-                pos += 1
-            fields.append(int(content[start:pos]))
-        pos += 1
-        w, h, maxval = fields
-        if maxval > 255 or w <= 0 or h <= 0:
-            raise NotImplementedError(f"PPM maxval={maxval} unsupported")
-        if len(content) < pos + 3 * w * h:
-            raise ValueError("truncated PPM raster")
-        lumas = [[_luma(content[o], content[o + 1], content[o + 2])
-                  for x in range(w)
-                  for o in (pos + 3 * (y * w + x),)]
-                 for y in range(h)]
-        return "ppm", w, h, lumas
-    raise NotImplementedError(
-        "resize needs a full pixel decode; only uncompressed BMP/PPM are "
-        "bundled — plug a decoder into "
-        "trafilatura_spark.functions.resize.decode_lumas")
+# the single shared pixel reader (the feature stage aggregates the same
+# grid away; fix a decoder edge there and both pipelines move together)
+from .multimodal import decode_lumas  # noqa: F401  (re-exported)
 
 
 def box_resize(lumas: list[list[int]], w: int, h: int,
@@ -156,10 +98,16 @@ def resize_images(media_with_bytes: DataFrame, out_w: int = 8,
     dimensions, the resized image's exact luma_sum and 8x8
     average-hash, and the re-encoded BMP bytes (feed them back through
     ``image_features`` for a full decode-resize-decode round trip).
+    The ``phash`` column is NULL when either output dimension is below
+    8: the average-hash contract is an 8x8 block grid, and hashing a
+    sub-8 grid through it pins most bits to 0 — a degenerate value
+    that would silently poison near-dup comparisons downstream.
     Per-item failures become ``error`` rows — the same
     never-fail-the-task contract as every decode stage.
     """
     from .multimodal import _average_hash
+
+    hashable = out_w >= 8 and out_h >= 8
 
     def batches(it):
         import pandas as pd
@@ -172,7 +120,8 @@ def resize_images(media_with_bytes: DataFrame, out_w: int = 8,
                     rows.append((
                         ref, codec, w, h, out_w, out_h,
                         sum(map(sum, small)),
-                        _average_hash(small, out_w, out_h),
+                        _average_hash(small, out_w, out_h)
+                        if hashable else None,
                         encode_bmp_gray(small, out_w, out_h), None))
                 except Exception as exc:  # noqa: BLE001 — isolate per item
                     rows.append((ref, None, None, None, None, None, None,
