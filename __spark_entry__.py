@@ -1362,6 +1362,7 @@ SELECT 'decontam' AS variant, '' AS text_md5, -1::BIGINT AS dup_count,
        -1::BIGINT AS canonical_id,
        d.doc_id, e.eval_id, count(*) AS matched_ngrams
 FROM doc_grams d JOIN eval_grams e USING (ngram)
+WHERE ngram <> ''  -- mirror contamination_matches' empty-ngram guard
 GROUP BY d.doc_id, e.eval_id
 """
 

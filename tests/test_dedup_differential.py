@@ -341,3 +341,42 @@ def test_contamination_plan_broadcasts_eval_side(spark):
     plan = contamination_matches(docs, eval_df, n=8) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_empty_normalization_never_glues(spark):
+    """Documents with no ASCII alphanumerics normalize to "" — they must
+    NOT match an eval entry that also normalizes to "" (previously the
+    shared empty n-gram marked every such doc contaminated)."""
+    from trafilatura_spark.functions.dedup import (contamination_matches,
+                                                   decontaminate)
+    docs = spark.createDataFrame(
+        [(1, "这是一个完全中文的文档没有任何拉丁字母"),
+         (2, "!!! ??? *** ---"),
+         (3, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string")
+    eval_df = spark.createDataFrame(
+        [(100, "。。。标点符号"),   # also normalizes to ""
+         (101, "the quick brown fox jumps over the lazy dog")],
+        "eval_id long, eval_text string")
+    got = {(r.doc_id, r.eval_id)
+           for r in contamination_matches(docs, eval_df, n=8).collect()}
+    assert got == {(3, 101)}
+    kept = sorted(r.doc_id
+                  for r in decontaminate(docs, eval_df, n=8).collect())
+    assert kept == [1, 2]
+
+
+def test_lsh_bands_validates_band_size(spark):
+    from trafilatura_spark.functions.dedup import (lsh_bands,
+                                                   minhash_signatures)
+    sigs = minhash_signatures(spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string"))
+    with pytest.raises(ValueError, match="band_size"):
+        lsh_bands(sigs, band_size=0)
+    # band wider than the 8-hash signature: NO bands (posexplode drops
+    # the row) — previously sequence(0, -1) descended and emitted a
+    # bogus empty-slice band identical for every doc
+    assert lsh_bands(sigs, band_size=16).count() == 0
+    # normal banding unchanged: 8 hashes / 2 = 4 bands
+    assert lsh_bands(sigs, band_size=2).count() == 4

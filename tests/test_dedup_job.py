@@ -292,6 +292,67 @@ def test_job_mode_dedup_signature_store_cli(spark, tmp_path, capsys):
                   "--dedup-strategy", "simhash"])
 
 
+def test_batch_signature_store_crash_windows(spark, tmp_path, capsys):
+    """Batch --signature-store mirrors the streaming writer's crash
+    semantics: sigs append BEFORE docs (a torn run re-runs cleanly with
+    no duplicate sig rows), a docs-without-sigs store is healed, and
+    the store keeps the narrow (id, text) schema both writers share."""
+    import shutil
+
+    from trafilatura_spark.functions.dedup import minhash_signatures
+
+    store = str(tmp_path / "store")
+    inp1, inp2, inp3 = (str(tmp_path / d) for d in ("b1", "b2", "b3"))
+    out = str(tmp_path / "o")
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark quiet forest tonight")
+    spark.createDataFrame(
+        [(1, base),
+         (2, "completely different text about catalyst plan rewrites "
+             "and adaptive shuffle coalescing in modern engines")],
+        "doc_id long, text string").write.parquet(inp1)
+    rc = job_main(["--mode", "dedup", "--input", inp1, "--output", out,
+                   "--signature-store", store])
+    assert rc == 0
+    capsys.readouterr()
+    # the store is the narrow 2-column schema (same as streaming's)
+    assert sorted(spark.read.parquet(store + "/docs").columns) == \
+        ["doc_id", "text"]
+
+    # crash window: batch 2's sigs landed, its docs did not
+    uniq = ("an entirely novel passage describing arrow record batches "
+            "and pandas udf serialization overhead in python workers")
+    b2 = spark.createDataFrame([(10, uniq)], "doc_id long, text string")
+    b2.write.parquet(inp2)
+    minhash_signatures(b2).write.mode("append").parquet(store + "/sigs")
+    rc = job_main(["--mode", "dedup", "--input", inp2,
+                   "--output", str(tmp_path / "o2"),
+                   "--signature-store", store])  # the re-run
+    assert rc == 0
+    capsys.readouterr()
+    assert sorted(r["doc_id"] for r in spark.read.parquet(
+        store + "/docs").collect()) == [1, 2, 10]
+    assert spark.read.parquet(store + "/sigs") \
+        .filter("doc_id = 10").count() == 1  # no duplicate sig rows
+
+    # torn store: sigs/ deleted -> healed from docs/, dup rejected
+    shutil.rmtree(store + "/sigs")
+    spark.createDataFrame(
+        [(20, base.replace("quick", "swift"))],  # near-dup of stored 1
+        "doc_id long, text string").write.parquet(inp3)
+    rc = job_main(["--mode", "dedup", "--input", inp3,
+                   "--output", str(tmp_path / "o3"),
+                   "--signature-store", store])
+    assert rc == 0
+    s3 = json.loads(capsys.readouterr().out.strip()
+                    .splitlines()[-1].replace("'", '"')
+                    .replace("True", "true").replace("False", "false"))
+    assert s3["kept"] == 0 and s3["removed"] == 1
+    healed = sorted(set(r["doc_id"] for r in spark.read.parquet(
+        store + "/sigs").select("doc_id").collect()))
+    assert healed == [1, 2, 10]
+
+
 def test_streaming_dedup_against_store(spark, tmp_path):
     """Two file drops drained by two availableNow runs over one
     checkpoint: drop 1 bootstraps the store, drop 2 dedups against it

@@ -139,12 +139,23 @@ def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id",
     or partitioned by ``band_hash`` prefix at production scale) so that
     later batches can dedup against it without re-signaturing the
     corpus — see :func:`near_duplicate_pairs_incremental`."""
+    if band_size <= 0:
+        # sequence(0, size/0 - 1) is a null sequence -> posexplode drops
+        # every row and dedup silently becomes a no-op
+        raise ValueError(f"band_size must be >= 1, got {band_size}")
+    # band_size > signature width would make floor(size/band)-1 == -1
+    # and Spark's sequence(0, -1) DESCEND, emitting a bogus band whose
+    # empty slice hashes identically for every doc (one corpus-wide
+    # quadratic bucket).  Guard: a shorter-than-one-band signature
+    # contributes NO bands (posexplode drops the row).
+    n_bands = F.floor(F.size("sig") / band_size).cast("int")
+    band_seq = F.when(n_bands >= 1, F.sequence(F.lit(0), n_bands - 1)) \
+        .otherwise(F.array().cast("array<int>"))
     return sig_df.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0),
-                           F.floor(F.size("sig") / band_size).cast("int") - 1),
+                band_seq,
                 lambda b: F.md5(F.concat_ws(
                     "|", F.slice("sig", b * band_size + 1, band_size))),
             )
@@ -830,13 +841,21 @@ def contamination_matches(docs: DataFrame, eval_df: DataFrame, *,
     repeating a contaminated phrase counts each occurrence); the eval
     side is distinct-ed per entry so an eval text's internal repetition
     cannot inflate counts."""
+    # drop the empty n-gram both sides: any text with no ASCII alnum at
+    # all (CJK-only, punctuation-only) normalizes to "" and would glue
+    # EVERY such document to every such eval entry — the same
+    # empty-key-cluster class dedup_corpus guards against.  Such texts
+    # share no actual token overlap; they are simply outside this
+    # normalization's alphabet.
     ev = eval_df.select(
         F.col(eval_id_col).alias("eval_id"),
         F.explode(F.array_distinct(
-            normalized_token_ngrams(eval_text_col, n))).alias("ngram"))
+            normalized_token_ngrams(eval_text_col, n))).alias("ngram")) \
+        .filter(F.col("ngram") != "")
     doc_grams = docs.select(
         F.col(id_col),
-        F.explode(normalized_token_ngrams(text_col, n)).alias("ngram"))
+        F.explode(normalized_token_ngrams(text_col, n)).alias("ngram")) \
+        .filter(F.col("ngram") != "")
     return (doc_grams.join(F.broadcast(ev), "ngram")
             .groupBy(id_col, "eval_id")
             .agg(F.count("*").alias("matched_ngrams")))

@@ -561,6 +561,12 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
     p.add_argument("--checkpoint", default=None,
                    help="--mode dedup --stream: streaming checkpoint "
                         "location (default: <signature-store>/checkpoint)")
+    p.add_argument("--stream-id-type", default="long",
+                   help="--mode dedup --stream: Spark SQL type of the id "
+                        "column in the drop files (file-source streams "
+                        "need an explicit schema; must match the type "
+                        "the store was bootstrapped with, e.g. 'string' "
+                        "for URL-keyed corpora)")
     p.add_argument("--id-col", default="doc_id",
                    help="--mode dedup: document id column")
     p.add_argument("--text-col", default="text",
@@ -718,7 +724,8 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                 spark, args.input, args.output, chk,
                 args.signature_store, id_col=args.id_col,
                 text_col=args.text_col,
-                schema=f"{args.id_col} long, {args.text_col} string",
+                schema=(f"{args.id_col} {args.stream_id_type}, "
+                        f"{args.text_col} string"),
                 threshold=(0.5 if args.dedup_threshold is None
                            else args.dedup_threshold),
                 max_bucket_size=args.dedup_max_bucket_size,
@@ -751,14 +758,19 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                         "batches' accept/reject decisions)")
             store_docs_path = os.path.join(args.signature_store, "docs")
             store_sigs_path = os.path.join(args.signature_store, "sigs")
+            from .streaming.dedup_stream import _is_path_not_found
             try:
                 store_docs = spark.read.parquet(store_docs_path)
-            except AnalysisException:
+            except AnalysisException as exc:
                 # PATH_NOT_FOUND only — the first batch bootstraps.
-                # Other read failures (corrupt store, permissions) must
-                # propagate: bootstrapping over an unreadable EXISTING
-                # store would re-admit every duplicate
+                # Other read failures (corrupt store, permissions,
+                # junk-file dirs) must propagate: bootstrapping over an
+                # unreadable EXISTING store would re-admit every
+                # duplicate
+                if not _is_path_not_found(exc):
+                    raise
                 store_docs = None
+        store_sigs = new_sigs = None
         if store_docs is not None:
             # ids must be disjoint (near_duplicate_pairs_incremental's
             # union contract); a re-submitted batch would silently
@@ -769,8 +781,23 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
             if overlap:
                 p.error(f"--signature-store: {overlap} batch ids already "
                         "exist in the store (batches must carry fresh ids)")
-            store_sigs = spark.read.parquet(store_sigs_path)
-            deduped, labels, _ = dedup_corpus_incremental(
+            try:
+                store_sigs = spark.read.parquet(store_sigs_path)
+            except AnalysisException as exc:
+                if not _is_path_not_found(exc):
+                    raise
+                # torn store (docs/ without sigs/, from an older
+                # docs-first writer): matching against NO signatures
+                # would admit every duplicate of the stored docs — heal
+                # by regenerating, one full pass over the store, once
+                # (same recovery as streaming/dedup_stream.py)
+                minhash_signatures(
+                    store_docs.filter(F.col(args.text_col).isNotNull()
+                                      & (F.length(args.text_col) > 0)),
+                    args.id_col, args.text_col) \
+                    .write.parquet(store_sigs_path)
+                store_sigs = spark.read.parquet(store_sigs_path)
+            deduped, labels, new_sigs = dedup_corpus_incremental(
                 docs, store_docs, store_sigs, id_col=args.id_col,
                 text_col=args.text_col,
                 threshold=(0.5 if args.dedup_threshold is None
@@ -792,6 +819,14 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
             F.countDistinct("cluster_id").alias("clusters"),
             F.sum((~F.col("is_survivor")).cast("long")).alias("removed"),
         ).collect()[0]
+        if new_sigs is not None:
+            # materialize while labels (the anti-join source in its
+            # lineage) is still persisted — one signature pass per
+            # batch, not a re-signature of the written output; the
+            # anti-join drops ids a torn prior run already stored
+            new_sigs = new_sigs.join(
+                store_sigs.select(args.id_col).distinct(), args.id_col,
+                "left_anti").localCheckpoint(eager=True)
         labels.unpersist()
         # count the written files, not deduped.count() — that would
         # replay the pair pipeline + anti-join lineage a second time
@@ -802,16 +837,36 @@ def main(argv: list[str] | None = None, *, transport=None) -> int:
                    "removed": int(stats["removed"] or 0),
                    "clusters": int(stats["clusters"] or 0)}
         if args.signature_store:
-            # append the accepted docs + their signatures so the next
-            # batch sees this one; signatures are recomputed from the
-            # WRITTEN output (no pair-pipeline replay, store params are
-            # the job's fixed n_hashes=8/k=3)
-            written.write.mode("append").parquet(store_docs_path)
-            sig_source = written.filter(
-                F.col(args.text_col).isNotNull()
-                & (F.length(args.text_col) > 0))
-            minhash_signatures(sig_source, args.id_col, args.text_col) \
-                .write.mode("append").parquet(store_sigs_path)
+            if new_sigs is None:
+                # bootstrap: sign the WRITTEN output (no pair-pipeline
+                # replay; store params are the fixed n_hashes=8/k=3) —
+                # and skip ids a torn first run already stored
+                new_sigs = minhash_signatures(
+                    written.filter(F.col(args.text_col).isNotNull()
+                                   & (F.length(args.text_col) > 0)),
+                    args.id_col, args.text_col)
+                try:
+                    prior = spark.read.parquet(store_sigs_path)
+                    new_sigs = new_sigs.join(
+                        prior.select(args.id_col).distinct(),
+                        args.id_col, "left_anti")
+                except AnalysisException as exc:
+                    if not _is_path_not_found(exc):
+                        raise
+            # sigs BEFORE docs (the crash-window ordering the streaming
+            # writer uses — see streaming/dedup_stream.py): a crash
+            # between the appends leaves sigs-without-docs, which the
+            # re-run converges (overlap check passes, sigs append is
+            # deduplicated above).  The reverse order stranded docs
+            # whose signatures could NEVER land (the overlap check
+            # blocks the re-run), silently admitting future duplicates.
+            new_sigs.write.mode("append").parquet(store_sigs_path)
+            # the store keeps only (id, text) — all the incremental
+            # verify needs, and the one schema BOTH the batch and the
+            # streaming writer append, so interleaved runs cannot mix
+            # file schemas inside docs/
+            written.select(args.id_col, args.text_col) \
+                .write.mode("append").parquet(store_docs_path)
             summary["store_docs"] = (
                 spark.read.parquet(store_docs_path).count())
             summary["incremental"] = store_docs is not None

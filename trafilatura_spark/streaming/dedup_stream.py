@@ -142,6 +142,16 @@ def make_dedup_batch_fn(output_path: str, store_dir: str,
                 accepted.filter(F.col(text_col).isNotNull()
                                 & (F.length(text_col) > 0)),
                 id_col, text_col)
+            # a FIRST batch that crashed between its sigs and docs
+            # appends replays into this bootstrap branch with its sigs
+            # already stored — skip them
+            try:
+                prior = spark.read.parquet(sigs_path)
+                new_sigs = new_sigs.join(
+                    prior.select(id_col).distinct(), id_col, "left_anti")
+            except AnalysisException as exc:
+                if not _is_path_not_found(exc):
+                    raise
         new_sigs = new_sigs.localCheckpoint(eager=True)
         accepted.write.mode("append").parquet(output_path)
         # sigs BEFORE docs: the replay guard keys on docs ids, so the
