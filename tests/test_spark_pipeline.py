@@ -763,3 +763,67 @@ def test_ivf_precomputed_cells_seam(spark):
 
     assert rows(inline) == rows(served)
     index.unpersist()
+
+
+def test_similarity_guard_rails(spark):
+    """Scale-failure guards: a wrong `dim` fails LOUDLY instead of
+    collapsing every vector into one bucket (null-padded zip_with dots),
+    a precomputed cells= index demands its matching centroids=, and
+    k-means init falls back for non-dense ids instead of returning an
+    empty centroid frame."""
+    import pytest as _pytest
+
+    from trafilatura_spark.functions.similarity import (
+        ann_lsh_topk, ivf_topk, lsh_bucket_table, train_ivf_centroids)
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(12)],
+        "vec_id long, embedding array<float>")
+
+    # wrong dim -> raise_error at evaluation, not silent degradation
+    with _pytest.raises(Exception, match="embedding length"):
+        lsh_bucket_table(emb, dim=64).collect()
+    # right dim works
+    assert lsh_bucket_table(emb, dim=8).count() == 12 * 8
+
+    with _pytest.raises(ValueError, match="centroids"):
+        ivf_topk(emb, emb.limit(2), cells=emb)
+
+    # string ids: `id % stride` casts to null -> the stride init selects
+    # nothing; the fallback must still produce n_cells centroids
+    emb_s = spark.createDataFrame(
+        [(f"u{i:03d}", [float(i + j) for j in range(8)])
+         for i in range(12)],
+        "vec_id string, embedding array<float>")
+    cents = train_ivf_centroids(emb_s, n_cells=3, n_iter=1)
+    assert 1 <= cents.count() <= 3
+
+    # exclude_self is now a switch on the LSH path too
+    got = ann_lsh_topk(emb, emb.limit(2), k=3, dim=8,
+                       exclude_self=False).collect()
+    assert any(r["neighbor_id"] == r["query_id"] and r["cosine"] == 1.0
+               for r in got)
+
+
+def test_fingerprints_keeps_null_text_rows(spark):
+    """A null-text row must survive fingerprints() with null fingerprint
+    columns, not vanish through an inner join against the simhash side."""
+    from trafilatura_spark.functions.textstats import fingerprints
+    df = spark.createDataFrame(
+        [(1, "some real text here"), (2, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in fingerprints(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["fp_md5"] is not None
+    assert rows[2]["fp_md5"] is None
+
+
+def test_html_to_documents_numeric_ids(spark):
+    """Numeric id columns are coerced to the schema's string doc_id."""
+    from trafilatura_spark.sources.corpus import html_to_documents
+    df = spark.createDataFrame(
+        [(7, "<html><body><p>seven</p></body></html>")],
+        "doc_id long, html string")
+    row = html_to_documents(df).collect()[0]
+    assert row["doc_id"] == "7"
+    assert row["spans"][0]["text"].startswith("<html>")

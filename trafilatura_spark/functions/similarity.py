@@ -46,17 +46,23 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
 
     Output: (query_id, rank, neighbor_id, cosine) — cosine rounded to 6dp
     for cross-engine float-hash stability."""
+    # norms hoisted per ROW (not per scored pair — with Q broadcast
+    # queries the corpus-side norm would otherwise be recomputed Q
+    # times); the float value is identical, so round-6 oracle parity
+    # is unaffected.  Same hoist ivf_topk documents.
     corpus = emb.select(F.col(id_col).alias("neighbor_id"),
                         F.transform(vec_col, lambda x: x.cast("double")
-                                    ).alias("v")).alias("c")
+                                    ).alias("v")) \
+        .withColumn("n_norm", _norm(F.col("v"))).alias("c")
     qs = queries.select(F.col(id_col).alias("query_id"),
                         F.transform(vec_col, lambda x: x.cast("double")
-                                    ).alias("q")).alias("qs")
+                                    ).alias("q")) \
+        .withColumn("q_norm", _norm(F.col("q"))).alias("qs")
     joined = corpus.join(F.broadcast(qs))
     if exclude_self:
         joined = joined.filter(F.col("c.neighbor_id") != F.col("qs.query_id"))
     sim = (_dot(F.col("qs.q"), F.col("c.v"))
-           / (_norm(F.col("qs.q")) * _norm(F.col("c.v"))))
+           / (F.col("qs.q_norm") * F.col("c.n_norm")))
     scored = joined.select(F.col("qs.query_id").alias("query_id"),
                            F.col("c.neighbor_id").alias("neighbor_id"),
                            F.round(sim, 6).alias("cosine"))
@@ -111,12 +117,20 @@ def lsh_bucket_table(df: DataFrame, id_col: str = "vec_id",
                           F.lit(0.0), lambda acc, x: acc + x)
         return F.when(dot > 0, "1").otherwise("0")
 
+    bits = F.array_join(F.transform(F.col("coefs"), bit), "")
+    # a vector whose length differs from `dim` must fail LOUDLY: zip_with
+    # null-pads the shorter side, the dot becomes null, every bit falls
+    # to "0" and ALL such vectors collapse into one bucket per table —
+    # numerically-correct results that silently degrade the bucket join
+    # to the quadratic cross product it exists to avoid
+    guarded = F.when(F.size("v") == dim, bits).otherwise(F.raise_error(
+        F.concat(F.lit("lsh_bucket_table: embedding length "),
+                 F.size("v").cast("string"),
+                 F.lit(f" != dim={dim} — pass the actual dimension"))))
     return (
         df.select(F.col(id_col).alias("id"), v.alias("v"))
         .join(F.broadcast(planes_df))
-        .select("id", F.concat_ws(
-            ":", "t",
-            F.array_join(F.transform(F.col("coefs"), bit), "")).alias("bucket"))
+        .select("id", F.concat_ws(":", "t", guarded).alias("bucket"))
     )
 
 
@@ -161,30 +175,37 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.99,
 def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_tables: int = 16, n_bits: int = 4,
-                 dim: int = 64) -> DataFrame:
+                 dim: int = 64, exclude_self: bool = True) -> DataFrame:
     """Approximate top-k: candidates collide with the query in at least one
     LSH table, then exact cosine rerank over the candidate set.  The bucket
     join replaces the full cross product — at 10^12 vectors each query
-    touches ~n_tables · N/2^n_bits candidates."""
+    touches ~n_tables · N/2^n_bits candidates.  ``exclude_self`` drops
+    neighbor_id == query_id matches (same switch as cosine_topk/ivf_topk
+    — turn it off when query ids coincide with corpus ids but name
+    different entities)."""
     cbuckets = lsh_bucket_table(emb, id_col, vec_col, n_tables, n_bits, dim) \
         .select(F.col("id").alias("neighbor_id"), "bucket")
     qbuckets = lsh_bucket_table(queries, id_col, vec_col, n_tables, n_bits,
                                 dim) \
         .select(F.col("id").alias("query_id"), F.col("bucket").alias("qb"))
     cand = (
-        cbuckets.join(F.broadcast(qbuckets), F.col("bucket") == F.col("qb"))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id").distinct()
-    )
+        cbuckets.join(F.broadcast(qbuckets), F.col("bucket") == F.col("qb")))
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    cand = cand.select("query_id", "neighbor_id").distinct()
+    # norms hoisted per row, as in cosine_topk/ivf_topk (identical float
+    # value — same evaluation — so round-6 oracle parity holds)
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v")) \
+        .withColumn("n_norm", _norm(F.col("v")))
     qs = queries.select(
         F.col(id_col).alias("query_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("q"))
+        F.transform(vec_col, lambda x: x.cast("double")).alias("q")) \
+        .withColumn("q_norm", _norm(F.col("q")))
     joined = cand.join(corpus, "neighbor_id").join(F.broadcast(qs), "query_id")
     sim = (_dot(F.col("q"), F.col("v"))
-           / (_norm(F.col("q")) * _norm(F.col("v"))))
+           / (F.col("q_norm") * F.col("n_norm")))
     scored = joined.select("query_id", "neighbor_id",
                            F.round(sim, 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
@@ -256,12 +277,25 @@ def train_ivf_centroids(emb: DataFrame, n_cells: int = 16, n_iter: int = 5,
     array<double> mean vector), directly consumable by ``ivf_topk``."""
     n = emb.count()
     stride = max(n // n_cells, 1)
-    cents = (emb.filter(F.col(id_col) % stride == 0)
+    # try_cast: under ANSI mode a string id would make `% stride` THROW
+    # mid-job; try_cast turns it into null so the fallback below engages
+    idnum = F.col(id_col).try_cast("bigint")
+    cents = (emb.filter(idnum.isNotNull() & (idnum % stride == 0))
              .orderBy(id_col).limit(n_cells)
              .select(id_col,
                      F.transform(vec_col, lambda x: x.cast("double"))
                      .alias(vec_col))
              .localCheckpoint())
+    if cents.count() < n_cells:
+        # the stride sample assumes dense 0-based integer ids; sparse or
+        # string ids select too few (possibly zero) rows, which would
+        # propagate an empty centroid frame and silently return no
+        # cells.  Deterministic fallback: the first n_cells in id order.
+        cents = (emb.orderBy(id_col).limit(n_cells)
+                 .select(id_col,
+                         F.transform(vec_col, lambda x: x.cast("double"))
+                         .alias(vec_col))
+                 .localCheckpoint())
     for _ in range(n_iter):
         assigned = ivf_assign(emb, cents, id_col, vec_col)
         cents = (assigned
@@ -316,6 +350,14 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     inline IVF 64 s ≈ brute 62 s; with the assignment persisted, the
     query phase alone is the only per-query cost).  Passing ``cells``
     skips that pass; results are identical by construction."""
+    if cells is not None and centroids is None:
+        # the index is only meaningful against the centroids that built
+        # it; defaulting to the stride sample here would probe cells
+        # whose geometry has nothing to do with the index's cell ids —
+        # wrong or empty neighbors with no error
+        raise ValueError(
+            "ivf_topk: cells= (a precomputed ivf_assign index) requires "
+            "the centroids= frame it was assigned against")
     if centroids is None:
         centroids = emb.filter(F.col(id_col) % centroid_stride == 0) \
                        .select(id_col, vec_col)

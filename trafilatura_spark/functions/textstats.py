@@ -202,15 +202,21 @@ def rolling_hash(text_col: str = "text") -> Column:
                           .cast("long")) % ROLLING_MOD)
 
 
-def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+def fingerprints(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
     """Exact (md5) + near-dup (simhash32) + order-sensitive (rolling
     polynomial) fingerprints as columns — the relational
     contentFingerprint (deduplication.dart:219-221) plus the
-    training-pipeline rolling hash."""
+    training-pipeline rolling hash.
+
+    LEFT join on the simhash side: a null-text row produces no simhash
+    rows (explode of split(null) is empty), and an inner join would
+    silently drop the document from the output instead of carrying a
+    null fingerprint."""
     from .dedup import simhash32_table
-    fps = simhash32_table(df, id_col="doc_id", text_col=text_col)
+    fps = simhash32_table(df, id_col=id_col, text_col=text_col)
     return (
         df.withColumn("fp_md5", F.md5(F.col(text_col)))
         .withColumn("fp_rolling", rolling_hash(text_col))
-        .join(fps, "doc_id")
+        .join(fps, id_col, "left")
     )

@@ -119,13 +119,9 @@ GATE_JSONLD_LENGTHS = (199, 200, 201)            # JSON-LD articleBody
 
 def comment_items(doc_id: int, text: str) -> list[str]:
     """doc_id % 2 + 1 deterministic comment texts built from the tail words."""
-    words = text.split(" ")
-    n = doc_id % 2 + 1
-    out = []
-    for i in range(n):
-        tail = " ".join(words[-4:])
-        out.append(f"comment {i} of doc {doc_id} says {tail}")
-    return out
+    tail = " ".join(text.split(" ")[-4:])
+    return [f"comment {i} of doc {doc_id} says {tail}"
+            for i in range(doc_id % 2 + 1)]
 
 
 def _comments_section(doc_id: int, text: str) -> str:
@@ -386,7 +382,10 @@ def html_to_documents(df, id_col: str = "doc_id", html_col: str = "html"):
     def to_docs(batches):
         import pandas as pd
         for pdf in batches:
-            rows = [(i, single_html_span(h))
+            # str() coercion: DOCUMENTS_SCHEMA's doc_id is StringType —
+            # a numeric id column would otherwise fail Arrow conversion
+            # at runtime (synthesize_spans_from does the same)
+            rows = [(str(i), single_html_span(h))
                     for i, h in zip(pdf[id_col], pdf[html_col])]
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 
@@ -433,8 +432,6 @@ def synthesize_documents_df(spark, sf_dir: str, with_comments: bool = False,
     distributed — at 100 TB the same code path would read the real
     Iceberg table instead.
     """
-    import pandas as pd
-
     base = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text", "lang", "source")
 
