@@ -234,3 +234,66 @@ def test_backslash_eol_line_continuation():
     across content-stream lines must not grow an internal space."""
     assert _unescape_pdf_string(b"long\\\nword") == "longword"
     assert _unescape_pdf_string(b"long\\\r\nword") == "longword"
+
+
+def test_mixed_depth_pages_tree_preserves_document_order():
+    """Leaf pages and intermediate /Pages nodes as SIBLINGS (pdftk-merged
+    shape): depth-first order is the document order.  The old
+    breadth-first walk deferred the subtree's leaves until after all
+    root-level siblings, transposing pages (e.g. [one, three, two])."""
+    c = [b"BT /F1 11 Tf (page %s) Tj ET" % w
+         for w in (b"one", b"two", b"three")]
+    objs = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            # root kids: leaf 3, SUBTREE 10 (containing leaf 4), leaf 5
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R 10 0 R 5 0 R] "
+            b"/Count 3 >>\nendobj\n"
+            b"10 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Contents 6 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Type /Page /Contents 7 0 R >>\nendobj\n"
+            b"5 0 obj\n<< /Type /Page /Contents 8 0 R >>\nendobj\n")
+    for i, content in enumerate(c):
+        objs += (b"%d 0 obj\n<< /Length %d >>\nstream\n" % (6 + i,
+                                                            len(content))
+                 + content + b"\nendstream\nendobj\n")
+    objs += b"trailer\n<< /Size 9 /Root 1 0 R >>\n%%EOF\n"
+    spans = extract_pdf_spans(objs)
+    assert [s["text"] for s in spans] == ["page one", "page two",
+                                          "page three"]
+
+
+def test_pdf_empty_rows_carry_len_text_zero(spark):
+    """status='empty' rows report len_text=0 (the emitted length), the
+    same contract as the HTML path's size gate."""
+    import pandas as pd
+
+    from trafilatura_spark.core import Options
+    from trafilatura_spark.sources.pdf import build_pdf, make_pdf_batches
+
+    blob = build_pdf(1, "tiny")
+    batches = make_pdf_batches(Options(min_output_size=10_000))
+    [out] = list(batches(iter([pd.DataFrame(
+        {"doc_id": [1], "pdf": [blob]})])))
+    assert out["status"].tolist() == ["empty"]
+    assert out["len_text"].tolist() == [0]
+
+
+def test_job_rejects_size_split_with_pdf_input(spark, tmp_path):
+    """--size-split-bytes routes on the spans column, which pdf-parquet
+    input does not carry — must fail fast, not mid-wave."""
+    import pandas as pd
+
+    from trafilatura_spark.core import Options
+    from trafilatura_spark.job import run_extraction
+    from trafilatura_spark.sources.pdf import build_pdf, make_pdf_batches
+
+    inp = str(tmp_path / "pdfs")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["1"], "pdf": [build_pdf(1, "hello")]})
+    ).write.parquet(inp)
+    with pytest.raises(ValueError, match="size-split"):
+        run_extraction(spark, spark.read.parquet(inp),
+                       str(tmp_path / "out"), str(tmp_path / "prog"),
+                       run_id="r", options=Options(),
+                       batches_fn=make_pdf_batches(Options()),
+                       size_split_bytes=1000)

@@ -238,3 +238,65 @@ if HAVE_HYP:
         want = [(u.encode("utf-8", "replace").decode("latin-1"),
                  h.encode("utf-8", "replace")) for u, h in pairs]
         assert got == want
+
+
+def test_inflate_salvages_truncated_gzip_members():
+    """A truncated .warc.gz (interrupted transfer) must yield the
+    complete members before the cut instead of failing the task."""
+    import gzip
+
+    from trafilatura_spark.sources.warc import _inflate, build_warc
+
+    blob = build_warc([("http://a.example/", "<p>a</p>"),
+                       ("http://b.example/", "<p>b</p>")], compress=True)
+    # cut inside the SECOND member: first record survives
+    cut = blob[:len(gzip.compress(b"x")) and len(blob) - 7]
+    got = _inflate(cut)
+    assert b"http://a.example/" in got
+    recs = list(iter_warc_records(cut))
+    assert len(recs) == 1
+    # trailing garbage after valid members: members still decode
+    got2 = _inflate(blob + b"\x00garbage tail")
+    assert b"http://a.example/" in got2 and b"http://b.example/" in got2
+    # pure garbage starting with the gzip magic: empty, no raise
+    assert _inflate(b"\x1f\x8bnot really gzip") == b""
+
+
+def test_chunked_header_without_framing_keeps_payload():
+    """Archives that store DECODED bodies but keep the chunked header
+    must not lose the page (previously _dechunk returned b'')."""
+    from trafilatura_spark.sources.warc import warc_html_records
+
+    html = b"<!DOCTYPE html><p>already decoded</p>"
+    http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            + html)
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://x.example/\r\n"
+           b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+           + http + b"\r\n\r\n")
+    [(uri, _d, payload)] = list(warc_html_records(rec))
+    assert payload == html
+    # and 'chunked' elsewhere in the head must NOT trigger dechunking
+    http2 = (b"HTTP/1.1 200 OK\r\nX-Note: chunked mention\r\n\r\n" + html)
+    rec2 = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://y.example/\r\n"
+            b"Content-Length: " + str(len(http2)).encode() + b"\r\n\r\n"
+            + http2 + b"\r\n\r\n")
+    [(_u, _d2, payload2)] = list(warc_html_records(rec2))
+    assert payload2 == html
+
+
+def test_read_warc_isolates_corrupt_shard(spark, tmp_path):
+    """One undecodable .warc.gz in a directory must not fail the scan —
+    the good shard's rows still come through."""
+    import gzip
+
+    from trafilatura_spark.sources.warc import build_warc, read_warc
+
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    (wdir / "good.warc.gz").write_bytes(
+        build_warc([("http://ok.example/", "<p>fine</p>")], compress=True))
+    (wdir / "bad.warc.gz").write_bytes(b"\x1f\x8b\x00corrupt beyond help")
+    rows = read_warc(spark, str(wdir)).collect()
+    assert [r["doc_id"] for r in rows] == ["http://ok.example/"]

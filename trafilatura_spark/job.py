@@ -215,6 +215,14 @@ def run_extraction(spark: SparkSession, documents: DataFrame, output_path: str,
             f"--serialize {serialize} re-renders from the extraction tree "
             "and is only available with the default HTML extractor; "
             "custom batch producers support json/csv (column-derived)")
+    if size_split_bytes > 0 and batches_fn is not None:
+        # doc_size_bytes() weighs the `spans` column, which custom batch
+        # producers' inputs (e.g. pdf-parquet's (doc_id, pdf)) don't
+        # carry — without this guard the filter dies on an unresolved
+        # column mid-wave
+        raise ValueError(
+            "--size-split-bytes routes on the spans column and is only "
+            "available with the default HTML extractor (spans input)")
     extract_fn = batches_fn if batches_fn is not None \
         else make_extract_batches(options, serialize=in_stage_fmt)
     schema = extracted_schema(in_stage_fmt)

@@ -68,6 +68,16 @@ _ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
         b"(": b"(", b")": b")", b"\\": b"\\"}
 
 
+def _decode_hex_string(tok: bytes) -> str:
+    """PDF hex string `<...>` (token INCLUDING delimiters) → text:
+    whitespace stripped, odd length zero-padded, latin-1 byte view (the
+    UTF-16BE BOM branch is the documented extension point)."""
+    hexs = re.sub(rb"\s", b"", tok[1:-1])
+    if len(hexs) % 2:
+        hexs += b"0"
+    return bytes.fromhex(hexs.decode("ascii")).decode("latin-1")
+
+
 def _unescape_pdf_string(raw: bytes) -> str:
     out = bytearray()
     i, n = 0, len(raw)
@@ -128,8 +138,14 @@ class _PdfDoc:
             if m.start() < pos:
                 continue
             num = int(m.group(1))
-            sm = _STREAM_START_RE.search(data, m.end())
             em = data.find(b"endobj", m.end())
+            # bound the stream scan by this object's endobj: an
+            # unbounded search scans to end-of-file for EVERY
+            # stream-less object (quadratic on annotation/font-heavy or
+            # hostile PDFs — ~10k objects x file size).  +9 covers a
+            # 'stream' token straddling the keyword boundary.
+            sm = _STREAM_START_RE.search(
+                data, m.end(), em + 9 if em != -1 else len(data))
             if sm is not None and (em == -1 or sm.start() < em):
                 dict_part = data[m.end():sm.start()]
                 lm = _LENGTH_RE.search(dict_part)
@@ -173,25 +189,27 @@ def _page_order(doc: _PdfDoc) -> list[int]:
                 break
     if pages_obj is not None:
         # walk the page tree: /Kids may reference intermediate /Pages
-        # nodes (balanced trees from pdfTeX etc.) — recurse into those,
-        # keep leaf /Page objects, preserve document order
-        queue = [pages_obj]
+        # nodes (balanced trees from pdfTeX etc.).  DEPTH-first, kids
+        # expanded in front of later siblings — a breadth-first pop
+        # deferred an intermediate node's leaves until after ALL its
+        # root-level siblings, transposing page order whenever leaves
+        # and subtree nodes are siblings (pdftk-merged mixed-depth
+        # trees)
+        work = [pages_obj]
         seen = set()
-        while queue:
-            node = queue.pop(0)
-            if node in seen:
-                continue
-            seen.add(node)
-            km = _KIDS_RE.search(doc.objects.get(node, b""))
-            if not km:
-                continue
-            for r in _REF_RE.finditer(km.group(1)):
-                kid = int(r.group(1))
-                kid_body = doc.objects.get(kid, b"")
-                if b"/Pages" in kid_body or _KIDS_RE.search(kid_body):
-                    queue.append(kid)
-                else:
-                    candidates.append(kid)
+        while work:
+            node = work.pop(0)
+            body = doc.objects.get(node, b"")
+            if b"/Pages" in body or _KIDS_RE.search(body):
+                if node in seen:  # cycle guard on tree nodes
+                    continue
+                seen.add(node)
+                km = _KIDS_RE.search(body)
+                if km:
+                    work[:0] = [int(r.group(1))
+                                for r in _REF_RE.finditer(km.group(1))]
+            else:
+                candidates.append(node)
     if not candidates:
         candidates = [num for num, body in sorted(doc.objects.items())
                       if b"/Type" in body and b"/Page" in body
@@ -253,12 +271,8 @@ def _scan_content(content: bytes, xobjects: dict[bytes, int], doc: _PdfDoc):
                 stack = stack[-8:]
             continue
         if c0 == b"<" and tok != b"<<":
-            hexs = re.sub(rb"\s", b"", tok[1:-1])
-            if len(hexs) % 2:
-                hexs += b"0"
-            s = bytes.fromhex(hexs.decode("ascii")).decode("latin-1")
             if in_array:
-                array_parts.append(s)
+                array_parts.append(_decode_hex_string(tok))
             else:
                 stack.append(tok)
             continue
@@ -298,12 +312,7 @@ def _scan_content(content: bytes, xobjects: dict[bytes, int], doc: _PdfDoc):
                         lines[-1].append(_unescape_pdf_string(prev[1:-1]))
                         break
                     if prev[:1] == b"<" and prev != b"<<":
-                        hexs = re.sub(rb"\s", b"", prev[1:-1])
-                        if len(hexs) % 2:
-                            hexs += b"0"
-                        lines[-1].append(
-                            bytes.fromhex(hexs.decode("ascii"))
-                            .decode("latin-1"))
+                        lines[-1].append(_decode_hex_string(prev))
                         break
                 if tok != b"Tj":
                     lines.append([])  # ' and " imply T*
@@ -479,11 +488,15 @@ def make_pdf_batches(options=None, content_col: str = "pdf",
                 text = " ".join(s["text"] for s in spans
                                 if s["kind"] != "graphic")
                 status = "ok" if spans and len(text) >= min_out else "empty"
+                # len_text 0 on empty rows, matching the HTML path's
+                # size gate (core.py): it describes the EMITTED text, so
+                # metrics like extraction_metrics' total_chars don't
+                # count characters that were never emitted
                 rows.append((str(doc_id),
                              spans if status == "ok" else [],
                              text if status == "ok" else None,
                              None, status, "pdf" if spans else "none",
-                             len(text)))
+                             len(text) if status == "ok" else 0))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "spans", "text", "meta", "status",
                                "tier", "len_text"])

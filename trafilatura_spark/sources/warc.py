@@ -35,10 +35,33 @@ _CRLF2 = b"\r\n\r\n"
 
 def _inflate(raw: bytes) -> bytes:
     """Whole-file or member-per-record gzip → plain bytes (pass-through
-    for uncompressed input)."""
-    if raw[:2] == b"\x1f\x8b":
+    for uncompressed input).
+
+    Tolerant of truncated/corrupt archives: an interrupted transfer
+    (EOFError) or trailing garbage (BadGzipFile) must not fail the
+    whole Spark task for a thousands-of-files crawl — the salvage path
+    decodes complete gzip members one by one and returns what decoded,
+    which for the Common Crawl member-per-record layout recovers every
+    record before the corruption point."""
+    if raw[:2] != b"\x1f\x8b":
+        return raw
+    try:
         return _gzip.decompress(raw)  # multi-member aware
-    return raw
+    except Exception:  # noqa: BLE001 - salvage complete members below
+        import zlib
+        out = []
+        pos = 0
+        while pos < len(raw) and raw[pos:pos + 2] == b"\x1f\x8b":
+            d = zlib.decompressobj(31)
+            try:
+                chunk = d.decompress(raw[pos:])
+            except zlib.error:
+                break
+            if not d.eof:
+                break  # final member truncated: drop it
+            out.append(chunk)
+            pos = len(raw) - len(d.unused_data)
+        return b"".join(out)
 
 
 def _parse_header_block(block: bytes) -> dict:
@@ -125,8 +148,19 @@ def warc_html_records(raw: bytes):
             continue
         http_head = body[:split].lower()
         payload = body[split + 4:]
-        if b"transfer-encoding:" in http_head and b"chunked" in http_head:
-            payload = _dechunk(payload)
+        # the chunked flag must be ON the transfer-encoding line (a
+        # substring match anywhere in the head would also fire on e.g.
+        # a cookie value containing 'chunked')
+        chunked = any(
+            line.startswith(b"transfer-encoding:") and b"chunked" in line
+            for line in http_head.split(b"\r\n"))
+        if chunked:
+            dechunked = _dechunk(payload)
+            # archives written by tools that store DECODED bodies keep
+            # the chunked header but no framing — _dechunk then reads a
+            # bogus size token and yields nothing; fall back to the raw
+            # payload instead of silently emitting an empty page
+            payload = dechunked if dechunked else payload
         yield uri, headers.get("warc-date", ""), payload
 
 
@@ -160,12 +194,18 @@ def read_warc(spark, input_path: str, glob: str = "*.warc*"):
             for path, content in zip(pdf["path"], pdf["content"]):
                 shard = hashlib.md5(str(path).encode()).hexdigest()[:8]
                 seen: dict[str, int] = {}
-                for uri, _date, payload in warc_html_records(bytes(content)):
-                    k = seen.get(uri, 0)
-                    seen[uri] = k + 1
-                    doc_id = uri if k == 0 else f"{uri}#{shard}-{k}"
-                    rows.append(
-                        (doc_id, single_html_span(decode_file(payload))))
+                try:
+                    for uri, _date, payload in warc_html_records(
+                            bytes(content)):
+                        k = seen.get(uri, 0)
+                        seen[uri] = k + 1
+                        doc_id = uri if k == 0 else f"{uri}#{shard}-{k}"
+                        rows.append(
+                            (doc_id, single_html_span(decode_file(payload))))
+                except Exception:  # noqa: BLE001 — isolate per shard: one
+                    # undecodable archive must not fail the whole task
+                    # (records yielded before the failure are kept)
+                    continue
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 
     return binary.mapInPandas(to_docs, DOCUMENTS_SCHEMA)
@@ -227,17 +267,27 @@ def write_warc(df, output_dir: str, url_col: str = "url",
     # overwrite semantics, matching the parquet backup sink: a re-run
     # with fewer partitions must not leave stale shards from the prior
     # run for read_warc to silently mix in
-    for stale in _glob.glob(os.path.join(output_dir, "part-*.warc.gz")):
+    for stale in _glob.glob(os.path.join(output_dir, "part-*.warc.gz")) + \
+            _glob.glob(os.path.join(output_dir, "*.tmp")):
         os.remove(stale)
     sel = df.select(url_col, html_col)
 
     def archive(pid, it):
+        import tempfile
+
         rows = [(r[0], r[1]) for r in it if r[1] is not None]
         if rows:
             blob = build_warc(rows, date=date, compress=True)
             path = os.path.join(output_dir, f"part-{pid:05d}.warc.gz")
-            with open(path, "wb") as f:
+            # write-temp + atomic rename: a speculative or retried task
+            # attempt racing the original on the shared mount must not
+            # interleave writes into one corrupt gzip stream (the
+            # parquet sink gets this from Hadoop's commit protocol;
+            # racers here converge on one complete shard)
+            fd, tmp = tempfile.mkstemp(dir=output_dir, suffix=".tmp")
+            with os.fdopen(fd, "wb") as f:
                 f.write(blob)
+            os.replace(tmp, path)
         yield len(rows)
 
     return sum(sel.rdd.mapPartitionsWithIndex(archive).collect())
