@@ -7,7 +7,8 @@ import os
 from pyspark.sql import functions as F
 
 from trafilatura_spark.sources.crawl import (crawl_and_extract, crawl_site,
-                                             fetch_robots_rules)
+                                             fetch_robots_rules,
+                                             resolve_links)
 
 ARTICLE = ("This is a long enough synthetic article paragraph that easily "
            "clears the relaxed extraction thresholds used by the test and "
@@ -699,3 +700,123 @@ def test_job_cli_backup_format_warc(spark, tmp_path):
     rows = {r["doc_id"]: r["spans"][0]["text"] for r in docs.collect()}
     assert set(rows) == {"https://c.test/"}
     assert "from c." in rows["https://c.test/"]
+
+
+def test_resolve_links_preserves_port(spark):
+    """Absolute-path hrefs on a ported seed must keep the port (parse_url
+    HOST strips it, silently moving the crawl to port 80)."""
+    pages = spark.createDataFrame(
+        [("http://h.test:8080/dir/page",
+          '<a href="/abs">a</a><a href="rel">r</a>'
+          '<a href="http://h.test:8080/direct">d</a>'
+          '<a href="http://h.test/other-port">o</a>')],
+        "url string, html string")
+    got = sorted(r["url"] for r in resolve_links(pages).collect())
+    assert got == ["http://h.test:8080/abs",
+                   "http://h.test:8080/dir/rel",
+                   "http://h.test:8080/direct"]
+    # h.test (port 80) is a DIFFERENT authority -> off-site, dropped
+
+
+def test_robots_scheme_and_port_keying(spark):
+    """Robots are fetched with the seed's own scheme (an http-only site's
+    rules were unreachable over hardcoded https) and keyed by authority
+    so ported frontier URLs match their rules."""
+    from trafilatura_spark.sources.crawl import fetch_robots_rules
+    from trafilatura_spark.sources.spider import filter_robots
+
+    site = {"http://p.test:8080/robots.txt":
+            b"User-agent: *\nDisallow: /Admin/\n"}
+    transport = _make_transport(site)
+    rules = fetch_robots_rules(spark, ["http://p.test:8080"],
+                               transport=transport)
+    rows = rules.collect()
+    assert rows and all(r["host"] == "p.test:8080" for r in rows)
+    # mixed-case rule path matches the original-case URL (the reference
+    # lowercases whole lines -- a fail-open hole this port fixes)
+    urls = spark.createDataFrame(
+        [("http://p.test:8080/Admin/secret",),
+         ("http://p.test:8080/public",)], "url string")
+    kept = sorted(r["url"] for r in filter_robots(urls, rules).collect())
+    assert kept == ["http://p.test:8080/public"]
+
+
+def test_crawl_frontier_skips_noncrawlable(spark):
+    """isValidLink's crawlability gate (spider.dart:257-270): login/cart
+    and binary-download links never enter the frontier."""
+    article = "word " * 60
+    site = {
+        "https://n.test/robots.txt": b"User-agent: *\n",
+        "https://n.test/": _page(
+            '<a href="/login">l</a><a href="/cart">c</a>'
+            '<a href="/files/report.zip">z</a><a href="/doc.pdf">p</a>'
+            f'<a href="/article">ok</a><p>{article}</p>'),
+        "https://n.test/article": _page(f"<p>{article} body.</p>"),
+        "https://n.test/login": _page("<p>never</p>"),
+        "https://n.test/files/report.zip": b"PK\x03\x04binary",
+    }
+    pages = crawl_site(spark, ["https://n.test/"],
+                       transport=_make_transport(site), max_hops=1)
+    got = {r["url"] for r in pages.collect()}
+    assert got == {"https://n.test/", "https://n.test/article"}
+
+
+def test_quota_cut_urls_stay_eligible(spark):
+    """A frontier URL cut by per-host quota is NOT retired: when a later
+    hop has free budget it gets fetched (the reference's UrlStore keeps
+    unfetched todo URLs; recording the pre-quota frontier lost them)."""
+    article = "word " * 60
+    # hop1 discovers /a.. /c (3 links, quota 2 keeps /a /b); /a links
+    # back to /c at hop 2, where there is budget again
+    site = {
+        "https://q.test/robots.txt": b"User-agent: *\n",
+        "https://q.test/": _page(
+            '<a href="/a">a</a><a href="/b">b</a><a href="/c">c</a>'
+            f"<p>{article}</p>"),
+        "https://q.test/a": _page(f'<a href="/c">c</a><p>{article} a.</p>'),
+        "https://q.test/b": _page(f"<p>{article} b.</p>"),
+        "https://q.test/c": _page(f"<p>{article} c.</p>"),
+    }
+    pages = crawl_site(spark, ["https://q.test/"],
+                       transport=_make_transport(site), max_hops=2,
+                       per_host_quota=2)
+    got = {r["url"]: r["hop"] for r in pages.collect()}
+    assert got["https://q.test/c"] == 2  # cut at hop 1, fetched at hop 2
+
+
+def test_sitemap_cross_host_and_relative_links(spark):
+    """expand_sitemaps gates links against the SEED domain (a CDN-hosted
+    sitemap still yields the site's pages) and resolves relative
+    hreflang/loc hrefs before the gate (unresolved ones have NULL host
+    and were all dropped)."""
+    from trafilatura_spark.sources.discovery import expand_sitemaps
+
+    cdn_xml = ("<urlset><url><loc>https://s.test/article1</loc>"
+               '<xhtml:link rel="alternate" hreflang="de" '
+               'href="/de/page1"/></url>'
+               "<url><loc>https://s.test/article2</loc>"
+               '<xhtml:link rel="alternate" hreflang="fr" '
+               'href="/fr/page1"/></url></urlset>')
+    fetched = spark.createDataFrame(
+        [("https://cdn.assets.test/sitemap.xml", cdn_xml)],
+        "url string, xml string")
+    # a robots.txt-declared CDN sitemap enters with the SITE's domain
+    # (sitemaps.dart:111-119: the SitemapObject keeps the seed's
+    # domain) — the caller passes it via the seed_host column
+    seeds = spark.createDataFrame(
+        [("https://cdn.assets.test/sitemap.xml", "s.test")],
+        "url string, seed_host string")
+    got = sorted(r["link"] for r in expand_sitemaps(
+        fetched, seeds).collect())
+    assert got == ["https://s.test/article1", "https://s.test/article2"]
+    # with target_lang de: hreflang de alternates take precedence; the
+    # RELATIVE href resolves against the sitemap URL (cdn host), so the
+    # seed-domain gate drops it — and crucially nothing crashes on the
+    # NULL-host unresolved form the old code produced
+    got_de = sorted(r["link"] for r in expand_sitemaps(
+        fetched, seeds, target_lang="de").collect())
+    assert got_de == []
+    # external=True skips the gate: the resolved relative link survives
+    got_ext = sorted(r["link"] for r in expand_sitemaps(
+        fetched, seeds, target_lang="de", external=True).collect())
+    assert got_ext == ["https://cdn.assets.test/de/page1"]

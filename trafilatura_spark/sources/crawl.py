@@ -88,9 +88,15 @@ def resolve_links(pages: DataFrame, html_col: str = "html",
     relative gets https:, absolute paths get scheme://host, bare
     relatives resolve against the page directory.  Off-site links are
     dropped (focused-crawler behavior, spider.dart:418-423)."""
+    from .spider import url_authority
+
     scheme = F.coalesce(F.parse_url(F.col(url_col), F.lit("PROTOCOL")),
                         F.lit("https"))
-    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    # authority, NOT parse_url HOST: HOST strips the port, so an
+    # absolute-path href on http://host:8080/ would resolve to
+    # http://host/page (port 80) while bare-relative links on the same
+    # page kept :8080 — two authorities from one page
+    host = url_authority(url_col)
     base = F.concat(scheme, F.lit("://"), host)
     # page directory for bare-relative links: strip after the last path
     # '/'; a path-less page URL ('https://example.com') IS its own
@@ -118,19 +124,32 @@ def resolve_links(pages: DataFrame, html_col: str = "html",
               F.concat(F.col("_base"), F.col("_l"))) \
         .when(F.col("_l").rlike("^[a-zA-Z]+:"), F.lit(None)) \
         .otherwise(F.concat(F.col("_dir"), F.col("_l")))
+    link_auth = F.regexp_extract(
+        F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
     return (raw.withColumn("url", _normalize_dot_segments(resolved))
             .filter(F.col("url").isNotNull())
-            .filter(F.parse_url(F.col("url"), F.lit("HOST")) == F.col("_host"))
+            .filter(link_auth == F.col("_host"))
             .select("src", "url").distinct())
 
 
-def fetch_robots_rules(spark: SparkSession, hosts: list[str],
+def fetch_robots_rules(spark: SparkSession, origins: list[str],
                        transport=default_transport,
                        config: dict | None = None) -> DataFrame:
-    """Fetch https://{host}/robots.txt per host and parse into the
-    (host, allow, path) rule table filter_robots consumes."""
-    urls = spark.createDataFrame([(h, f"https://{h}/robots.txt")
-                                  for h in hosts], "host string, url string")
+    """Fetch {origin}/robots.txt per seed origin and parse into the
+    (host, allow, path) rule table filter_robots consumes.
+
+    ``origins`` are ``scheme://authority`` strings (bare hosts are
+    accepted and default to https).  The rule rows are keyed by the
+    AUTHORITY — the same key :func:`spider.filter_robots` tags frontier
+    URLs with — and the fetch uses the seed's own scheme: hardcoding
+    https made every http-only site's robots.txt unreachable
+    (connection refused → no rules → crawl proceeds as if allowed)."""
+    rows = []
+    for o in origins:
+        origin = o if "://" in o else f"https://{o}"
+        authority = origin.split("://", 1)[1].split("/", 1)[0]
+        rows.append((authority, f"{origin}/robots.txt"))
+    urls = spark.createDataFrame(rows, "host string, url string")
     fetched = fetch_binary_documents(urls, transport=transport, config=config)
     robots = (urls.join(fetched, "url", "left")
               .select("host",
@@ -167,20 +186,29 @@ def crawl_site(spark: SparkSession, seeds: list[str],
     def apply_url_gates(df: DataFrame) -> DataFrame:
         return gate_urls(df, url_filter, url_blacklist)
 
-    hosts = sorted({urlparse(s).netloc for s in seeds})
-    rules = (fetch_robots_rules(spark, hosts, transport, config)
+    origins = sorted({f"{urlparse(s).scheme or 'https'}://{urlparse(s).netloc}"
+                      for s in seeds})
+    rules = (fetch_robots_rules(spark, origins, transport, config)
              if respect_robots else None)
+
+    from .spider import is_not_crawlable
 
     frontier = apply_url_gates(
         spark.createDataFrame([(s,) for s in seeds], "url string")
         .distinct())
-    visited = frontier
+    visited = None
     pages = None
     for hop in range(max_hops + 1):
         if rules is not None:
             frontier = filter_robots(frontier, rules)
         frontier = per_domain_quota(frontier, quota=per_host_quota,
-                                    navigation_first=True)
+                                    navigation_first=True).localCheckpoint()
+        # `visited` records what is actually FETCHED (post robots+quota):
+        # a quota-cut URL stays eligible when a later hop has free
+        # budget — recording the pre-quota frontier permanently lost it
+        # (the reference's UrlStore likewise keeps unfetched todo URLs)
+        visited = frontier if visited is None \
+            else visited.unionByName(frontier).localCheckpoint()
         fetched = fetch_binary_documents(frontier, transport=transport,
                                          config=config,
                                          partitions=partitions)
@@ -195,11 +223,13 @@ def crawl_site(spark: SparkSession, seeds: list[str],
         if hop == max_hops:
             break
         links = resolve_links(hop_pages.filter(F.col("html").isNotNull()))
+        # isValidLink's crawlability gate (spider.dart:243-270): login/
+        # cart churn and binary downloads never enter the frontier
         frontier = apply_url_gates(
-            filter_known(links.select("url").distinct(), visited))
+            filter_known(links.select("url").distinct(), visited)
+            .filter(~is_not_crawlable("url"))).localCheckpoint()
         if frontier.isEmpty():
             break
-        visited = visited.unionByName(frontier).localCheckpoint()
     return pages
 
 
@@ -357,11 +387,17 @@ def live_sitemap_pages(spark: SparkSession, seeds: list[str],
     from .discovery import (DETECT_SITEMAP_LINK, _similar_host,
                             clean_url_col, extract_robots_sitemaps,
                             guess_sitemap_urls, is_plausible_sitemap,
-                            lang_filter, sitemap_links)
+                            lang_filter, resolve_sitemap_link,
+                            sitemap_links)
     from .downloads import _send_request, is_live_page
 
     empty = spark.createDataFrame([], "sitemap_url string, link string")
-    candidates: list[tuple] = []    # (sitemap_url, filter_host | None)
+    # (sitemap_url, filter_host | None, seed_host) — the seed host rides
+    # every frontier row: the domain gate compares links to the SEED's
+    # domain (sitemaps.dart:111-119), not the sitemap document's host,
+    # so a robots.txt pointing at a CDN-hosted sitemap still yields the
+    # site's pages
+    candidates: list[tuple] = []
     robots_seen: dict = {}
     for s in dict.fromkeys(seeds):
         u = urlparse(s)
@@ -373,7 +409,7 @@ def live_sitemap_pages(spark: SparkSession, seeds: list[str],
         if not is_live_page(base + "/", transport=transport):
             continue            # sitemaps.dart:234-236
         if s.endswith((".xml", ".gz", "sitemap")):
-            candidates.append((s, None))
+            candidates.append((s, None, u.hostname))
             continue
         filter_host = u.hostname if len(s) > len(base) + 2 else None
         if base not in robots_seen:
@@ -383,18 +419,19 @@ def live_sitemap_pages(spark: SparkSession, seeds: list[str],
             robots_seen[base] = extract_robots_sitemaps(robots, base)
         from_robots = robots_seen[base]
         candidates.extend(
-            (c, filter_host)
+            (c, filter_host, u.hostname)
             for c in (from_robots or guess_sitemap_urls(base + "/")))
 
     if not candidates:
         return empty
     # one row per sitemap url; None (no filter) wins when seeds disagree
     by_url: dict = {}
-    for url, fh in candidates:
+    for url, fh, sh in candidates:
         if url not in by_url or fh is None:
-            by_url[url] = fh
+            by_url[url] = (fh, sh)
     frontier = spark.createDataFrame(
-        list(by_url.items()), "url string, filter_host string")
+        [(u, fh, sh) for u, (fh, sh) in by_url.items()],
+        "url string, filter_host string, seed_host string")
     seen = frontier.select("url")
     seen_count = seen.count()
     pages = None
@@ -411,15 +448,18 @@ def live_sitemap_pages(spark: SparkSession, seeds: list[str],
                 .localCheckpoint()
                 .join(F.broadcast(frontier), "url"))
         links = docs.select(
-            F.col("url").alias("sitemap_url"), "filter_host",
+            F.col("url").alias("sitemap_url"), "filter_host", "seed_host",
             F.explode(sitemap_links(F.col("xml"), max_links,
                                     target_lang)).alias("link"),
-        ).withColumn("link", clean_url_col(F.col("link"))).distinct()
+        ).withColumn("link", resolve_sitemap_link(F.col("link"),
+                                                  F.col("sitemap_url"))) \
+         .withColumn("link", clean_url_col(F.col("link"))).distinct()
         if target_lang:
             links = links.filter(lang_filter(F.col("link"), target_lang))
+        # domain gate vs the SEED host (sitemaps.dart:111-119)
         links = links.filter(_similar_host(
             F.parse_url(F.col("link"), F.lit("HOST")),
-            F.parse_url(F.col("sitemap_url"), F.lit("HOST"))))
+            F.col("seed_host")))
         pg = links.filter(~F.col("link").rlike(DETECT_SITEMAP_LINK))
         # the armed seed's final page filter (filterUrls: exact hostname)
         pg = pg.filter(F.col("filter_host").isNull()
@@ -434,11 +474,13 @@ def live_sitemap_pages(spark: SparkSession, seeds: list[str],
         # unfiltered lineage wins (F.min skips nulls, so route through a
         # ''-coalesce: '' sorts first and maps back to null)
         nested = (links.filter(F.col("link").rlike(DETECT_SITEMAP_LINK))
-                  .select(F.col("link").alias("url"), "filter_host")
+                  .select(F.col("link").alias("url"), "filter_host",
+                          "seed_host")
                   .join(seen, "url", "left_anti")
                   .groupBy("url")
                   .agg(F.nullif(F.min(F.coalesce("filter_host", F.lit(""))),
-                                F.lit("")).alias("filter_host"))
+                                F.lit("")).alias("filter_host"),
+                       F.min("seed_host").alias("seed_host"))
                   .limit(budget).localCheckpoint())
         n = nested.count()
         if n == 0:
@@ -601,23 +643,32 @@ def live_feed_pages(spark: SparkSession, seeds: list[str],
             f"the first {_DRIVER_LOOP_CAP} (driver-side loop cap)",
             stacklevel=2)
         failed = failed[:_DRIVER_LOOP_CAP]
-    already = set(seeds)
+    # slash-insensitive membership: 'https://x.com' as a seed and the
+    # retry's 'https://x.com/' are the same request — exact-string
+    # membership fetched the homepage twice
+    already = {s.rstrip("/") for s in seeds}
     retry_rows = []
     retried_away: set = set()
     last_by_host: dict = {}
     for s in failed:
         _, base = get_host_info(s)
-        base_url = base + "/" if base else None
-        if base_url and s.rstrip("/") != base and base_url not in already:
-            already.add(base_url)
-            # the reference's recursion replaces the deep seed entirely
-            # (feeds.dart:424-428): the gnews fallback, if any, belongs
-            # to the BASE url's run, never the original deep seed
-            retried_away.add(s)
-            seeds.append(base_url)
-            resp = _polite_send(base_url, transport, config, last_by_host)
-            if resp is not None and resp.status == 200:
-                retry_rows.append((base_url, 200, bytearray(resp.data)))
+        if not base or s.rstrip("/") == base:
+            continue  # the failed seed IS the homepage: nothing to retry
+        # the reference's recursion replaces the deep seed entirely
+        # (feeds.dart:424-428): the gnews fallback, if any, belongs to
+        # the BASE url's run, never the original deep seed — EVERY
+        # failed deep seed retires, including the second one on a base
+        # already retried (it would otherwise fall through to a
+        # duplicate gnews probe)
+        retried_away.add(s)
+        if base in already:
+            continue  # homepage already a seed or already retried
+        already.add(base)
+        base_url = base + "/"
+        seeds.append(base_url)
+        resp = _polite_send(base_url, transport, config, last_by_host)
+        if resp is not None and resp.status == 200:
+            retry_rows.append((base_url, 200, bytearray(resp.data)))
     if retry_rows:
         fetched0 = fetched0.unionByName(spark.createDataFrame(
             retry_rows, fetched0.schema))

@@ -178,6 +178,25 @@ def _similar_host(host_a: Column, host_b: Column) -> Column:
             | b.endswith(F.concat(F.lit("."), a)))
 
 
+def resolve_sitemap_link(link: Column, src: Column) -> Column:
+    """Resolve a possibly-relative sitemap/hreflang link against its
+    sitemap document's URL (fixRelativeUrls semantics — the reference's
+    handleLink resolves BEFORE the domain gate, sitemaps.dart:95-125;
+    unresolved relative links have a NULL parse_url host and the gate
+    silently dropped every one of them)."""
+    scheme = F.coalesce(F.parse_url(src, F.lit("PROTOCOL")), F.lit("https"))
+    auth = F.regexp_extract(src, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    base = F.concat(scheme, F.lit("://"), auth)
+    src_dir = F.when(src.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*$"),
+                     F.concat(src, F.lit("/"))) \
+        .otherwise(F.regexp_replace(src, r"[^/]*$", ""))
+    return F.when(link.rlike("^https?://"), link) \
+        .when(link.startswith("//"), F.concat(F.lit("https:"), link)) \
+        .when(link.startswith("/"), F.concat(base, link)) \
+        .when(link.rlike("^[a-zA-Z]+:"), link) \
+        .otherwise(F.concat(src_dir, link))
+
+
 def expand_sitemaps(fetched: DataFrame, seeds: DataFrame,
                     url_col: str = "url", xml_col: str = "xml",
                     max_sitemaps_seen: int = 10_000,
@@ -202,8 +221,24 @@ def expand_sitemaps(fetched: DataFrame, seeds: DataFrame,
     distinct page URLs with the sitemap URL they came from.
     """
     spark = fetched.sparkSession
-    frontier = seeds.select(url_col).distinct().persist()
-    seen = frontier
+    # the SEED host travels with every frontier row: the domain gate
+    # compares links against the seed's domain (the reference fixes it
+    # at SitemapObject creation, sitemaps.dart:111-119) — comparing
+    # against the current sitemap document's host dropped every link of
+    # a cross-host sitemap.  A robots.txt-declared CDN-hosted sitemap
+    # enters with the SITE's domain: callers with that context pass it
+    # as a `seed_host` column on `seeds`; otherwise it derives from the
+    # sitemap URL itself.
+    if "seed_host" in seeds.columns:
+        frontier = (seeds.select(url_col,
+                                 F.col("seed_host").alias("_seed_host"))
+                    .distinct().persist())
+    else:
+        frontier = (seeds.select(url_col).distinct()
+                    .withColumn("_seed_host",
+                                F.parse_url(F.col(url_col), F.lit("HOST")))
+                    .persist())
+    seen = frontier.select(url_col)
     seen_count = frontier.count()
     # one scan of the crawl store up front: plausibility-filter + 2-col
     # projection, persisted (MEMORY_AND_DISK, releasable) — the filter is
@@ -220,23 +255,29 @@ def expand_sitemaps(fetched: DataFrame, seeds: DataFrame,
             break
         docs = store.join(F.broadcast(frontier), url_col)
         links = docs.select(
-            F.col(url_col).alias("sitemap_url"),
+            F.col(url_col).alias("sitemap_url"), "_seed_host",
             F.explode(sitemap_links(F.col(xml_col), max_links,
                                     target_lang)).alias("link"),
-        ).withColumn("link", clean_url_col(F.col("link"))).distinct()
+        ).withColumn("link", resolve_sitemap_link(F.col("link"),
+                                                  F.col("sitemap_url"))) \
+         .withColumn("link", clean_url_col(F.col("link"))).distinct()
         if target_lang:
             links = links.filter(lang_filter(F.col("link"), target_lang))
         if not external:
-            # handleLink's domain gate (sitemaps.dart:95-125)
+            # handleLink's domain gate vs the SEED domain
+            # (sitemaps.dart:95-125)
             links = links.filter(_similar_host(
                 F.parse_url(F.col("link"), F.lit("HOST")),
-                F.parse_url(F.col("sitemap_url"), F.lit("HOST"))))
+                F.col("_seed_host")))
         links = links.persist()  # consumed by pg AND nested below
-        pg = links.filter(~F.col("link").rlike(DETECT_SITEMAP_LINK))
+        pg = links.filter(~F.col("link").rlike(DETECT_SITEMAP_LINK)) \
+                  .select("sitemap_url", "link")
         pages = pg if pages is None else pages.unionByName(pg)
         nested = (links.filter(F.col("link").rlike(DETECT_SITEMAP_LINK))
-                  .select(F.col("link").alias(url_col))
-                  .join(seen, url_col, "left_anti").distinct())
+                  .select(F.col("link").alias(url_col), "_seed_host")
+                  .join(seen, url_col, "left_anti")
+                  .groupBy(url_col)
+                  .agg(F.min("_seed_host").alias("_seed_host")))
         retired.append(links)
         budget = max_sitemaps_seen - seen_count
         if budget <= 0:
@@ -247,14 +288,17 @@ def expand_sitemaps(fetched: DataFrame, seeds: DataFrame,
             nested.unpersist()
             break
         retired.append(seen)
-        seen = seen.unionByName(nested).persist()
+        seen = seen.unionByName(nested.select(url_col)).persist()
         seen_count += n
         retired.append(frontier)
         frontier = nested
         if (rnd + 1) % 2 == 0:
             # cut union lineage (same treatment as spider.bfs_frontier:
             # deep crawls must not build unbounded plans) and release the
-            # superseded round frames
+            # superseded round frames — INCLUDING the just-persisted
+            # union that the checkpoint supersedes (it was otherwise
+            # never unpersisted, pinning executor storage per round)
+            retired.append(seen)
             seen = seen.localCheckpoint()
             pages = pages.localCheckpoint()
             for df in retired:

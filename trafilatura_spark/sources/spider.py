@@ -47,15 +47,39 @@ def bfs_frontier(edges: DataFrame, seeds: DataFrame, max_hops: int = 3,
             .select(F.col("dst").alias("url")).distinct()
             .join(visited.select("url"), "url", "left_anti")
         )
-        nxt = nxt.withColumn("hop", F.lit(hop))
+        # materialize once: isEmpty, the visited union AND the next
+        # hop's join would otherwise each re-run the expansion join
+        nxt = nxt.withColumn("hop", F.lit(hop)).localCheckpoint()
         if nxt.isEmpty():
             break
         visited = visited.unionByName(nxt)
         frontier = nxt.select("url")
         if hop % checkpoint_every == 0:
             visited = visited.localCheckpoint()
-            frontier = frontier.localCheckpoint()
     return visited
+
+
+def url_authority(url_col: str = "url"):
+    """Authority INCLUDING the port: ``parse_url(..., 'HOST')`` strips
+    it, which would key example.com:8080 and example.com to the same
+    robots-rules/quota row (and let the :8080 site's frontier escape
+    its own rules entirely)."""
+    return F.regexp_extract(F.col(url_col),
+                            r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+
+
+def is_not_crawlable(url_col: str = "url"):
+    """Non-content URL predicate (spider.dart:257-270 _isNotCrawlable):
+    login/account/cart churn and binary downloads never enter the
+    frontier — a .zip link would otherwise pull up to max-file-size of
+    binary into the HTML pipeline per URL.  Pure column expression."""
+    lower = F.lower(F.col(url_col))
+    return (lower.contains("/login") | lower.contains("/logout")
+            | lower.contains("/register") | lower.contains("/signup")
+            | lower.contains("/signin") | lower.contains("/cart")
+            | lower.contains("/checkout") | lower.contains("/search?")
+            | lower.endswith(".pdf") | lower.endswith(".zip")
+            | lower.endswith(".exe") | lower.endswith(".dmg"))
 
 
 def is_navigation_page(url_col: str = "url"):
@@ -82,7 +106,7 @@ def per_domain_quota(urls: DataFrame, url_col: str = "url",
     content pages — they yield the most new links per fetch, so a
     budget-bounded wave discovers the site graph fastest."""
     from pyspark.sql import Window
-    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    host = url_authority(url_col)
     if navigation_first:
         order = [is_navigation_page(url_col).cast("int").desc(),
                  F.col(url_col)]
@@ -96,9 +120,15 @@ def per_domain_quota(urls: DataFrame, url_col: str = "url",
 # -- robots.txt compliance (spider.dart:106-177 RobotRules) -------------------
 
 def parse_robots(content: str | None) -> dict:
-    """RobotRules.parse (spider.dart:116-151): comment-stripped,
-    lowercased lines; blocks gated on ``user-agent: *`` or agents
-    containing 'bot'; collects allow/disallow paths and crawl-delay."""
+    """RobotRules.parse (spider.dart:116-151): comment-stripped lines;
+    blocks gated on ``user-agent: *`` or agents containing 'bot';
+    collects allow/disallow paths and crawl-delay.
+
+    Only the KEY (and the user-agent value comparison) is lowercased —
+    the reference lowercases whole lines, which silently ignores
+    mixed-case rules ('Disallow: /Admin/' stored as '/admin/' never
+    prefix-matches the original-case URL path, a fail-open compliance
+    hole this port deliberately fixes)."""
     rules = {"allow": [], "disallow": [], "crawl_delay": None}
     if not content:
         return rules
@@ -107,15 +137,16 @@ def parse_robots(content: str | None) -> dict:
         comment = line.find("#")
         if comment >= 0:
             line = line[:comment]
-        line = line.strip().lower()
+        line = line.strip()
         if not line:
             continue
         key, sep, value = line.partition(":")
         if not sep:
             continue
-        key, value = key.strip(), value.strip()
+        key, value = key.strip().lower(), value.strip()
         if key == "user-agent":
-            relevant = value == "*" or "bot" in value
+            low = value.lower()
+            relevant = low == "*" or "bot" in low
         elif relevant:
             if key == "disallow" and value:
                 rules["disallow"].append(value)
@@ -174,9 +205,13 @@ def filter_robots(urls: DataFrame, rules: DataFrame,
     (canFetch semantics relationally: allows win, default allow —
     including hosts with no robots entry at all).
 
-    ``rules`` is the output of :func:`robots_rules_df`.  One broadcast-
-    able join on host + a per-URL aggregate; no Python in the loop."""
-    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    ``rules`` is the output of :func:`robots_rules_df`; its host column
+    must carry the AUTHORITY (host:port when present — what
+    :func:`url_authority` extracts and :func:`crawl.fetch_robots_rules`
+    keys by), or the join silently never matches for ported seeds and
+    robots compliance fails open.  One broadcastable join on host + a
+    per-URL aggregate; no Python in the loop."""
+    host = url_authority(url_col)
     path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit(""))
     tagged = urls.select(F.col(url_col), host.alias("_host"),
                          path.alias("_path"))
