@@ -329,3 +329,154 @@ def test_filter_tuples_mirror_set_membership_semantics():
         dom._CFINDALL(div, ("p", []))
     with pytest.raises(TypeError):
         list(dom._CITER(div, ({},), False))
+
+
+# ---------------------------------------------------------------------------
+# round-5 walk primitives: clean_copy emit, metadata index, readability
+# metrics — each must be VALUE-EXACT vs the pure-Python walk it replaces.
+
+def _toggling(attr):
+    """Run a callable under the Python path, then the C path."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def off():
+        saved = getattr(dom, attr)
+        setattr(dom, attr, None)
+        try:
+            yield
+        finally:
+            setattr(dom, attr, saved)
+    return off
+
+
+_CLEAN_CASES = [
+    # deep strip-set nesting (span strips): text/tail sink ordering
+    "<body><div>" + "<span>a" * 120 + "b" + "</span>" * 120 + "t</div></body>",
+    # figure->div retag only when a table descendant exists
+    "<body><figure><table><tr><td>x</td></tr></table></figure>"
+    "<figure><img src='y'></figure>t</body>",
+    # deletes whose tails merge into text vs last-child tail positions
+    "<body><p>keep<script>gone</script> t1<aside>x</aside>t2</p></body>",
+    # all-whitespace text and tails
+    "<body><p>  </p><div>   <span>  </span>  ,  </div></body>",
+    # empty / text-only documents
+    "", "plain, text only  ",
+]
+
+
+def test_clean_copy_emit_parity():
+    from trafilatura_spark.operators import cleaning as cl
+    from trafilatura_spark.settings import Options
+    from trafilatura_spark.core import load_html
+    from trafilatura_spark.sources.loading import decode_file
+    if dom._CCLEANCOPY is None:
+        pytest.skip("accelerator unavailable")
+    cache = pathlib.Path("/root/reference/test/cache")
+    htmls = [decode_file(p.read_bytes())
+             for p in sorted(cache.glob("*.html"))[:40]] + _CLEAN_CASES
+    off = _toggling("_CCLEANCOPY")
+    for html in htmls:
+        tree = load_html(html)
+        if tree is None:
+            continue
+        for tables in (True, False):
+            for images in (True, False):
+                for focus in ("balanced", "precision"):
+                    opts = Options(tables=tables, images=images, focus=focus)
+                    with off():
+                        py = cl.clean_copy(tree.copy(), opts)
+                    cc = cl.clean_copy(tree.copy(), opts)
+                    assert tree_repr(py) == tree_repr(cc), \
+                        (html[:80], tables, images, focus)
+                    parents_consistent(cc)
+
+
+def test_metadata_index_parity():
+    from trafilatura_spark.operators import metadata as md
+    from trafilatura_spark.core import load_html
+    from trafilatura_spark.sources.loading import decode_file
+    if dom._CMETAIDX is None:
+        pytest.skip("accelerator unavailable")
+    cache = pathlib.Path("/root/reference/test/cache")
+    htmls = [decode_file(p.read_bytes())
+             for p in sorted(cache.glob("*.html"))[:40]] + [
+        # every classification seam in one page
+        "<body><h1 class='entry-title'>T</h1><h2 class='post-title'>U</h2>"
+        "<span class='PUBLISHED on'>d</span><abbr class='entry-date'>e</abbr>"
+        "<p class='post-date'>p</p><strong class='published'>no (tag)</strong>"
+        "<div class='myfooter x'>f</div><div id='page-footer'>g</div>"
+        "<footer>h</footer><span id='footer'>not a div</span></body>",
+        "", "text only",
+    ]
+    off = _toggling("_CMETAIDX")
+    for html in htmls:
+        tree = load_html(html)
+        if tree is None:
+            continue
+        with off():
+            py = md._MetaWalk(tree)
+        cc = md._MetaWalk(tree)
+        assert list(py.buckets) == list(cc.buckets)
+        for k in py.buckets:
+            assert py.buckets[k] == cc.buckets[k], k
+        assert py.title_classed == cc.title_classed
+        assert py.date_classed == cc.date_classed
+        assert py.license_containers == cc.license_containers
+
+
+def test_collect_metrics_parity():
+    from trafilatura_spark.operators import readability as rd
+    from trafilatura_spark.core import load_html
+    from trafilatura_spark.sources.loading import decode_file
+    if dom._CMETRICS is None:
+        pytest.skip("accelerator unavailable")
+    cache = pathlib.Path("/root/reference/test/cache")
+    htmls = [decode_file(p.read_bytes())
+             for p in sorted(cache.glob("*.html"))[:40]] + [
+        # comma counting, link cores, unicode + boundary whitespace
+        "<body><p>a, b , c  <a href='#'>link,text</a> tail,</p></body>",
+        "<body><div> <span> </span>x　</div></body>",
+        "<body><a>outer<a>inner</a></a></body>",
+        "", "only text, here",
+    ]
+    off = _toggling("_CMETRICS")
+    for html in htmls:
+        tree = load_html(html)
+        if tree is None:
+            continue
+        with off():
+            py = rd._collect_metrics(tree)
+        cc = rd._collect_metrics(tree)
+        assert py == cc
+        # bool/int types must match too (downstream arithmetic + display)
+        for k in py:
+            assert [type(a) for a in py[k]] == [type(b) for b in cc[k]]
+
+
+def test_bucket_by_tag_parity():
+    from trafilatura_spark.operators import selectors as sel
+    from trafilatura_spark.core import load_html
+    from trafilatura_spark.sources.loading import decode_file
+    if dom._CBUCKETS is None:
+        pytest.skip("accelerator unavailable")
+    cache = pathlib.Path("/root/reference/test/cache")
+    htmls = [decode_file(p.read_bytes())
+             for p in sorted(cache.glob("*.html"))[:40]] + [
+        "<body><div><p>a</p><span>b</span></div><main><p>c</p></main></body>",
+        "", "text only",
+    ]
+    tagsets = [("article", "div", "main", "section"),
+               ("div", "item", "li", "p", "section", "span"), ()]
+    off = _toggling("_CBUCKETS")
+    for html in htmls:
+        tree = load_html(html)
+        if tree is None:
+            continue
+        for tags in tagsets:
+            with off():
+                py = sel._by_tag(tree, tags)
+            cc = sel._by_tag(tree, tags)
+            assert list(py) == list(cc)
+            for k in py:
+                assert py[k] == cc[k], k

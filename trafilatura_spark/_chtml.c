@@ -44,7 +44,7 @@ static PyObject *tagcache = NULL;      /* str -> canonical str (bounded) */
 
 static PyObject *c_root, *c_head, *c_body, *c_html, *c_p, *c_script, *c_style,
     *c_table, *c_tr, *c_td, *c_th, *c_ul, *c_ol, *c_dl, *c_select,
-    *c_empty, *c_lt, *c_arrow;
+    *c_empty, *c_lt, *c_arrow, *c_figure, *c_div, *c_a, *c_class, *c_id;
 
 #define GET_SLOT(o, off) (*(PyObject **)((char *)(o) + (off)))
 #define SET_SLOT(o, off, v) (*(PyObject **)((char *)(o) + (off)) = (v))
@@ -1395,6 +1395,703 @@ chtml_iter_tree(PyObject *self, PyObject *args)
     return (PyObject *)it;
 }
 
+/* ------------------------------------------------- cleaning copy walk -- */
+
+/* does `node` have a descendant (self excluded) with tag `want`?
+ * -1 on error.  Mirrors Node.find(tag) is not None. */
+static int
+has_desc_tag(PyObject *node, PyObject *want)
+{
+    PyObject *children = GET_SLOT(node, off_children);
+    Py_ssize_t nch = PyList_GET_SIZE(children);
+    if (nch == 0)
+        return 0;
+    Py_ssize_t cap = (nch > 64) ? nch : 64, len = 0;
+    PyObject **stack = PyMem_Malloc(cap * sizeof(PyObject *));
+    if (stack == NULL) {
+        PyErr_NoMemory();
+        return -1;
+    }
+    for (Py_ssize_t k = nch - 1; k >= 0; k--)
+        stack[len++] = PyList_GET_ITEM(children, k);
+    while (len > 0) {
+        PyObject *cur = stack[--len];
+        if (str_eq(GET_SLOT(cur, off_tag), want)) {
+            PyMem_Free(stack);
+            return 1;
+        }
+        children = GET_SLOT(cur, off_children);
+        nch = PyList_GET_SIZE(children);
+        if (nch > 0) {
+            if (len + nch > cap) {
+                while (cap < len + nch)
+                    cap *= 2;
+                PyObject **ns = PyMem_Realloc(stack, cap * sizeof(PyObject *));
+                if (ns == NULL) {
+                    PyMem_Free(stack);
+                    PyErr_NoMemory();
+                    return -1;
+                }
+                stack = ns;
+            }
+            for (Py_ssize_t k = nch - 1; k >= 0; k--)
+                stack[len++] = PyList_GET_ITEM(children, k);
+        }
+    }
+    PyMem_Free(stack);
+    return 0;
+}
+
+/* mirrors cleaning.clean_copy's sink(): merge s into dst's last text
+ * position.  s borrowed; 0/-1. */
+static int
+sink_text(PyObject *dst, PyObject *s)
+{
+    if (PyUnicode_GET_LENGTH(s) == 0)
+        return 0;
+    PyObject *children = GET_SLOT(dst, off_children);
+    Py_ssize_t n = PyList_GET_SIZE(children);
+    PyObject *target;
+    Py_ssize_t off;
+    if (n > 0) {
+        target = PyList_GET_ITEM(children, n - 1);
+        off = off_tail;
+    }
+    else {
+        target = dst;
+        off = off_text;
+    }
+    PyObject *old = GET_SLOT(target, off);
+    if (PyUnicode_GET_LENGTH(old) == 0) {
+        Py_INCREF(s);
+        SET_SLOT(target, off, s);
+        Py_DECREF(old);
+    }
+    else {
+        PyObject *cat = PyUnicode_Concat(old, s);
+        if (cat == NULL)
+            return -1;
+        SET_SLOT(target, off, cat);
+        Py_DECREF(old);
+    }
+    return 0;
+}
+
+/* clone_shallow with an explicit tag (borrowed; lets the figure->div
+ * retag ride the clone). */
+static PyObject *
+clone_shallow_tag(PyObject *src, PyObject *parent, PyObject *tag)
+{
+    PyObject *attrs = PyDict_Copy(GET_SLOT(src, off_attrs));
+    if (attrs == NULL)
+        return NULL;
+    PyObject *n = node_type->tp_alloc(node_type, 0);
+    if (n == NULL) {
+        Py_DECREF(attrs);
+        return NULL;
+    }
+    PyObject *children = PyList_New(0);
+    if (children == NULL) {
+        Py_DECREF(attrs);
+        Py_DECREF(n);
+        return NULL;
+    }
+    PyObject *v;
+    Py_INCREF(tag);
+    SET_SLOT(n, off_tag, tag);
+    SET_SLOT(n, off_attrs, attrs);
+    SET_SLOT(n, off_children, children);
+    if (parent == NULL)
+        parent = Py_None;
+    Py_INCREF(parent);
+    SET_SLOT(n, off_parent, parent);
+    v = GET_SLOT(src, off_text);
+    Py_INCREF(v);
+    SET_SLOT(n, off_text, v);
+    v = GET_SLOT(src, off_tail);
+    Py_INCREF(v);
+    SET_SLOT(n, off_tail, v);
+    return n;
+}
+
+typedef struct {
+    PyObject *src;        /* borrowed (source tree keeps alive) */
+    Py_ssize_t idx;
+    PyObject *tail_owner; /* borrowed or NULL: strip child whose tail
+                           * sinks after its children are emitted */
+} CFrame;
+
+/* clean_copy_emit(tree, strip_set, delete_set, retag_figures) -> Node
+ *
+ * The emit walk of operators/cleaning.clean_copy (everything before
+ * prune_html), semantics-exact: strip-set tags are replaced by their
+ * children with text/tail merged into the surrounding text positions;
+ * delete-set tags vanish with their subtree (tail merged); a <figure>
+ * containing a <table> is retagged to div BEFORE the delete-set check
+ * when retag_figures.  Fully iterative: no RecursionError fallback
+ * needed for adversarial strip nesting. */
+static PyObject *
+chtml_clean_copy(PyObject *self, PyObject *args)
+{
+    (void)self;
+    PyObject *tree, *strip_set, *delete_set;
+    int retag;
+    if (!PyArg_ParseTuple(args, "OOOp", &tree, &strip_set, &delete_set,
+                          &retag))
+        return NULL;
+    if (node_type == NULL || !PyObject_TypeCheck(tree, node_type)) {
+        PyErr_SetString(PyExc_TypeError, "clean_copy_emit() expects a Node");
+        return NULL;
+    }
+    if (!PyAnySet_Check(strip_set) || !PyAnySet_Check(delete_set)) {
+        PyErr_SetString(PyExc_TypeError, "clean_copy_emit() expects sets");
+        return NULL;
+    }
+    PyObject *root = clone_shallow(tree, NULL);
+    if (root == NULL)
+        return NULL;
+    Py_ssize_t wcap = 64, wlen = 0;
+    PyObject **work = PyMem_Malloc(wcap * 2 * sizeof(PyObject *));
+    if (work == NULL) {
+        Py_DECREF(root);
+        PyErr_NoMemory();
+        return NULL;
+    }
+    Py_ssize_t fcap = 64;
+    CFrame *frames = PyMem_Malloc(fcap * sizeof(CFrame));
+    if (frames == NULL) {
+        PyMem_Free(work);
+        Py_DECREF(root);
+        PyErr_NoMemory();
+        return NULL;
+    }
+    work[0] = tree;
+    work[1] = root;
+    wlen = 1;
+    while (wlen > 0) {
+        wlen--;
+        PyObject *src = work[wlen * 2];
+        PyObject *dst = work[wlen * 2 + 1];
+        Py_ssize_t flen = 1;
+        frames[0].src = src;
+        frames[0].idx = 0;
+        frames[0].tail_owner = NULL;
+        while (flen > 0) {
+            CFrame *f = &frames[flen - 1];
+            PyObject *children = GET_SLOT(f->src, off_children);
+            if (f->idx >= PyList_GET_SIZE(children)) {
+                if (f->tail_owner != NULL &&
+                    sink_text(dst, GET_SLOT(f->tail_owner, off_tail)) < 0)
+                    goto fail;
+                flen--;
+                continue;
+            }
+            PyObject *child = PyList_GET_ITEM(children, f->idx);
+            f->idx++;
+            PyObject *tag = GET_SLOT(child, off_tag);
+            int r = PySet_Contains(strip_set, tag);
+            if (r < 0)
+                goto fail;
+            if (r) {
+                if (sink_text(dst, GET_SLOT(child, off_text)) < 0)
+                    goto fail;
+                if (flen == fcap) {
+                    fcap *= 2;
+                    CFrame *nf = PyMem_Realloc(frames, fcap * sizeof(CFrame));
+                    if (nf == NULL) {
+                        PyErr_NoMemory();
+                        goto fail;
+                    }
+                    frames = nf;
+                }
+                frames[flen].src = child;
+                frames[flen].idx = 0;
+                frames[flen].tail_owner = child;
+                flen++;
+                continue;
+            }
+            if (retag && str_eq(tag, c_figure)) {
+                int h = has_desc_tag(child, c_table);
+                if (h < 0)
+                    goto fail;
+                if (h)
+                    tag = c_div;
+            }
+            r = PySet_Contains(delete_set, tag);
+            if (r < 0)
+                goto fail;
+            if (r) {
+                if (sink_text(dst, GET_SLOT(child, off_tail)) < 0)
+                    goto fail;
+                continue;
+            }
+            PyObject *c = clone_shallow_tag(child, dst, tag);
+            if (c == NULL)
+                goto fail;
+            if (PyList_Append(GET_SLOT(dst, off_children), c) < 0) {
+                Py_DECREF(c);
+                goto fail;
+            }
+            Py_DECREF(c); /* dst's children list holds it */
+            if (PyList_GET_SIZE(GET_SLOT(child, off_children)) > 0) {
+                if (wlen == wcap) {
+                    wcap *= 2;
+                    PyObject **nw =
+                        PyMem_Realloc(work, wcap * 2 * sizeof(PyObject *));
+                    if (nw == NULL) {
+                        PyErr_NoMemory();
+                        goto fail;
+                    }
+                    work = nw;
+                }
+                work[wlen * 2] = child;
+                work[wlen * 2 + 1] = c; /* borrowed: dst holds it */
+                wlen++;
+            }
+        }
+    }
+    PyMem_Free(work);
+    PyMem_Free(frames);
+    return root;
+fail:
+    PyMem_Free(work);
+    PyMem_Free(frames);
+    Py_DECREF(root);
+    return NULL;
+}
+
+/* --------------------------------------------------- metadata index ---- */
+
+/* metadata_index(tree, tags, date_tags, title_exact, date_subs, footer)
+ * -> (buckets dict, title_classed, date_classed, license_containers)
+ *
+ * One pre-order walk (self excluded) replicating
+ * operators/metadata._DocumentIndex.__init__: buckets by tag for the
+ * tags tuple; any-tag nodes whose class EXACTLY equals a title_exact
+ * entry; date_tags nodes whose lowercased class CONTAINS a date_subs
+ * entry; license containers = <footer> tags plus <div>s whose raw
+ * class or id contains `footer`. */
+static PyObject *
+chtml_metadata_index(PyObject *self, PyObject *args)
+{
+    (void)self;
+    PyObject *tree, *tags, *date_tags, *title_exact, *date_subs, *footer;
+    if (!PyArg_ParseTuple(args, "OO!O!O!O!U", &tree, &PyTuple_Type, &tags,
+                          &PyTuple_Type, &date_tags, &PyTuple_Type,
+                          &title_exact, &PyTuple_Type, &date_subs, &footer))
+        return NULL;
+    if (node_type == NULL || !PyObject_TypeCheck(tree, node_type)) {
+        PyErr_SetString(PyExc_TypeError, "metadata_index() expects a Node");
+        return NULL;
+    }
+    PyObject *buckets = NULL, *title_l = NULL, *date_l = NULL,
+             *lic_l = NULL, *result = NULL;
+    PyObject **stack = NULL;
+    buckets = PyDict_New();
+    if (buckets == NULL)
+        goto fail;
+    for (Py_ssize_t k = 0; k < PyTuple_GET_SIZE(tags); k++) {
+        PyObject *lst = PyList_New(0);
+        if (lst == NULL)
+            goto fail;
+        if (PyDict_SetItem(buckets, PyTuple_GET_ITEM(tags, k), lst) < 0) {
+            Py_DECREF(lst);
+            goto fail;
+        }
+        Py_DECREF(lst);
+    }
+    title_l = PyList_New(0);
+    date_l = PyList_New(0);
+    lic_l = PyList_New(0);
+    if (title_l == NULL || date_l == NULL || lic_l == NULL)
+        goto fail;
+    PyObject *children = GET_SLOT(tree, off_children);
+    Py_ssize_t nch = PyList_GET_SIZE(children);
+    Py_ssize_t cap = (nch > 64) ? nch : 64, len = 0;
+    stack = PyMem_Malloc(cap * sizeof(PyObject *));
+    if (stack == NULL) {
+        PyErr_NoMemory();
+        goto fail;
+    }
+    for (Py_ssize_t k = nch - 1; k >= 0; k--)
+        stack[len++] = PyList_GET_ITEM(children, k);
+    while (len > 0) {
+        PyObject *cur = stack[--len];
+        PyObject *tag = GET_SLOT(cur, off_tag);
+        PyObject *b = PyDict_GetItemWithError(buckets, tag);
+        if (b == NULL && PyErr_Occurred())
+            goto fail;
+        if (b != NULL && PyList_Append(b, cur) < 0)
+            goto fail;
+        PyObject *attrs = GET_SLOT(cur, off_attrs);
+        if (PyDict_GET_SIZE(attrs) > 0) {
+            PyObject *cls = PyDict_GetItemWithError(attrs, c_class);
+            if (cls == NULL && PyErr_Occurred())
+                goto fail;
+            if (cls != NULL && PyUnicode_Check(cls)) {
+                for (Py_ssize_t k = 0;
+                     k < PyTuple_GET_SIZE(title_exact); k++) {
+                    if (str_eq(cls, PyTuple_GET_ITEM(title_exact, k))) {
+                        if (PyList_Append(title_l, cur) < 0)
+                            goto fail;
+                        break;
+                    }
+                }
+                int is_date_tag = 0;
+                for (Py_ssize_t k = 0; k < PyTuple_GET_SIZE(date_tags);
+                     k++) {
+                    if (str_eq(tag, PyTuple_GET_ITEM(date_tags, k))) {
+                        is_date_tag = 1;
+                        break;
+                    }
+                }
+                if (is_date_tag) {
+                    PyObject *low =
+                        lower_sub(cls, 0, PyUnicode_GET_LENGTH(cls));
+                    if (low == NULL)
+                        goto fail;
+                    Py_ssize_t lowlen = PyUnicode_GET_LENGTH(low);
+                    for (Py_ssize_t k = 0;
+                         k < PyTuple_GET_SIZE(date_subs); k++) {
+                        Py_ssize_t at = PyUnicode_Find(
+                            low, PyTuple_GET_ITEM(date_subs, k), 0,
+                            lowlen, 1);
+                        if (at == -2) {
+                            Py_DECREF(low);
+                            goto fail;
+                        }
+                        if (at >= 0) {
+                            if (PyList_Append(date_l, cur) < 0) {
+                                Py_DECREF(low);
+                                goto fail;
+                            }
+                            break;
+                        }
+                    }
+                    Py_DECREF(low);
+                }
+            }
+            if (str_eq(tag, c_div)) {
+                int hit = 0;
+                PyObject *v = (cls != NULL && PyUnicode_Check(cls))
+                                  ? cls : c_empty;
+                Py_ssize_t at = PyUnicode_Find(
+                    v, footer, 0, PyUnicode_GET_LENGTH(v), 1);
+                if (at == -2)
+                    goto fail;
+                hit = at >= 0;
+                if (!hit) {
+                    PyObject *idv = PyDict_GetItemWithError(attrs, c_id);
+                    if (idv == NULL && PyErr_Occurred())
+                        goto fail;
+                    if (idv != NULL && PyUnicode_Check(idv)) {
+                        at = PyUnicode_Find(idv, footer, 0,
+                                            PyUnicode_GET_LENGTH(idv), 1);
+                        if (at == -2)
+                            goto fail;
+                        hit = at >= 0;
+                    }
+                }
+                if (hit && PyList_Append(lic_l, cur) < 0)
+                    goto fail;
+            }
+        }
+        if (str_eq(tag, footer) && PyList_Append(lic_l, cur) < 0)
+            goto fail;
+        children = GET_SLOT(cur, off_children);
+        nch = PyList_GET_SIZE(children);
+        if (nch > 0) {
+            if (len + nch > cap) {
+                while (cap < len + nch)
+                    cap *= 2;
+                PyObject **ns = PyMem_Realloc(stack, cap * sizeof(PyObject *));
+                if (ns == NULL) {
+                    PyErr_NoMemory();
+                    goto fail;
+                }
+                stack = ns;
+            }
+            for (Py_ssize_t k = nch - 1; k >= 0; k--)
+                stack[len++] = PyList_GET_ITEM(children, k);
+        }
+    }
+    result = PyTuple_Pack(4, buckets, title_l, date_l, lic_l);
+fail:
+    PyMem_Free(stack);
+    Py_XDECREF(buckets);
+    Py_XDECREF(title_l);
+    Py_XDECREF(date_l);
+    Py_XDECREF(lic_l);
+    return result;
+}
+
+/* bucket_by_tag(node, tags) -> dict {tag: [nodes]} — selectors._by_tag:
+ * ONE pre-order walk (self excluded) bucketing descendants by tag,
+ * document order within each bucket. */
+static PyObject *
+chtml_bucket_by_tag(PyObject *self, PyObject *args)
+{
+    (void)self;
+    PyObject *tree, *tags;
+    if (!PyArg_ParseTuple(args, "OO!", &tree, &PyTuple_Type, &tags))
+        return NULL;
+    if (node_type == NULL || !PyObject_TypeCheck(tree, node_type)) {
+        PyErr_SetString(PyExc_TypeError, "bucket_by_tag() expects a Node");
+        return NULL;
+    }
+    PyObject *buckets = PyDict_New();
+    PyObject **stack = NULL;
+    if (buckets == NULL)
+        return NULL;
+    for (Py_ssize_t k = 0; k < PyTuple_GET_SIZE(tags); k++) {
+        PyObject *lst = PyList_New(0);
+        if (lst == NULL)
+            goto fail;
+        if (PyDict_SetItem(buckets, PyTuple_GET_ITEM(tags, k), lst) < 0) {
+            Py_DECREF(lst);
+            goto fail;
+        }
+        Py_DECREF(lst);
+    }
+    PyObject *children = GET_SLOT(tree, off_children);
+    Py_ssize_t nch = PyList_GET_SIZE(children);
+    Py_ssize_t cap = (nch > 64) ? nch : 64, len = 0;
+    stack = PyMem_Malloc(cap * sizeof(PyObject *));
+    if (stack == NULL) {
+        PyErr_NoMemory();
+        goto fail;
+    }
+    for (Py_ssize_t k = nch - 1; k >= 0; k--)
+        stack[len++] = PyList_GET_ITEM(children, k);
+    while (len > 0) {
+        PyObject *cur = stack[--len];
+        PyObject *b = PyDict_GetItemWithError(buckets, GET_SLOT(cur, off_tag));
+        if (b == NULL && PyErr_Occurred())
+            goto fail;
+        if (b != NULL && PyList_Append(b, cur) < 0)
+            goto fail;
+        children = GET_SLOT(cur, off_children);
+        nch = PyList_GET_SIZE(children);
+        if (nch > 0) {
+            if (len + nch > cap) {
+                while (cap < len + nch)
+                    cap *= 2;
+                PyObject **ns = PyMem_Realloc(stack, cap * sizeof(PyObject *));
+                if (ns == NULL) {
+                    PyErr_NoMemory();
+                    goto fail;
+                }
+                stack = ns;
+            }
+            for (Py_ssize_t k = nch - 1; k >= 0; k--)
+                stack[len++] = PyList_GET_ITEM(children, k);
+        }
+    }
+    PyMem_Free(stack);
+    return buckets;
+fail:
+    PyMem_Free(stack);
+    Py_DECREF(buckets);
+    return NULL;
+}
+
+/* --------------------------------------------- readability metrics ----- */
+
+typedef struct {
+    Py_ssize_t core, commas, links;
+    char lead, trail;
+} NMetrics;
+
+/* one scan of s: non-ws codepoints, maximal non-ws runs, commas,
+ * boundary whitespace flags (str.split() / str.count(',') semantics).
+ * Caller guarantees len(s) > 0. */
+static void
+scan_text(PyObject *s, Py_ssize_t *nonws, Py_ssize_t *runs,
+          Py_ssize_t *commas, int *lead, int *trail)
+{
+    Py_ssize_t n = PyUnicode_GET_LENGTH(s);
+    int kind = PyUnicode_KIND(s);
+    const void *data = PyUnicode_DATA(s);
+    Py_ssize_t nw = 0, r = 0, cm = 0;
+    int in_run = 0;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        Py_UCS4 ch = PyUnicode_READ(kind, data, i);
+        if (Py_UNICODE_ISSPACE(ch))
+            in_run = 0;
+        else {
+            if (!in_run) {
+                r++;
+                in_run = 1;
+            }
+            nw++;
+            if (ch == ',')
+                cm++;
+        }
+    }
+    *nonws = nw;
+    *runs = r;
+    *commas = cm;
+    *lead = Py_UNICODE_ISSPACE(PyUnicode_READ(kind, data, 0)) ? 1 : 0;
+    *trail = Py_UNICODE_ISSPACE(PyUnicode_READ(kind, data, n - 1)) ? 1 : 0;
+}
+
+/* collect_metrics(root) -> dict  {id(node): (trim_len, lead_ws, trail_ws,
+ * comma_count, link_core_incl_self)} — readability._collect_metrics's
+ * post-order trim-length monoid fold, value-exact. */
+static PyObject *
+chtml_collect_metrics(PyObject *self, PyObject *arg)
+{
+    (void)self;
+    if (node_type == NULL || !PyObject_TypeCheck(arg, node_type)) {
+        PyErr_SetString(PyExc_TypeError, "collect_metrics() expects a Node");
+        return NULL;
+    }
+    /* BFS order array (borrowed refs) + first-child index bookkeeping */
+    Py_ssize_t cap = 256, n = 0;
+    PyObject **order = PyMem_Malloc(cap * sizeof(PyObject *));
+    Py_ssize_t *firstch = PyMem_Malloc(cap * sizeof(Py_ssize_t));
+    if (order == NULL || firstch == NULL) {
+        PyMem_Free(order);
+        PyMem_Free(firstch);
+        PyErr_NoMemory();
+        return NULL;
+    }
+    order[n++] = arg;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *children = GET_SLOT(order[i], off_children);
+        Py_ssize_t nch = PyList_GET_SIZE(children);
+        firstch[i] = n;
+        if (nch > 0) {
+            if (n + nch > cap) {
+                while (cap < n + nch)
+                    cap *= 2;
+                PyObject **no = PyMem_Realloc(order, cap * sizeof(PyObject *));
+                Py_ssize_t *nf =
+                    PyMem_Realloc(firstch, cap * sizeof(Py_ssize_t));
+                if (no != NULL)
+                    order = no;
+                if (nf != NULL)
+                    firstch = nf;
+                if (no == NULL || nf == NULL) {
+                    PyMem_Free(order);
+                    PyMem_Free(firstch);
+                    PyErr_NoMemory();
+                    return NULL;
+                }
+            }
+            for (Py_ssize_t k = 0; k < nch; k++)
+                order[n++] = PyList_GET_ITEM(children, k);
+        }
+    }
+    NMetrics *vals = PyMem_Malloc(n * sizeof(NMetrics));
+    if (vals == NULL) {
+        PyMem_Free(order);
+        PyMem_Free(firstch);
+        PyErr_NoMemory();
+        return NULL;
+    }
+    PyObject *out = PyDict_New();
+    if (out == NULL)
+        goto fail;
+    for (Py_ssize_t i = n - 1; i >= 0; i--) {
+        PyObject *node = order[i];
+        Py_ssize_t core, commas, links = 0;
+        int lead, trail;
+        PyObject *t = GET_SLOT(node, off_text);
+        if (PyUnicode_GET_LENGTH(t) > 0) {
+            Py_ssize_t nw, runs;
+            scan_text(t, &nw, &runs, &commas, &lead, &trail);
+            if (runs > 0)
+                core = nw + runs - 1;
+            else {
+                core = 0;
+                lead = trail = 1;
+            }
+        }
+        else {
+            core = commas = 0;
+            lead = trail = 0;
+        }
+        PyObject *children = GET_SLOT(node, off_children);
+        Py_ssize_t nch = PyList_GET_SIZE(children);
+        Py_ssize_t base = firstch[i];
+        for (Py_ssize_t k = 0; k < nch; k++) {
+            NMetrics *cm = &vals[base + k];
+            commas += cm->commas;
+            links += cm->links;
+            if (cm->core) {
+                if (core)
+                    core += cm->core + ((trail || cm->lead) ? 1 : 0);
+                else {
+                    lead = lead || cm->lead;
+                    core = cm->core;
+                }
+                trail = cm->trail;
+            }
+            else if (cm->lead) {
+                trail = 1;
+                if (!core)
+                    lead = 1;
+            }
+            PyObject *tail =
+                GET_SLOT(PyList_GET_ITEM(children, k), off_tail);
+            if (PyUnicode_GET_LENGTH(tail) > 0) {
+                Py_ssize_t nw, runs, tcm;
+                int tl, tt;
+                scan_text(tail, &nw, &runs, &tcm, &tl, &tt);
+                if (runs > 0) {
+                    Py_ssize_t tc = nw + runs - 1;
+                    if (core)
+                        core += tc + ((trail || tl) ? 1 : 0);
+                    else {
+                        lead = lead || tl;
+                        core = tc;
+                    }
+                    trail = tt;
+                    commas += tcm;
+                }
+                else {
+                    trail = 1;
+                    if (!core)
+                        lead = 1;
+                }
+            }
+        }
+        if (str_eq(GET_SLOT(node, off_tag), c_a))
+            links += core;
+        vals[i].core = core;
+        vals[i].commas = commas;
+        vals[i].links = links;
+        vals[i].lead = (char)lead;
+        vals[i].trail = (char)trail;
+        PyObject *key = PyLong_FromVoidPtr(node);
+        if (key == NULL)
+            goto fail;
+        PyObject *tup = Py_BuildValue(
+            "(nOOnn)", core, lead ? Py_True : Py_False,
+            trail ? Py_True : Py_False, commas, links);
+        if (tup == NULL) {
+            Py_DECREF(key);
+            goto fail;
+        }
+        int r = PyDict_SetItem(out, key, tup);
+        Py_DECREF(key);
+        Py_DECREF(tup);
+        if (r < 0)
+            goto fail;
+    }
+    PyMem_Free(order);
+    PyMem_Free(firstch);
+    PyMem_Free(vals);
+    return out;
+fail:
+    PyMem_Free(order);
+    PyMem_Free(firstch);
+    PyMem_Free(vals);
+    Py_XDECREF(out);
+    return NULL;
+}
+
 /* ---------------------------------------------------------------- setup */
 
 static int
@@ -1480,6 +2177,18 @@ static PyMethodDef chtml_methods[] = {
     {"iter_tree", chtml_iter_tree, METH_VARARGS,
      "iter_tree(node, tags: tuple, include_self: bool) -> iterator "
      "(Node.iter/iterdesc contract incl. lazy child reads)"},
+    {"clean_copy_emit", chtml_clean_copy, METH_VARARGS,
+     "clean_copy_emit(node, strip_set, delete_set, retag_figures) -> Node "
+     "(cleaning.clean_copy emit walk, pre-prune_html)"},
+    {"metadata_index", chtml_metadata_index, METH_VARARGS,
+     "metadata_index(node, tags, date_tags, title_exact, date_subs, "
+     "footer) -> (buckets, title_classed, date_classed, license_containers)"},
+    {"bucket_by_tag", chtml_bucket_by_tag, METH_VARARGS,
+     "bucket_by_tag(node, tags: tuple) -> dict  (selectors._by_tag "
+     "contract: one pre-order walk, document order per bucket)"},
+    {"collect_metrics", chtml_collect_metrics, METH_O,
+     "collect_metrics(node) -> dict  (readability._collect_metrics "
+     "contract: id(node) -> (core, lead, trail, commas, links))"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef chtml_module = {
@@ -1519,6 +2228,11 @@ PyInit__chtml(void)
     MKSTR(c_empty, "");
     MKSTR(c_lt, "<");
     MKSTR(c_arrow, "-->");
+    MKSTR(c_figure, "figure");
+    MKSTR(c_div, "div");
+    MKSTR(c_a, "a");
+    MKSTR(c_class, "class");
+    MKSTR(c_id, "id");
 #undef MKSTR
     return m;
 }

@@ -115,6 +115,7 @@ def load(node_cls, void_elements, p_closers, p_close_barriers, implied_end,
                   implied_end, head_content, needs_implied, gate_tags,
                   unescape)
         return (mod.parse, mod.copy_node, mod.text_content, mod.find_all,
-                mod.iter_tree)
+                mod.iter_tree, mod.clean_copy_emit, mod.metadata_index,
+                mod.collect_metrics, mod.bucket_by_tag)
     except Exception:
         return None

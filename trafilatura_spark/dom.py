@@ -76,6 +76,10 @@ _CCOPY = None
 _CTEXT = None
 _CFINDALL = None
 _CITER = None
+_CCLEANCOPY = None
+_CMETAIDX = None
+_CMETRICS = None
+_CBUCKETS = None
 
 
 class Node:
@@ -1003,6 +1007,7 @@ try:  # pragma: no cover - environment-dependent
         Node, VOID_ELEMENTS, _P_CLOSERS, _P_CLOSE_BARRIERS, _IMPLIED_END,
         _HEAD_CONTENT, _NEEDS_IMPLIED, _GATE_TAGS, _unescape)
     if _handles is not None:
-        _CPARSE, _CCOPY, _CTEXT, _CFINDALL, _CITER = _handles
+        (_CPARSE, _CCOPY, _CTEXT, _CFINDALL, _CITER,
+         _CCLEANCOPY, _CMETAIDX, _CMETRICS, _CBUCKETS) = _handles
 except Exception:  # noqa: BLE001 - accelerator must never break imports
     pass

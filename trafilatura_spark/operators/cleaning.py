@@ -11,6 +11,7 @@ from __future__ import annotations
 import re
 from urllib.parse import urljoin, urlparse
 
+from .. import dom as _dom
 from ..dom import Node, strip_tags
 from ..settings import (
     CODE_INDICATORS,
@@ -100,6 +101,12 @@ def clean_copy(tree: Node, options: Options) -> Node:
     if options.images:
         delete_set.difference_update(PRESERVE_IMG_CLEANING)
         strip_set.discard("img")
+    if _dom._CCLEANCOPY is not None:
+        # C emit walk (value-exact differential: tests/test_chtml.py);
+        # fully iterative, so no RecursionError guard needed
+        return prune_html(
+            _dom._CCLEANCOPY(tree, strip_set, delete_set, retag_figures),
+            options.focus)
     new = Node.__new__
     root = new(Node)
     root.tag = tree.tag

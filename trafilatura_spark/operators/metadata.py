@@ -12,6 +12,7 @@ import json
 import re
 from urllib.parse import urlparse
 
+from .. import dom as _dom
 from ..dom import Node
 from ..functions.textutils import trim
 from .cleaning import prune_unwanted_nodes
@@ -648,6 +649,15 @@ class _MetaWalk:
     _DATE_CLASS_TAGS = frozenset(("abbr", "span", "div", "p"))
 
     def __init__(self, tree: Node):
+        if _dom._CMETAIDX is not None:
+            # one C walk, value-exact vs the Python walk below
+            # (differential: tests/test_chtml.py)
+            (self.buckets, self.title_classed, self.date_classed,
+             self.license_containers) = _dom._CMETAIDX(
+                tree, self._TAGS, ("abbr", "span", "div", "p"),
+                ("entry-title", "post-title"),
+                ("published", "post-date", "entry-date"), "footer")
+            return
         buckets = {t: [] for t in self._TAGS}
         self.buckets = buckets
         self.title_classed = title_classed = []

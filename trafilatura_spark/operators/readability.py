@@ -16,6 +16,7 @@ from __future__ import annotations
 import re
 from math import sqrt
 
+from .. import dom as _dom
 from ..dom import Node
 from ..functions.textutils import trim
 
@@ -104,6 +105,10 @@ def _collect_metrics(root: Node) -> dict[int, tuple]:
     ``link_core_incl_self`` sums each descendant-or-self <a>'s own trimmed
     length; the _link_density contract (iterdesc excludes self) subtracts
     the node's own contribution at the use site."""
+    if _dom._CMETRICS is not None:
+        # one C post-order fold, value-exact vs the loop below
+        # (differential: tests/test_chtml.py)
+        return _dom._CMETRICS(root)
     order = [root]
     i = 0
     while i < len(order):

@@ -9,6 +9,7 @@ Pattern tables are carried over verbatim; they ARE the semantics.
 
 from __future__ import annotations
 
+from .. import dom as _dom
 from ..dom import Node
 
 # xpaths.dart:17-43
@@ -135,6 +136,8 @@ def _by_tag(tree: Node, tags: tuple) -> dict:
     preserved within each bucket).  Selector functions below iterate their
     tag lists in the same per-tag order as before, so results are
     identical — this just replaces N full-tree walks with one."""
+    if _dom._CBUCKETS is not None:
+        return _dom._CBUCKETS(tree, tags)
     want = {t: [] for t in tags}
     get = want.get
     stack = list(reversed(tree.children))
