@@ -480,3 +480,108 @@ def test_bucket_by_tag_parity():
             assert list(py) == list(cc)
             for k in py:
                 assert py[k] == cc[k], k
+
+
+def test_walk_primitives_fuzz_differential():
+    """Seeded tag-soup fuzz over all four round-5 walk primitives, each
+    arm vs its pure-Python walk — including RANDOM strip/delete sets for
+    clean_copy (beyond the option-derived production sets) so the C walk
+    is pinned on set combinations the option matrix never produces."""
+    from trafilatura_spark.operators import metadata as md
+    from trafilatura_spark.operators import readability as rd
+    from trafilatura_spark.operators import selectors as sel
+    from trafilatura_spark.core import load_html
+    if dom._CCLEANCOPY is None:
+        pytest.skip("accelerator unavailable")
+    rng = random.Random(24680)
+    pool = ["div", "p", "span", "a", "table", "figure", "li", "ul",
+            "aside", "footer", "abbr", "em", "b"]
+    off_idx = _toggling("_CMETAIDX")
+    off_met = _toggling("_CMETRICS")
+    off_bkt = _toggling("_CBUCKETS")
+    for _ in range(400):
+        html = "".join(rng.choice(FRAGS)
+                       for _ in range(rng.randint(0, 80)))
+        tree = load_html(html)
+        if tree is None:
+            continue
+        strip_set = set(rng.sample(pool, rng.randint(0, 4)))
+        delete_set = set(rng.sample(pool, rng.randint(0, 4)))
+        retag = rng.random() < 0.5
+        # compare the C primitive against a hand-rolled Python reference
+        # of the SAME contract (emit walk only, no prune) so arbitrary
+        # strip/delete sets are exercised, not just the option-derived
+        # production sets
+        def py_emit(src_tree):
+            from trafilatura_spark.dom import Node
+            new = Node.__new__
+            root = new(Node)
+            root.tag = src_tree.tag
+            root.attrs = dict(src_tree.attrs) if src_tree.attrs else {}
+            root.children = []
+            root.parent = None
+            root.text = src_tree.text
+            root.tail = src_tree.tail
+
+            def sink(dst, s):
+                if s:
+                    ch = dst.children
+                    if ch:
+                        ch[-1].tail += s
+                    else:
+                        dst.text += s
+
+            stack = [(src_tree, root)]
+
+            def emit(src, dst):
+                append = dst.children.append
+                for child in src.children:
+                    tag = child.tag
+                    if tag in strip_set:
+                        sink(dst, child.text)
+                        emit(child, dst)
+                        sink(dst, child.tail)
+                        continue
+                    if retag and tag == "figure" and \
+                            child.find("table") is not None:
+                        tag = "div"
+                    if tag in delete_set:
+                        sink(dst, child.tail)
+                        continue
+                    c = new(Node)
+                    c.tag = tag
+                    c.attrs = dict(child.attrs) if child.attrs else {}
+                    c.children = []
+                    c.parent = dst
+                    c.text = child.text
+                    c.tail = child.tail
+                    append(c)
+                    if child.children:
+                        stack.append((child, c))
+
+            while stack:
+                s, d = stack.pop()
+                emit(s, d)
+            return root
+
+        expect = py_emit(tree)
+        got = dom._CCLEANCOPY(tree, strip_set, delete_set, retag)
+        assert tree_repr(expect) == tree_repr(got), html[:120]
+        parents_consistent(got)
+        # the other three primitives on the same soup tree
+        with off_idx():
+            pyi = md._MetaWalk(tree)
+        ci = md._MetaWalk(tree)
+        assert all(pyi.buckets[k] == ci.buckets[k] for k in pyi.buckets)
+        assert (pyi.title_classed, pyi.date_classed,
+                pyi.license_containers) == \
+               (ci.title_classed, ci.date_classed, ci.license_containers)
+        with off_met():
+            pym = rd._collect_metrics(tree)
+        assert pym == rd._collect_metrics(tree)
+        tags = tuple(rng.sample(pool, rng.randint(0, 5)))
+        with off_bkt():
+            pyb = sel._by_tag(tree, tags)
+        cb = sel._by_tag(tree, tags)
+        assert list(pyb) == list(cb) and \
+            all(pyb[k] == cb[k] for k in pyb)
