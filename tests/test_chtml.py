@@ -585,3 +585,63 @@ def test_walk_primitives_fuzz_differential():
         cb = sel._by_tag(tree, tags)
         assert list(pyb) == list(cb) and \
             all(pyb[k] == cb[k] for k in pyb)
+
+
+def test_table_hit_and_attr_pair_parity():
+    """C predicate seam (selectors._hit/_hit_m/_class_id) vs the
+    regex/pure-Python path: seeded fuzz over every production pattern
+    table (with real patterns spliced in), plus full selector-function
+    parity over a cache-corpus sample."""
+    from trafilatura_spark.operators import selectors as sel
+    from trafilatura_spark.core import load_html
+    from trafilatura_spark.sources.loading import decode_file
+    if dom._CTABLEHIT is None:
+        pytest.skip("accelerator unavailable")
+    rng = random.Random(424242)
+    alpha = "abcdefghij -_:/.é中"
+    tables = [sel._BODY_CLASS_RE, sel._BODY_ID_RE, sel._SECONDARY_BODY_RE,
+              sel._CONTENT_CLASS_RE, sel._COMMENTS_CLASS_RE,
+              sel._OVERALL_DISCARD_RE, sel._HIDDEN_RE, sel._AUTHOR_RE,
+              sel._AUTHOR_DISCARD_RE, sel._CATEGORY_CLASS_RE,
+              sel._CATEGORY_PREFIX_RE, sel._TAG_CLASS_RE,
+              sel._TITLE_CLASS_RE]
+    for _ in range(5000):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        t = rng.choice(tables)
+        if rng.random() < 0.3:
+            p = rng.choice(t.patterns)
+            i = rng.randint(0, len(s))
+            s = s[:i] + p + s[i:]
+        assert dom._CTABLEHIT(t.cache, t.patterns, s, False) == \
+            (t.regex.search(s) is not None), s
+        assert dom._CTABLEHIT(t.cache_m, t.patterns, s, True) == \
+            (t.regex.match(s) is not None), s
+    # attr_pair on mixed-case / missing / unicode attrs
+    tree = load_html("<body><div class='Nav-BAR É' id='X1'>a</div>"
+                     "<p id='only-ID'>b</p><span class='lower'>c</span>"
+                     "<em>none</em></body>")
+    for elem in tree.iterdesc():
+        py = (elem.attrs.get("class", "").lower(),
+              elem.attrs.get("id", "").lower())
+        assert dom._CATTRPAIR(elem) == py, elem.tag
+    # full selector functions, C vs Python paths, over real pages
+    fns = [sel.select_body_elements, sel.select_comment_elements,
+           sel.select_elements_to_discard, sel.select_teasers_to_discard,
+           sel.select_precision_discard_elements,
+           sel.select_overall_discard_elements,
+           sel.select_basic_clean_elements, sel.select_author_elements,
+           sel.select_author_discard_elements, sel.select_category_links,
+           sel.select_tag_links, sel.select_title_elements]
+    cache = pathlib.Path("/root/reference/test/cache")
+    for p in sorted(cache.glob("*.html"))[:30]:
+        tree = load_html(decode_file(p.read_bytes()))
+        if tree is None:
+            continue
+        for fn in fns:
+            sv = (dom._CTABLEHIT, dom._CATTRPAIR)
+            dom._CTABLEHIT = dom._CATTRPAIR = None
+            try:
+                py = fn(tree)
+            finally:
+                dom._CTABLEHIT, dom._CATTRPAIR = sv
+            assert py == fn(tree), (p.name, fn.__name__)

@@ -1895,6 +1895,111 @@ fail:
     return NULL;
 }
 
+/* table_hit(cache, patterns, s, anchored) -> bool — selectors._hit/_hit_m:
+ * does s contain (anchored: start with) any pattern?  Verdicts memoized
+ * in the caller-owned per-table cache dict, cleared wholesale at the
+ * same bound the Python path uses so a long-lived worker stays bounded. */
+#define TABLE_CACHE_MAX (1 << 18)
+
+static PyObject *
+chtml_table_hit(PyObject *self, PyObject *const *args, Py_ssize_t nargs)
+{
+    (void)self;
+    if (nargs != 4 || !PyDict_Check(args[0]) || !PyTuple_Check(args[1]) ||
+        !PyUnicode_Check(args[2])) {
+        PyErr_SetString(PyExc_TypeError,
+                        "table_hit(cache: dict, patterns: tuple, s: str, "
+                        "anchored)");
+        return NULL;
+    }
+    PyObject *cache = args[0], *patterns = args[1], *s = args[2];
+    int anchored = PyObject_IsTrue(args[3]);
+    if (anchored < 0)
+        return NULL;
+    PyObject *hit = PyDict_GetItemWithError(cache, s);
+    if (hit != NULL) {
+        Py_INCREF(hit);
+        return hit;
+    }
+    if (PyErr_Occurred())
+        return NULL;
+    int found = 0;
+    Py_ssize_t slen = PyUnicode_GET_LENGTH(s);
+    for (Py_ssize_t k = 0; k < PyTuple_GET_SIZE(patterns); k++) {
+        PyObject *p = PyTuple_GET_ITEM(patterns, k);
+        if (anchored) {
+            Py_ssize_t r = PyUnicode_Tailmatch(s, p, 0, slen, -1);
+            if (r < 0)
+                return NULL;
+            if (r) {
+                found = 1;
+                break;
+            }
+        }
+        else {
+            Py_ssize_t at = PyUnicode_Find(s, p, 0, slen, 1);
+            if (at == -2)
+                return NULL;
+            if (at >= 0) {
+                found = 1;
+                break;
+            }
+        }
+    }
+    if (PyDict_GET_SIZE(cache) >= TABLE_CACHE_MAX)
+        PyDict_Clear(cache);
+    PyObject *v = found ? Py_True : Py_False;
+    if (PyDict_SetItem(cache, s, v) < 0)
+        return NULL;
+    Py_INCREF(v);
+    return v;
+}
+
+/* attr_pair(elem) -> (class_lower, id_lower) — selectors._class_id. */
+static PyObject *
+chtml_attr_pair(PyObject *self, PyObject *arg)
+{
+    (void)self;
+    if (node_type == NULL || !PyObject_TypeCheck(arg, node_type)) {
+        PyErr_SetString(PyExc_TypeError, "attr_pair() expects a Node");
+        return NULL;
+    }
+    PyObject *attrs = GET_SLOT(arg, off_attrs);
+    PyObject *out[2];
+    PyObject *names[2] = {c_class, c_id};
+    for (int k = 0; k < 2; k++) {
+        PyObject *v = PyDict_GetItemWithError(attrs, names[k]);
+        if (v == NULL) {
+            if (PyErr_Occurred())
+                goto fail;
+            Py_INCREF(c_empty);
+            out[k] = c_empty;
+        }
+        else if (PyUnicode_Check(v)) {
+            out[k] = lower_sub(v, 0, PyUnicode_GET_LENGTH(v));
+            if (out[k] == NULL)
+                goto fail;
+        }
+        else {
+            /* mirror str(v).lower() failure-free: non-str attr values do
+             * not occur from the parser; fall back to Python semantics */
+            PyObject *lw = PyObject_CallMethod(v, "lower", NULL);
+            if (lw == NULL)
+                goto fail;
+            out[k] = lw;
+        }
+        continue;
+    fail:
+        if (k == 1)
+            Py_DECREF(out[0]);
+        return NULL;
+    }
+    PyObject *tup = PyTuple_Pack(2, out[0], out[1]);
+    Py_DECREF(out[0]);
+    Py_DECREF(out[1]);
+    return tup;
+}
+
 /* --------------------------------------------- readability metrics ----- */
 
 typedef struct {
@@ -2183,6 +2288,12 @@ static PyMethodDef chtml_methods[] = {
     {"metadata_index", chtml_metadata_index, METH_VARARGS,
      "metadata_index(node, tags, date_tags, title_exact, date_subs, "
      "footer) -> (buckets, title_classed, date_classed, license_containers)"},
+    {"table_hit", (PyCFunction)(void (*)(void))chtml_table_hit,
+     METH_FASTCALL,
+     "table_hit(cache, patterns, s, anchored) -> bool  (selectors._hit/"
+     "_hit_m contract: memoized contains-any / startswith-any)"},
+    {"attr_pair", chtml_attr_pair, METH_O,
+     "attr_pair(node) -> (class_lower, id_lower)  (selectors._class_id)"},
     {"bucket_by_tag", chtml_bucket_by_tag, METH_VARARGS,
      "bucket_by_tag(node, tags: tuple) -> dict  (selectors._by_tag "
      "contract: one pre-order walk, document order per bucket)"},

@@ -116,6 +116,7 @@ def load(node_cls, void_elements, p_closers, p_close_barriers, implied_end,
                   unescape)
         return (mod.parse, mod.copy_node, mod.text_content, mod.find_all,
                 mod.iter_tree, mod.clean_copy_emit, mod.metadata_index,
-                mod.collect_metrics, mod.bucket_by_tag)
+                mod.collect_metrics, mod.bucket_by_tag, mod.table_hit,
+                mod.attr_pair)
     except Exception:
         return None

@@ -80,6 +80,8 @@ _CCLEANCOPY = None
 _CMETAIDX = None
 _CMETRICS = None
 _CBUCKETS = None
+_CTABLEHIT = None
+_CATTRPAIR = None
 
 
 class Node:
@@ -1008,6 +1010,7 @@ try:  # pragma: no cover - environment-dependent
         _HEAD_CONTENT, _NEEDS_IMPLIED, _GATE_TAGS, _unescape)
     if _handles is not None:
         (_CPARSE, _CCOPY, _CTEXT, _CFINDALL, _CITER,
-         _CCLEANCOPY, _CMETAIDX, _CMETRICS, _CBUCKETS) = _handles
+         _CCLEANCOPY, _CMETAIDX, _CMETRICS, _CBUCKETS,
+         _CTABLEHIT, _CATTRPAIR) = _handles
 except Exception:  # noqa: BLE001 - accelerator must never break imports
     pass

@@ -82,17 +82,34 @@ _DISCARD_TAGS = ("div", "item", "li", "p", "section", "span")
 import re as _re
 
 
+class _Table:
+    """One pattern table: the compiled alternation (pure-Python path) plus
+    the raw pattern tuple and per-table verdict caches (C path — the C
+    side memoizes contains-any / startswith-any per probed string and
+    clears wholesale at the same bound as _VERDICT_CACHE)."""
+
+    __slots__ = ("regex", "patterns", "cache", "cache_m")
+
+    def __init__(self, patterns):
+        self.regex = _re.compile("|".join(_re.escape(p) for p in patterns))
+        self.patterns = tuple(patterns)
+        self.cache: dict = {}
+        self.cache_m: dict = {}
+
+
 def _contains_re(patterns):
-    """Compiled alternation equivalent of any(p in s for p in patterns)."""
-    return _re.compile("|".join(_re.escape(p) for p in patterns))
+    """Table equivalent of any(p in s for p in patterns) (via _hit)."""
+    return _Table(patterns)
 
 
 def _prefix_re(patterns):
-    """Compiled alternation equivalent of any(s.startswith(p) ...)."""
-    return _re.compile("|".join(_re.escape(p) for p in patterns))
+    """Table equivalent of any(s.startswith(p) ...) (via _hit_m)."""
+    return _Table(patterns)
 
 
 def _class_id(elem: Node) -> tuple[str, str]:
+    if _dom._CATTRPAIR is not None:
+        return _dom._CATTRPAIR(elem)
     return elem.attrs.get("class", "").lower(), elem.attrs.get("id", "").lower()
 
 
@@ -106,27 +123,31 @@ _VERDICT_CACHE: dict = {}
 _VERDICT_CACHE_MAX = 1 << 18
 
 
-def _hit(regex, s: str) -> bool:
-    key = (id(regex), s)
+def _hit(table, s: str) -> bool:
+    if _dom._CTABLEHIT is not None:
+        return _dom._CTABLEHIT(table.cache, table.patterns, s, False)
+    key = (id(table), s)
     cache = _VERDICT_CACHE
     v = cache.get(key)
     if v is None:
         if len(cache) >= _VERDICT_CACHE_MAX:
             cache.clear()
-        v = regex.search(s) is not None
+        v = table.regex.search(s) is not None
         cache[key] = v
     return v
 
 
-def _hit_m(regex, s: str) -> bool:
-    """Anchored (match) variant of _hit, same cache."""
-    key = (id(regex), s, True)
+def _hit_m(table, s: str) -> bool:
+    """Anchored (startswith) variant of _hit, separate cache."""
+    if _dom._CTABLEHIT is not None:
+        return _dom._CTABLEHIT(table.cache_m, table.patterns, s, True)
+    key = (id(table), s, True)
     cache = _VERDICT_CACHE
     v = cache.get(key)
     if v is None:
         if len(cache) >= _VERDICT_CACHE_MAX:
             cache.clear()
-        v = regex.match(s) is not None
+        v = table.regex.match(s) is not None
         cache[key] = v
     return v
 
