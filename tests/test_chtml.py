@@ -645,3 +645,49 @@ def test_table_hit_and_attr_pair_parity():
             finally:
                 dom._CTABLEHIT, dom._CATTRPAIR = sv
             assert py == fn(tree), (p.name, fn.__name__)
+
+
+def test_readability_walks_parity():
+    """C collection walks behind _transform_misused_divs and
+    _remove_unlikely_candidates vs the pure-Python passes: full
+    ReadabilityDocument.summary() tree equality over cache pages plus
+    constructed seams (nested no-markup divs, brs at multiple depths,
+    unlikely/maybe class collisions, frame-tag guards)."""
+    from trafilatura_spark.operators import readability as rd
+    from trafilatura_spark.core import load_html
+    from trafilatura_spark.sources.loading import decode_file
+    if dom._CDIVS is None:
+        pytest.skip("accelerator unavailable")
+    cache = pathlib.Path("/root/reference/test/cache")
+    htmls = [decode_file(p.read_bytes())
+             for p in sorted(cache.glob("*.html"))[:40]] + [
+        "<body><div><div>plain text only</div></div>"
+        "<div><p>has markup</p></div></body>",
+        "<body><div>a<br>b<div>c<br>d</div></div><br>outside</body>",
+        "<body><div class='sidebar comment'>drop</div>"
+        "<div class='sidebar article'>maybe saves</div>"
+        "<div id='footer-x'>x</div><p class='tweet'>t</p></body>",
+        "<body class='sidebar'>frame tag survives"
+        "<div class='x'><span class='rss'>inner drop</span></div></body>",
+    ]
+    sv = ("_CDIVS", "_CBRS", "_CUNLIKELY")
+    for html in htmls:
+        tree = load_html(html)
+        if tree is None:
+            continue
+        t1, t2 = tree.copy(), tree.copy()
+        saved = [getattr(dom, a) for a in sv]
+        for a in sv:
+            setattr(dom, a, None)
+        try:
+            r_py = rd.ReadabilityDocument(
+                t1, min_text_length=25, retry_length=250).summary()
+        finally:
+            for a, v in zip(sv, saved):
+                setattr(dom, a, v)
+        r_c = rd.ReadabilityDocument(
+            t2, min_text_length=25, retry_length=250).summary()
+        if r_py is None or r_c is None:
+            assert r_py is None and r_c is None, html[:80]
+        else:
+            assert tree_repr(r_py) == tree_repr(r_c), html[:80]

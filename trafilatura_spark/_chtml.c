@@ -2197,6 +2197,343 @@ fail:
     return NULL;
 }
 
+/* -------------------------------------------- readability tree passes -- */
+
+/* divs_to_rename(doc, vocab) -> list — readability._transform_misused_divs
+ * marking pass: every <div> with NO strict descendant whose tag is in
+ * the block vocabulary (the divs the Python pass renames to <p>),
+ * document order. */
+static PyObject *
+chtml_divs_to_rename(PyObject *self, PyObject *args)
+{
+    (void)self;
+    PyObject *tree, *vocab;
+    if (!PyArg_ParseTuple(args, "OO!", &tree, &PyTuple_Type, &vocab))
+        return NULL;
+    if (node_type == NULL || !PyObject_TypeCheck(tree, node_type)) {
+        PyErr_SetString(PyExc_TypeError, "divs_to_rename() expects a Node");
+        return NULL;
+    }
+    /* BFS order + first-child bookkeeping (same shape as collect_metrics) */
+    Py_ssize_t cap = 256, n = 0;
+    PyObject **order = PyMem_Malloc(cap * sizeof(PyObject *));
+    Py_ssize_t *firstch = PyMem_Malloc(cap * sizeof(Py_ssize_t));
+    if (order == NULL || firstch == NULL) {
+        PyMem_Free(order);
+        PyMem_Free(firstch);
+        PyErr_NoMemory();
+        return NULL;
+    }
+    order[n++] = tree;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *children = GET_SLOT(order[i], off_children);
+        Py_ssize_t nch = PyList_GET_SIZE(children);
+        firstch[i] = n;
+        if (nch > 0) {
+            if (n + nch > cap) {
+                while (cap < n + nch)
+                    cap *= 2;
+                PyObject **no = PyMem_Realloc(order, cap * sizeof(PyObject *));
+                Py_ssize_t *nf =
+                    PyMem_Realloc(firstch, cap * sizeof(Py_ssize_t));
+                if (no != NULL)
+                    order = no;
+                if (nf != NULL)
+                    firstch = nf;
+                if (no == NULL || nf == NULL) {
+                    PyMem_Free(order);
+                    PyMem_Free(firstch);
+                    PyErr_NoMemory();
+                    return NULL;
+                }
+            }
+            for (Py_ssize_t k = 0; k < nch; k++)
+                order[n++] = PyList_GET_ITEM(children, k);
+        }
+    }
+    char *below = PyMem_Malloc(n ? n : 1);
+    if (below == NULL) {
+        PyMem_Free(order);
+        PyMem_Free(firstch);
+        PyErr_NoMemory();
+        return NULL;
+    }
+    Py_ssize_t nv = PyTuple_GET_SIZE(vocab);
+    for (Py_ssize_t i = n - 1; i >= 0; i--) {
+        PyObject *children = GET_SLOT(order[i], off_children);
+        Py_ssize_t nch = PyList_GET_SIZE(children);
+        Py_ssize_t base = firstch[i];
+        char b = 0;
+        for (Py_ssize_t k = 0; k < nch && !b; k++) {
+            if (below[base + k])
+                b = 1;
+            else {
+                PyObject *t = GET_SLOT(PyList_GET_ITEM(children, k), off_tag);
+                for (Py_ssize_t v = 0; v < nv; v++) {
+                    if (str_eq(t, PyTuple_GET_ITEM(vocab, v))) {
+                        b = 1;
+                        break;
+                    }
+                }
+            }
+        }
+        below[i] = b;
+    }
+    PyObject *out = PyList_New(0);
+    if (out == NULL)
+        goto done;
+    /* document order = pre-order; BFS order differs, so re-walk pre-order
+     * checking the computed flags via an index map…  simpler: find_all
+     * order == pre-order, but we have flags by BFS index.  Walk the BFS
+     * array is NOT document order; instead do one pre-order pass with an
+     * id->flag hash?  Avoid: renames are order-insensitive (each rename
+     * touches only its own node), and the Python pass's find_all("div")
+     * order only affects list order, which the caller loops over
+     * without order-dependent effects.  STILL: keep exact parity with
+     * the Python list by emitting in pre-order via a second walk over
+     * firstch (depth-first using an explicit index stack). */
+    {
+        Py_ssize_t *stk = PyMem_Malloc((n ? n : 1) * sizeof(Py_ssize_t));
+        Py_ssize_t sl = 0;
+        if (stk == NULL) {
+            Py_DECREF(out);
+            out = NULL;
+            PyErr_NoMemory();
+            goto done;
+        }
+        /* push root's children in reverse (pre-order, self excluded —
+         * the root is the document node, never a div) */
+        {
+            PyObject *children = GET_SLOT(order[0], off_children);
+            Py_ssize_t nch = PyList_GET_SIZE(children);
+            for (Py_ssize_t k = nch - 1; k >= 0; k--)
+                stk[sl++] = firstch[0] + k;
+        }
+        while (sl > 0) {
+            Py_ssize_t i = stk[--sl];
+            PyObject *node = order[i];
+            if (!below[i] && str_eq(GET_SLOT(node, off_tag), c_div)) {
+                if (PyList_Append(out, node) < 0) {
+                    PyMem_Free(stk);
+                    Py_DECREF(out);
+                    out = NULL;
+                    goto done;
+                }
+            }
+            PyObject *children = GET_SLOT(node, off_children);
+            Py_ssize_t nch = PyList_GET_SIZE(children);
+            for (Py_ssize_t k = nch - 1; k >= 0; k--)
+                stk[sl++] = firstch[i] + k;
+        }
+        PyMem_Free(stk);
+    }
+done:
+    PyMem_Free(order);
+    PyMem_Free(firstch);
+    PyMem_Free(below);
+    return out;
+}
+
+/* brs_under_divs(doc) -> list — the <br>-under-a-div collection walk of
+ * _transform_misused_divs (run AFTER the div renames), document order.
+ * Depth counts enclosing divs below the document node. */
+static PyObject *
+chtml_brs_under_divs(PyObject *self, PyObject *arg)
+{
+    (void)self;
+    if (node_type == NULL || !PyObject_TypeCheck(arg, node_type)) {
+        PyErr_SetString(PyExc_TypeError, "brs_under_divs() expects a Node");
+        return NULL;
+    }
+    PyObject *out = PyList_New(0);
+    if (out == NULL)
+        return NULL;
+    PyObject *children = GET_SLOT(arg, off_children);
+    Py_ssize_t nch = PyList_GET_SIZE(children);
+    Py_ssize_t cap = (nch > 64) ? nch : 64, len = 0;
+    typedef struct {
+        PyObject *node;
+        Py_ssize_t depth;
+    } DEnt;
+    DEnt *stack = PyMem_Malloc(cap * sizeof(DEnt));
+    if (stack == NULL) {
+        Py_DECREF(out);
+        PyErr_NoMemory();
+        return NULL;
+    }
+    for (Py_ssize_t k = nch - 1; k >= 0; k--) {
+        stack[len].node = PyList_GET_ITEM(children, k);
+        stack[len].depth = 0;
+        len++;
+    }
+    PyObject *c_br = PyUnicode_InternFromString("br");
+    if (c_br == NULL) {
+        PyMem_Free(stack);
+        Py_DECREF(out);
+        return NULL;
+    }
+    while (len > 0) {
+        DEnt e = stack[--len];
+        PyObject *tag = GET_SLOT(e.node, off_tag);
+        if (str_eq(tag, c_br)) {
+            if (e.depth > 0 && PyList_Append(out, e.node) < 0)
+                goto fail;
+            continue; /* mirrors the Python elif: brs never descend */
+        }
+        children = GET_SLOT(e.node, off_children);
+        nch = PyList_GET_SIZE(children);
+        if (nch > 0) {
+            Py_ssize_t d2 = e.depth + (str_eq(tag, c_div) ? 1 : 0);
+            if (len + nch > cap) {
+                while (cap < len + nch)
+                    cap *= 2;
+                DEnt *ns = PyMem_Realloc(stack, cap * sizeof(DEnt));
+                if (ns == NULL) {
+                    PyErr_NoMemory();
+                    goto fail;
+                }
+                stack = ns;
+            }
+            for (Py_ssize_t k = nch - 1; k >= 0; k--) {
+                stack[len].node = PyList_GET_ITEM(children, k);
+                stack[len].depth = d2;
+                len++;
+            }
+        }
+    }
+    PyMem_Free(stack);
+    Py_DECREF(c_br);
+    return out;
+fail:
+    PyMem_Free(stack);
+    Py_DECREF(c_br);
+    Py_DECREF(out);
+    return NULL;
+}
+
+/* unlikely_walk(doc, verdicts, judge, frame_tags) -> list — the
+ * _remove_unlikely_candidates walk: pre-order; nodes with a class or id
+ * get a memoized drop verdict ((class, id) tuple key in the
+ * caller-owned `verdicts` dict; `judge(key)` computes misses in
+ * Python); a dropped node (verdict true, tag not in frame_tags) is
+ * collected and its subtree skipped.  The caller applies drop_tree in
+ * the returned document order — equivalent to dropping in-walk, since
+ * both process disjoint subtrees in document order against the same
+ * evolving tree state. */
+static PyObject *
+chtml_unlikely_walk(PyObject *self, PyObject *args)
+{
+    (void)self;
+    PyObject *tree, *verdicts, *judge, *frame_tags;
+    if (!PyArg_ParseTuple(args, "OO!OO!", &tree, &PyDict_Type, &verdicts,
+                          &judge, &PyTuple_Type, &frame_tags))
+        return NULL;
+    if (node_type == NULL || !PyObject_TypeCheck(tree, node_type)) {
+        PyErr_SetString(PyExc_TypeError, "unlikely_walk() expects a Node");
+        return NULL;
+    }
+    PyObject *out = PyList_New(0);
+    if (out == NULL)
+        return NULL;
+    PyObject *children = GET_SLOT(tree, off_children);
+    Py_ssize_t nch = PyList_GET_SIZE(children);
+    Py_ssize_t cap = (nch > 64) ? nch : 64, len = 0;
+    PyObject **stack = PyMem_Malloc(cap * sizeof(PyObject *));
+    if (stack == NULL) {
+        Py_DECREF(out);
+        PyErr_NoMemory();
+        return NULL;
+    }
+    for (Py_ssize_t k = nch - 1; k >= 0; k--)
+        stack[len++] = PyList_GET_ITEM(children, k);
+    while (len > 0) {
+        PyObject *cur = stack[--len];
+        PyObject *attrs = GET_SLOT(cur, off_attrs);
+        PyObject *cls = NULL, *idv = NULL;
+        if (PyDict_GET_SIZE(attrs) > 0) {
+            cls = PyDict_GetItemWithError(attrs, c_class);
+            if (cls == NULL && PyErr_Occurred())
+                goto fail;
+            idv = PyDict_GetItemWithError(attrs, c_id);
+            if (idv == NULL && PyErr_Occurred())
+                goto fail;
+        }
+        int has = (cls != NULL && PyUnicode_GET_LENGTH(cls) > 0) ||
+                  (idv != NULL && PyUnicode_GET_LENGTH(idv) > 0);
+        if (has) {
+            PyObject *key = PyTuple_Pack(2, cls ? cls : c_empty,
+                                         idv ? idv : c_empty);
+            if (key == NULL)
+                goto fail;
+            PyObject *drop = PyDict_GetItemWithError(verdicts, key);
+            if (drop == NULL) {
+                if (PyErr_Occurred()) {
+                    Py_DECREF(key);
+                    goto fail;
+                }
+                drop = PyObject_CallOneArg(judge, key);
+                if (drop == NULL) {
+                    Py_DECREF(key);
+                    goto fail;
+                }
+                int rc = PyDict_SetItem(verdicts, key, drop);
+                Py_DECREF(drop); /* dict holds it; borrowed below */
+                if (rc < 0) {
+                    Py_DECREF(key);
+                    goto fail;
+                }
+                drop = PyDict_GetItemWithError(verdicts, key);
+                if (drop == NULL) {
+                    Py_DECREF(key);
+                    goto fail;
+                }
+            }
+            Py_DECREF(key);
+            int truthy = PyObject_IsTrue(drop);
+            if (truthy < 0)
+                goto fail;
+            if (truthy) {
+                PyObject *tag = GET_SLOT(cur, off_tag);
+                int framed = 0;
+                for (Py_ssize_t k = 0;
+                     k < PyTuple_GET_SIZE(frame_tags); k++) {
+                    if (str_eq(tag, PyTuple_GET_ITEM(frame_tags, k))) {
+                        framed = 1;
+                        break;
+                    }
+                }
+                if (!framed) {
+                    if (PyList_Append(out, cur) < 0)
+                        goto fail;
+                    continue; /* subtree skipped */
+                }
+            }
+        }
+        children = GET_SLOT(cur, off_children);
+        nch = PyList_GET_SIZE(children);
+        if (nch > 0) {
+            if (len + nch > cap) {
+                while (cap < len + nch)
+                    cap *= 2;
+                PyObject **ns = PyMem_Realloc(stack, cap * sizeof(PyObject *));
+                if (ns == NULL) {
+                    PyErr_NoMemory();
+                    goto fail;
+                }
+                stack = ns;
+            }
+            for (Py_ssize_t k = nch - 1; k >= 0; k--)
+                stack[len++] = PyList_GET_ITEM(children, k);
+        }
+    }
+    PyMem_Free(stack);
+    return out;
+fail:
+    PyMem_Free(stack);
+    Py_DECREF(out);
+    return NULL;
+}
+
 /* ---------------------------------------------------------------- setup */
 
 static int
@@ -2300,6 +2637,14 @@ static PyMethodDef chtml_methods[] = {
     {"collect_metrics", chtml_collect_metrics, METH_O,
      "collect_metrics(node) -> dict  (readability._collect_metrics "
      "contract: id(node) -> (core, lead, trail, commas, links))"},
+    {"divs_to_rename", chtml_divs_to_rename, METH_VARARGS,
+     "divs_to_rename(node, vocab: tuple) -> list  (divs with no block-"
+     "vocab descendant, document order)"},
+    {"brs_under_divs", chtml_brs_under_divs, METH_O,
+     "brs_under_divs(node) -> list  (brs inside a div, document order)"},
+    {"unlikely_walk", chtml_unlikely_walk, METH_VARARGS,
+     "unlikely_walk(node, verdicts: dict, judge, frame_tags: tuple) -> "
+     "list  (drop-candidates, subtrees skipped, document order)"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef chtml_module = {

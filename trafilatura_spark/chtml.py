@@ -117,6 +117,7 @@ def load(node_cls, void_elements, p_closers, p_close_barriers, implied_end,
         return (mod.parse, mod.copy_node, mod.text_content, mod.find_all,
                 mod.iter_tree, mod.clean_copy_emit, mod.metadata_index,
                 mod.collect_metrics, mod.bucket_by_tag, mod.table_hit,
-                mod.attr_pair)
+                mod.attr_pair, mod.divs_to_rename, mod.brs_under_divs,
+                mod.unlikely_walk)
     except Exception:
         return None

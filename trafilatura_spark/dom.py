@@ -82,6 +82,9 @@ _CMETRICS = None
 _CBUCKETS = None
 _CTABLEHIT = None
 _CATTRPAIR = None
+_CDIVS = None
+_CBRS = None
+_CUNLIKELY = None
 
 
 class Node:
@@ -1011,6 +1014,6 @@ try:  # pragma: no cover - environment-dependent
     if _handles is not None:
         (_CPARSE, _CCOPY, _CTEXT, _CFINDALL, _CITER,
          _CCLEANCOPY, _CMETAIDX, _CMETRICS, _CBUCKETS,
-         _CTABLEHIT, _CATTRPAIR) = _handles
+         _CTABLEHIT, _CATTRPAIR, _CDIVS, _CBRS, _CUNLIKELY) = _handles
 except Exception:  # noqa: BLE001 - accelerator must never break imports
     pass

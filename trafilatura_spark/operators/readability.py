@@ -183,6 +183,7 @@ def _link_density(elem: Node) -> float:
 # containing any of these stays a div; childless-of-these divs become <p>
 _BLOCK_MARKUP = frozenset(
     ("a", "blockquote", "dl", "div", "img", "ol", "p", "pre", "table", "ul"))
+_BLOCK_MARKUP_TUPLE = tuple(sorted(_BLOCK_MARKUP))
 
 
 def _has_block_child_markup(elem: Node) -> bool:
@@ -361,6 +362,20 @@ class ReadabilityDocument:
         # repeat dozens of times on real pages.
         unlikely = REGEXES["unlikely"].search
         maybe = REGEXES["maybe"].search
+        if _dom._CUNLIKELY is not None:
+            # C walk collects the drops (verdict misses come back through
+            # `judge`, so the regexes stay the one source of truth);
+            # dropping the returned disjoint subtrees in document order
+            # is equivalent to dropping in-walk
+            def judge(key: tuple) -> bool:
+                attrs = f"{key[0]} {key[1]}".strip()
+                return len(attrs) >= 2 and bool(unlikely(attrs)) \
+                    and not maybe(attrs)
+
+            for elem in _dom._CUNLIKELY(self.doc, {}, judge,
+                                        ("body", "html")):
+                elem.drop_tree()
+            return
         verdicts: dict[tuple, bool] = {}
         stack = list(reversed(self.doc.children))
         pop = stack.pop
@@ -388,6 +403,15 @@ class ReadabilityDocument:
         # divs, stopping at the first already-marked div (whose div
         # ancestors were marked with it).  Renames can't change membership —
         # div and p are both in the probe vocabulary — so doc order is free.
+        if _dom._CDIVS is not None:
+            # C passes: collect no-block-markup divs (pre-rename), rename
+            # in Python, then collect brs-under-(still-)div post-rename
+            for elem in _dom._CDIVS(self.doc, _BLOCK_MARKUP_TUPLE):
+                elem.tag = "p"
+            for br in _dom._CBRS(self.doc):
+                if br.parent is not None:
+                    br.drop_tree()
+            return
         has_block: set[int] = set()
         add_marked = has_block.add
         for node in self.doc.iterdesc(*_BLOCK_MARKUP):
