@@ -691,3 +691,39 @@ def test_readability_walks_parity():
             assert r_py is None and r_c is None, html[:80]
         else:
             assert tree_repr(r_py) == tree_repr(r_c), html[:80]
+
+
+def test_deep_tree_stress_all_primitives():
+    """Every C primitive is fully iterative: trees nested far beyond any
+    recursion limit (30k element depth, 20k strip-set nesting) must pass
+    through parse, copy, clean-copy, metadata index, metrics fold,
+    bucketing and the readability walks without C-stack recursion."""
+    from trafilatura_spark.core import load_html
+    from trafilatura_spark.settings import Options
+    from trafilatura_spark.operators import cleaning as cl
+    from trafilatura_spark.operators import metadata as md
+    from trafilatura_spark.operators import readability as rd
+    from trafilatura_spark.operators import selectors as sel
+    if dom._CCLEANCOPY is None:
+        pytest.skip("accelerator unavailable")
+    depth = 30_000
+    html = ("<html><body>" + "<div>" * depth + "x" + "</div>" * depth
+            + "<p>pad</p></body></html>")
+    tree = load_html(html)
+    assert tree is not None
+    assert tree.copy() is not None
+    assert cl.clean_copy(tree, Options()) is not None
+    md._MetaWalk(tree)
+    assert len(rd._collect_metrics(tree)) == depth + 4
+    assert len(sel._by_tag(tree, ("div",))["div"]) == depth
+    assert len(dom._CDIVS(tree, ("a", "p"))) == depth
+    dom._CBRS(tree)
+    dom._CUNLIKELY(tree, {}, lambda k: False, ("body", "html"))
+    # strip-set nesting drives the clean-copy frames stack specifically
+    sdepth = 20_000
+    html2 = ("<html><body>" + "<span>" * sdepth + "y" + "</span>" * sdepth
+             + "<p>pad</p></body></html>")
+    t2 = load_html(html2)
+    out = dom._CCLEANCOPY(t2, {"span"}, set(), False)
+    body = [c for c in out.children if c.tag == "body"]
+    assert body and body[0].text == "y"
