@@ -727,3 +727,48 @@ def test_deep_tree_stress_all_primitives():
     out = dom._CCLEANCOPY(t2, {"span"}, set(), False)
     body = [c for c in out.children if c.tag == "body"]
     assert body and body[0].text == "y"
+
+
+def test_walk_primitives_mutated_slot_robustness():
+    """Review findings: caller-mutated non-str attrs/text/tail slots must
+    not crash the C walks — falsy non-str behaves as empty (mirroring the
+    Python `if x:` guards), truthy non-str raises instead of reading an
+    int as a unicode object; an EMPTY pattern table matches everything,
+    like the regex fallback's empty alternation."""
+    from trafilatura_spark.dom import parse_html
+    from trafilatura_spark.operators import readability as rd
+    from trafilatura_spark.operators import selectors as sel
+    if dom._CUNLIKELY is None:
+        pytest.skip("accelerator unavailable")
+    # non-str attr value through unlikely_walk: same surviving tags as
+    # the pure-Python walk
+    def build():
+        t = parse_html("<html><body><div>x</div><p>y</p></body></html>")
+        t.find("div").attrs["class"] = 5
+        return t
+    t_c, t_py = build(), build()
+    sv = dom._CUNLIKELY
+    dom._CUNLIKELY = None
+    try:
+        rd.ReadabilityDocument(t_py)._remove_unlikely_candidates()
+    finally:
+        dom._CUNLIKELY = sv
+    rd.ReadabilityDocument(t_c)._remove_unlikely_candidates()
+    assert [n.tag for n in t_c.find_all()] == [n.tag for n in t_py.find_all()]
+    # None text/tail: falsy == empty through metrics and clean-copy
+    t = parse_html("<html><body><p>x</p></body></html>")
+    t.find("p").text = None
+    assert rd._collect_metrics(t)
+    t = parse_html("<html><body><p>x<span>s</span></p></body></html>")
+    t.find("span").tail = None
+    assert dom._CCLEANCOPY(t, {"span"}, set(), False) is not None
+    # truthy non-str raises (the Python fold raises at t.split() too)
+    t = parse_html("<html><body><p>x</p></body></html>")
+    t.find("p").text = 7
+    with pytest.raises(TypeError):
+        rd._collect_metrics(t)
+    # empty pattern table: match-everything on both paths
+    empty = sel._Table([])
+    assert dom._CTABLEHIT(empty.cache, empty.patterns, "anything", False)
+    assert dom._CTABLEHIT(empty.cache_m, empty.patterns, "anything", True)
+    assert empty.regex.search("anything") is not None

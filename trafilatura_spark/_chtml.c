@@ -44,7 +44,8 @@ static PyObject *tagcache = NULL;      /* str -> canonical str (bounded) */
 
 static PyObject *c_root, *c_head, *c_body, *c_html, *c_p, *c_script, *c_style,
     *c_table, *c_tr, *c_td, *c_th, *c_ul, *c_ol, *c_dl, *c_select,
-    *c_empty, *c_lt, *c_arrow, *c_figure, *c_div, *c_a, *c_class, *c_id;
+    *c_empty, *c_lt, *c_arrow, *c_figure, *c_div, *c_a, *c_class,
+    *c_id, *c_br;
 
 #define GET_SLOT(o, off) (*(PyObject **)((char *)(o) + (off)))
 #define SET_SLOT(o, off, v) (*(PyObject **)((char *)(o) + (off)) = (v))
@@ -1447,6 +1448,17 @@ has_desc_tag(PyObject *node, PyObject *want)
 static int
 sink_text(PyObject *dst, PyObject *s)
 {
+    if (!PyUnicode_Check(s)) {
+        /* parser invariant is str; a caller-mutated non-str slot takes
+         * the Python sink's path: falsy skips, truthy raises (+=) */
+        int t = PyObject_IsTrue(s);
+        if (t < 0)
+            return -1;
+        if (!t)
+            return 0;
+        PyErr_SetString(PyExc_TypeError, "Node text/tail must be str");
+        return -1;
+    }
     if (PyUnicode_GET_LENGTH(s) == 0)
         return 0;
     PyObject *children = GET_SLOT(dst, off_children);
@@ -1923,7 +1935,10 @@ chtml_table_hit(PyObject *self, PyObject *const *args, Py_ssize_t nargs)
     }
     if (PyErr_Occurred())
         return NULL;
-    int found = 0;
+    /* an EMPTY table mirrors the regex fallback's empty alternation
+     * (re.compile('') matches every string, both search and match) —
+     * without this the two paths diverge on a trimmed-to-nothing table */
+    int found = PyTuple_GET_SIZE(patterns) == 0;
     Py_ssize_t slen = PyUnicode_GET_LENGTH(s);
     for (Py_ssize_t k = 0; k < PyTuple_GET_SIZE(patterns); k++) {
         PyObject *p = PyTuple_GET_ITEM(patterns, k);
@@ -2103,6 +2118,19 @@ chtml_collect_metrics(PyObject *self, PyObject *arg)
         Py_ssize_t core, commas, links = 0;
         int lead, trail;
         PyObject *t = GET_SLOT(node, off_text);
+        if (!PyUnicode_Check(t)) {
+            /* `if t:` in the Python fold: falsy non-str == empty;
+             * truthy non-str would raise at t.split() — mirror that */
+            int tt = PyObject_IsTrue(t);
+            if (tt < 0)
+                goto fail;
+            if (tt) {
+                PyErr_SetString(PyExc_TypeError,
+                                "Node text/tail must be str");
+                goto fail;
+            }
+            t = c_empty;
+        }
         if (PyUnicode_GET_LENGTH(t) > 0) {
             Py_ssize_t nw, runs;
             scan_text(t, &nw, &runs, &commas, &lead, &trail);
@@ -2140,6 +2168,17 @@ chtml_collect_metrics(PyObject *self, PyObject *arg)
             }
             PyObject *tail =
                 GET_SLOT(PyList_GET_ITEM(children, k), off_tail);
+            if (!PyUnicode_Check(tail)) {
+                int tt = PyObject_IsTrue(tail);
+                if (tt < 0)
+                    goto fail;
+                if (tt) {
+                    PyErr_SetString(PyExc_TypeError,
+                                    "Node text/tail must be str");
+                    goto fail;
+                }
+                tail = c_empty;
+            }
             if (PyUnicode_GET_LENGTH(tail) > 0) {
                 Py_ssize_t nw, runs, tcm;
                 int tl, tt;
@@ -2366,12 +2405,6 @@ chtml_brs_under_divs(PyObject *self, PyObject *arg)
         stack[len].depth = 0;
         len++;
     }
-    PyObject *c_br = PyUnicode_InternFromString("br");
-    if (c_br == NULL) {
-        PyMem_Free(stack);
-        Py_DECREF(out);
-        return NULL;
-    }
     while (len > 0) {
         DEnt e = stack[--len];
         PyObject *tag = GET_SLOT(e.node, off_tag);
@@ -2402,11 +2435,9 @@ chtml_brs_under_divs(PyObject *self, PyObject *arg)
         }
     }
     PyMem_Free(stack);
-    Py_DECREF(c_br);
     return out;
 fail:
     PyMem_Free(stack);
-    Py_DECREF(c_br);
     Py_DECREF(out);
     return NULL;
 }
@@ -2458,8 +2489,24 @@ chtml_unlikely_walk(PyObject *self, PyObject *args)
             if (idv == NULL && PyErr_Occurred())
                 goto fail;
         }
-        int has = (cls != NULL && PyUnicode_GET_LENGTH(cls) > 0) ||
-                  (idv != NULL && PyUnicode_GET_LENGTH(idv) > 0);
+        /* Python truthiness of the raw attr values: for str that is
+         * len > 0, and a non-str value (never produced by the parser,
+         * but Node attrs are public) takes the same PyObject_IsTrue
+         * path the pure-Python `if key[0] or key[1]` does rather than
+         * an unchecked PyUnicode_GET_LENGTH read */
+        int has = 0;
+        if (cls != NULL) {
+            has = PyUnicode_Check(cls) ? (PyUnicode_GET_LENGTH(cls) > 0)
+                                       : PyObject_IsTrue(cls);
+            if (has < 0)
+                goto fail;
+        }
+        if (!has && idv != NULL) {
+            has = PyUnicode_Check(idv) ? (PyUnicode_GET_LENGTH(idv) > 0)
+                                       : PyObject_IsTrue(idv);
+            if (has < 0)
+                goto fail;
+        }
         if (has) {
             PyObject *key = PyTuple_Pack(2, cls ? cls : c_empty,
                                          idv ? idv : c_empty);
@@ -2689,6 +2736,7 @@ PyInit__chtml(void)
     MKSTR(c_a, "a");
     MKSTR(c_class, "class");
     MKSTR(c_id, "id");
+    MKSTR(c_br, "br");
 #undef MKSTR
     return m;
 }

@@ -646,7 +646,12 @@ class _MetaWalk:
     _TAGS = ("a", "address", "div", "link", "p", "span", "strong", "author",
              "section", "time", "figure", "footer", "li", "header",
              "h1", "h2", "h3", "meta", "abbr", "script")
-    _DATE_CLASS_TAGS = frozenset(("abbr", "span", "div", "p"))
+    # one source of truth for BOTH the C call and the Python walk below —
+    # editing a table here keeps the two paths in lockstep
+    _DATE_CLASS_TAGS = ("abbr", "span", "div", "p")
+    _TITLE_EXACT = ("entry-title", "post-title")
+    _DATE_SUBS = ("published", "post-date", "entry-date")
+    _FOOTER = "footer"
 
     def __init__(self, tree: Node):
         if _dom._CMETAIDX is not None:
@@ -654,9 +659,8 @@ class _MetaWalk:
             # (differential: tests/test_chtml.py)
             (self.buckets, self.title_classed, self.date_classed,
              self.license_containers) = _dom._CMETAIDX(
-                tree, self._TAGS, ("abbr", "span", "div", "p"),
-                ("entry-title", "post-title"),
-                ("published", "post-date", "entry-date"), "footer")
+                tree, self._TAGS, self._DATE_CLASS_TAGS,
+                self._TITLE_EXACT, self._DATE_SUBS, self._FOOTER)
             return
         buckets = {t: [] for t in self._TAGS}
         self.buckets = buckets
@@ -664,7 +668,10 @@ class _MetaWalk:
         self.date_classed = date_classed = []
         self.license_containers = license_containers = []
         get = buckets.get
-        date_tags = self._DATE_CLASS_TAGS
+        date_tags = frozenset(self._DATE_CLASS_TAGS)
+        title_exact = self._TITLE_EXACT
+        date_subs = self._DATE_SUBS
+        footer = self._FOOTER
         stack = list(reversed(tree.children))
         pop = stack.pop
         extend = stack.extend
@@ -678,17 +685,16 @@ class _MetaWalk:
             if attrs:
                 cls = attrs.get("class")
                 if cls is not None:
-                    if cls in ("entry-title", "post-title"):
+                    if cls in title_exact:
                         title_classed.append(node)
                     if tag in date_tags:
                         low = cls.lower()
-                        if "published" in low or "post-date" in low \
-                                or "entry-date" in low:
+                        if any(sub in low for sub in date_subs):
                             date_classed.append(node)
-                if tag == "div" and ("footer" in attrs.get("class", "")
-                                     or "footer" in attrs.get("id", "")):
+                if tag == "div" and (footer in attrs.get("class", "")
+                                     or footer in attrs.get("id", "")):
                     license_containers.append(node)
-            if tag == "footer":
+            if tag == footer:
                 license_containers.append(node)
             if node.children:
                 extend(reversed(node.children))

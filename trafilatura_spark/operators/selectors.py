@@ -98,13 +98,13 @@ class _Table:
 
 
 def _contains_re(patterns):
-    """Table equivalent of any(p in s for p in patterns) (via _hit)."""
+    """Pattern table probed via _hit (contains-any) or _hit_m
+    (startswith-any) — anchoring is the call site's choice, so the two
+    historical factory names are one constructor."""
     return _Table(patterns)
 
 
-def _prefix_re(patterns):
-    """Table equivalent of any(s.startswith(p) ...) (via _hit_m)."""
-    return _Table(patterns)
+_prefix_re = _contains_re
 
 
 def _class_id(elem: Node) -> tuple[str, str]:
